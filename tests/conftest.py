@@ -1,0 +1,9 @@
+"""Test config: force CPU with an 8-device virtual mesh so multi-chip sharding
+paths are exercised without TPU hardware (mirrors the reference's lp1-vs-lpN
+determinism testing strategy, Docs/CommonQuestions.md:139)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
