@@ -1,0 +1,531 @@
+"""Tile encode/decode: partition tree walk, mode info, residual coding.
+
+Implements the AV1 tile-group payload for intra (key) frames with the
+feature set: square partitions 8x8..64x64 (SPLIT/NONE), all non-directional
+intra modes, TX_MODE_LARGEST (one txb per block/plane), 4:2:0.
+
+Encoder and decoder share every context-derivation helper so the bitstream
+writer, rate estimation, and the in-repo conformance decoder cannot drift
+apart. Behavioral reference: Source/Lib/Codec/entropy_coding.c
+(encode_partition_av1 :1005, av1_get_skip_context :1064,
+svt_aom_get_kf_y_mode_ctx :1085, svt_aom_get_txb_ctx :313,
+partition_context_lookup definitions.h:1574).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants.av1 import (BLOCK_H, BLOCK_W, MAX_TXSIZE_RECT, TX_H, TX_W, BlockSize, Partition, PredMode, TxSize,
+                             TxType)
+from ..constants.cdf import FrameContext
+from ..entropy.range_coder import RangeDecoder, RangeEncoder, update_cdf
+from ..ops import intra as intra_ops
+from ..ops import quantize as quant_ops
+from ..ops import transforms as txfm_ops
+from . import txb as txb_mod
+
+PARTITION_PLOFFSET = 4
+INTRA_MODE_CONTEXT = np.array([0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0], np.int32)
+# partition_context_lookup[bsize] -> (above, left)  (definitions.h:1574)
+PARTITION_CTX_LOOKUP = np.array(
+    [[31, 31], [31, 30], [30, 31], [30, 30], [30, 28], [28, 30], [28, 28], [28, 24], [24, 28], [24, 24],
+     [24, 16], [16, 24], [16, 16], [16, 0], [0, 16], [0, 0], [31, 28], [28, 31], [30, 24], [24, 30], [28, 16], [16, 28]],
+    np.int32,
+)
+SKIP_CONTEXTS_2D = np.array(
+    [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5], [1, 4, 4, 4, 6]], np.int32
+)
+# ext-tx signaling (definitions.h:1777-1831, cabac_context_model.h av1_ext_tx_ind)
+EXT_TX_SET_DCTONLY, EXT_TX_SET_DCT_IDTX, EXT_TX_SET_DTT4_IDTX, EXT_TX_SET_DTT4_IDTX_1DDCT = 0, 1, 2, 3
+EXT_TX_SET_DTT9_IDTX_1DDCT, EXT_TX_SET_ALL16 = 4, 5
+AV1_NUM_EXT_TX_SET = [1, 2, 5, 7, 12, 16]
+AV1_EXT_TX_IND = np.array(
+    [[0] * 16,
+     [1] + [0] * 15,
+     [1, 3, 4, 2] + [0] * 12,
+     [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+     [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+     [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6]],
+    np.int32,
+)
+AV1_EXT_TX_INV = np.array(
+    [[0] * 16,
+     [9] + [0] * 15,
+     [9, 0, 3, 1, 2] + [0] * 11,
+     [9, 0, 10, 11, 3, 1, 2] + [0] * 9,
+     [9, 10, 11, 0, 1, 2, 4, 5, 3, 6, 7, 8, 0, 0, 0, 0],
+     [9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 4, 5, 3, 6, 7, 8]],
+    np.int32,
+)
+EXT_TX_SET_INDEX_INTRA = {EXT_TX_SET_DCTONLY: 0, EXT_TX_SET_DTT4_IDTX_1DDCT: 1, EXT_TX_SET_DTT4_IDTX: 2}
+AV1_EXT_TX_USED = np.array(
+    [[1] + [0] * 15,
+     [1, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+     [1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+     [1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0],
+     [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0],
+     [1] * 16],
+    np.int32,
+)
+# intra mode -> default transform type (spec Mode_To_Txfm, common_utils.h:67)
+MODE_TO_TXFM = np.array(
+    [int(TxType.DCT_DCT), int(TxType.ADST_DCT), int(TxType.DCT_ADST), int(TxType.DCT_DCT),
+     int(TxType.ADST_ADST), int(TxType.ADST_DCT), int(TxType.DCT_ADST), int(TxType.DCT_ADST),
+     int(TxType.ADST_DCT), int(TxType.ADST_ADST), int(TxType.ADST_DCT), int(TxType.DCT_ADST),
+     int(TxType.ADST_ADST)],
+    np.int32,
+)
+
+
+def chroma_tx_type(uv_mode: int, tx_size: int) -> int:
+    """Chroma intra tx type is derived, not signaled (spec compute_tx_type)."""
+    derived = int(MODE_TO_TXFM[uv_mode])
+    set_type = ext_tx_set_type_intra(tx_size)
+    if not AV1_EXT_TX_USED[set_type][derived]:
+        return int(TxType.DCT_DCT)
+    return derived
+
+# square bsize per mi-size-log2: 8x8 -> log 1
+SQUARE_BSIZE = {8: BlockSize.BLOCK_8X8, 16: BlockSize.BLOCK_16X16, 32: BlockSize.BLOCK_32X32, 64: BlockSize.BLOCK_64X64}
+
+
+def ext_tx_set_type_intra(tx_size: int) -> int:
+    from ..constants.av1 import TX_SIZE_SQR, TX_SIZE_SQR_UP
+
+    if int(TX_SIZE_SQR_UP[tx_size]) >= int(TxSize.TX_32X32):
+        return EXT_TX_SET_DCTONLY
+    if int(TX_SIZE_SQR[tx_size]) == int(TxSize.TX_16X16):
+        return EXT_TX_SET_DTT4_IDTX
+    return EXT_TX_SET_DTT4_IDTX_1DDCT
+
+
+def max_uv_txsize(luma_bsize: int) -> int:
+    """Chroma tx size for 4:2:0 given (square) luma block size."""
+    w = max(int(BLOCK_W[luma_bsize]) // 2, 4)
+    h = max(int(BLOCK_H[luma_bsize]) // 2, 4)
+    w, h = min(w, 32), min(h, 32)
+    return {(4, 4): TxSize.TX_4X4, (8, 8): TxSize.TX_8X8, (16, 16): TxSize.TX_16X16, (32, 32): TxSize.TX_32X32}[(w, h)]
+
+
+@dataclass
+class FrameParams:
+    width: int
+    height: int
+    qindex: int
+    bd: int = 8
+    sb_size: int = 64
+    disable_cdf_update: bool = False
+
+    @property
+    def mi_cols(self) -> int:
+        return 2 * ((self.width + 7) >> 3)
+
+    @property
+    def mi_rows(self) -> int:
+        return 2 * ((self.height + 7) >> 3)
+
+    @property
+    def aligned_width(self) -> int:
+        return self.mi_cols * 4
+
+    @property
+    def aligned_height(self) -> int:
+        return self.mi_rows * 4
+
+    @property
+    def sb_cols(self) -> int:
+        return (self.mi_cols * 4 + self.sb_size - 1) // self.sb_size
+
+    @property
+    def sb_rows(self) -> int:
+        return (self.mi_rows * 4 + self.sb_size - 1) // self.sb_size
+
+
+@dataclass
+class BlockDecision:
+    """Mode-decision output for one coded block (encoder side)."""
+
+    y_mode: int = int(PredMode.DC_PRED)
+    uv_mode: int = int(PredMode.DC_PRED)
+    skip: int = 0
+    levels_y: np.ndarray | None = None  # adjusted-size quantized levels
+    levels_u: np.ndarray | None = None
+    levels_v: np.ndarray | None = None
+    tx_type: int = int(TxType.DCT_DCT)
+
+
+@dataclass
+class Plan:
+    """Encoder decisions for one tile: partition map + per-block decisions."""
+
+    partitions: dict = field(default_factory=dict)  # (mi_row, mi_col, bsize) -> Partition
+    blocks: dict = field(default_factory=dict)  # (mi_row, mi_col, bsize) -> BlockDecision
+
+
+class TileCodec:
+    """Walks the tile in coding order, maintaining all symbol contexts.
+
+    Encode: `encode(plan) -> bytes` (no recon — mode decision already did it).
+    Decode: `decode(data) -> recon planes` (the conformance path).
+    """
+
+    def __init__(self, params: FrameParams, fc: FrameContext):
+        self.p = params
+        self.fc = fc
+        mc, mr = params.mi_cols, params.mi_rows
+        self.above_part = np.zeros(mc, np.uint8)
+        self.left_part = np.zeros(mr, np.uint8)
+        self.mode_grid = np.full((mr, mc), int(PredMode.DC_PRED), np.int32)
+        self.mode_valid = np.zeros((mr, mc), bool)
+        self.skip_grid = np.zeros((mr, mc), np.int32)
+        # per-plane entropy ctx (cul_level bytes) per 4x4 unit
+        self.above_ctx = [np.zeros(mc, np.int32), np.zeros((mc + 1) >> 1, np.int32), np.zeros((mc + 1) >> 1, np.int32)]
+        self.left_ctx = [np.zeros(mr, np.int32), np.zeros((mr + 1) >> 1, np.int32), np.zeros((mr + 1) >> 1, np.int32)]
+        self.update = not params.disable_cdf_update
+
+    # ------------------------------------------------------------------ utils
+
+    def _sym_w(self, enc, cdf, s, n):
+        enc.encode_symbol_n(s, cdf, n)
+        if self.update:
+            update_cdf(cdf, s, n)
+
+    def _sym_r(self, dec, cdf, n):
+        s = dec.decode_symbol_n(cdf, n)
+        if self.update:
+            update_cdf(cdf, s, n)
+        return s
+
+    def _partition_ctx(self, mi_row, mi_col, bsize):
+        above = (int(self.above_part[mi_col]) >> (int(np.log2(BLOCK_W[bsize] // 8)))) & 1
+        left = (int(self.left_part[mi_row]) >> (int(np.log2(BLOCK_W[bsize] // 8)))) & 1
+        bsl = int(np.log2(BLOCK_W[bsize] // 8))
+        return (left * 2 + above) + bsl * PARTITION_PLOFFSET
+
+    def _update_partition_ctx(self, mi_row, mi_col, subsize, bsize):
+        bw = int(BLOCK_W[bsize]) // 4
+        bh = int(BLOCK_H[bsize]) // 4
+        self.above_part[mi_col : mi_col + bw] = PARTITION_CTX_LOOKUP[subsize][0]
+        self.left_part[mi_row : mi_row + bh] = PARTITION_CTX_LOOKUP[subsize][1]
+
+    def _skip_ctx(self, mi_row, mi_col):
+        above = int(self.skip_grid[mi_row - 1, mi_col]) if mi_row > 0 and self.mode_valid[mi_row - 1, mi_col] else 0
+        left = int(self.skip_grid[mi_row, mi_col - 1]) if mi_col > 0 and self.mode_valid[mi_row, mi_col - 1] else 0
+        return above + left
+
+    def _kf_y_ctx(self, mi_row, mi_col):
+        above_mode = int(self.mode_grid[mi_row - 1, mi_col]) if mi_row > 0 and self.mode_valid[mi_row - 1, mi_col] else int(PredMode.DC_PRED)
+        left_mode = int(self.mode_grid[mi_row, mi_col - 1]) if mi_col > 0 and self.mode_valid[mi_row, mi_col - 1] else int(PredMode.DC_PRED)
+        return int(INTRA_MODE_CONTEXT[above_mode]), int(INTRA_MODE_CONTEXT[left_mode])
+
+    def _txb_ctx(self, plane, plane_x4, plane_y4, tx_size, plane_bsize_equal):
+        """(txb_skip_ctx, dc_sign_ctx). plane_x4/y4 in plane 4x4 units."""
+        adj = txb_mod.adjusted_tx_size(tx_size)
+        w4 = int(TX_W[tx_size]) // 4
+        h4 = int(TX_H[tx_size]) // 4
+        a = self.above_ctx[plane][plane_x4 : plane_x4 + w4]
+        l = self.left_ctx[plane][plane_y4 : plane_y4 + h4]
+        # dc sign ctx
+        signs = {0: 0, 1: -1, 2: 1}
+        dc_sum = sum(signs[(int(v) >> txb_mod.COEFF_CONTEXT_BITS) & 3] for v in a)
+        dc_sum += sum(signs[(int(v) >> txb_mod.COEFF_CONTEXT_BITS) & 3] for v in l)
+        dc_sign_ctx = 0 if dc_sum == 0 else (1 if dc_sum < 0 else 2)
+        if plane == 0:
+            if plane_bsize_equal:
+                txb_skip_ctx = 0
+            else:
+                top = 0
+                for v in a:
+                    top |= int(v)
+                top &= txb_mod.COEFF_CONTEXT_MASK
+                left = 0
+                for v in l:
+                    left |= int(v)
+                left &= txb_mod.COEFF_CONTEXT_MASK
+                mx = min(top | left, 4)
+                mn = min(min(top, left), 4)
+                txb_skip_ctx = int(SKIP_CONTEXTS_2D[mn][mx])
+        else:
+            ctx_base = int(any(int(v) != 0 for v in a)) + int(any(int(v) != 0 for v in l))
+            # chroma: plane_bsize vs tx size area (our chroma tx always fills
+            # the chroma block -> offset 7)
+            txb_skip_ctx = ctx_base + 7
+        return txb_skip_ctx, dc_sign_ctx
+
+    def _set_txb_ctx(self, plane, plane_x4, plane_y4, tx_size, cul_level):
+        w4 = int(TX_W[tx_size]) // 4
+        h4 = int(TX_H[tx_size]) // 4
+        self.above_ctx[plane][plane_x4 : plane_x4 + w4] = cul_level
+        self.left_ctx[plane][plane_y4 : plane_y4 + h4] = cul_level
+
+    def _has_chroma(self, mi_row, mi_col, bsize):
+        return True  # all blocks >= 8x8 are chroma references in 4:2:0
+
+    # --------------------------------------------------------------- encoding
+
+    def encode(self, plan: Plan) -> bytes:
+        enc = RangeEncoder()
+        for sb_row in range(self.p.sb_rows):
+            for sb_col in range(self.p.sb_cols):
+                self._code_partition(enc, None, plan, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
+        return enc.done()
+
+    def decode(self, data: bytes, recon: list) -> None:
+        """recon: [y (H, W), u, v] int32 planes (aligned dims), filled in place."""
+        dec = RangeDecoder(data)
+        self._recon = recon
+        for sb_row in range(self.p.sb_rows):
+            for sb_col in range(self.p.sb_cols):
+                self._code_partition(None, dec, None, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
+
+    # ------------------------------------------------------------- partitions
+
+    def _code_partition(self, enc, dec, plan, mi_row, mi_col, bsize):
+        p = self.p
+        if mi_row >= p.mi_rows or mi_col >= p.mi_cols:
+            return
+        bw4 = int(BLOCK_W[bsize]) // 4
+        half = bw4 // 2
+        has_rows = (mi_row + half) < p.mi_rows
+        has_cols = (mi_col + half) < p.mi_cols
+        ctx = self._partition_ctx(mi_row, mi_col, bsize)
+        nsyms = 10 if bsize not in (int(BlockSize.BLOCK_8X8), int(BlockSize.BLOCK_128X128)) else (4 if bsize == int(BlockSize.BLOCK_8X8) else 8)
+
+        if bsize == int(BlockSize.BLOCK_8X8):
+            # frame dims are multiples of 8 in this profile -> always in bounds
+            assert has_rows and has_cols, "8x8 partial blocks need mi-granular frames"
+            if enc is not None:
+                part = int(plan.partitions.get((mi_row, mi_col, bsize), Partition.PARTITION_NONE))
+                self._sym_w(enc, self.fc["partition"][ctx], part, 4)
+            else:
+                part = self._sym_r(dec, self.fc["partition"][ctx], 4)
+            assert part == int(Partition.PARTITION_NONE), "8x8 is the minimum block in this profile"
+            self._code_block(enc, dec, plan, mi_row, mi_col, bsize)
+            self._update_partition_ctx(mi_row, mi_col, bsize, bsize)
+            return
+
+        if has_rows and has_cols:
+            if enc is not None:
+                part = int(plan.partitions[(mi_row, mi_col, bsize)])
+                self._sym_w(enc, self.fc["partition"][ctx], part, nsyms)
+            else:
+                part = self._sym_r(dec, self.fc["partition"][ctx], nsyms)
+        elif has_cols:  # bottom edge: SPLIT or HORZ
+            part = self._bool_partition(enc, dec, plan, mi_row, mi_col, bsize, ctx, vert_alike=False)
+        elif has_rows:  # right edge: SPLIT or VERT
+            part = self._bool_partition(enc, dec, plan, mi_row, mi_col, bsize, ctx, vert_alike=True)
+        else:
+            part = int(Partition.PARTITION_SPLIT)
+
+        if part == int(Partition.PARTITION_NONE):
+            self._code_block(enc, dec, plan, mi_row, mi_col, bsize)
+            self._update_partition_ctx(mi_row, mi_col, bsize, bsize)
+        elif part == int(Partition.PARTITION_SPLIT):
+            sub = PARTITION_SUBSIZE_INT[part][bsize]
+            for dy in (0, half):
+                for dx in (0, half):
+                    self._code_partition(enc, dec, plan, mi_row + dy, mi_col + dx, sub)
+        else:
+            raise NotImplementedError(f"partition {part} not in round-1 profile")
+
+    def _bool_partition(self, enc, dec, plan, mi_row, mi_col, bsize, ctx, vert_alike):
+        """Boundary partitions: derive a 2-symbol CDF from the partition CDF
+        (reference cabac_context_model.h:716-746). Returns the partition."""
+        incdf = self.fc["partition"][ctx]
+        P = Partition
+        members = [P.PARTITION_VERT, P.PARTITION_SPLIT, P.PARTITION_HORZ_A, P.PARTITION_VERT_A, P.PARTITION_VERT_B] if vert_alike else \
+                  [P.PARTITION_HORZ, P.PARTITION_SPLIT, P.PARTITION_HORZ_A, P.PARTITION_HORZ_B, P.PARTITION_VERT_A]
+        if bsize != int(BlockSize.BLOCK_128X128):
+            members.append(P.PARTITION_VERT_4 if vert_alike else P.PARTITION_HORZ_4)
+
+        def element_prob(k):
+            prev = 32768 if k == 0 else int(incdf[k - 1])
+            return prev - int(incdf[k])
+
+        p0 = 32768 - sum(element_prob(int(m)) for m in members)
+        gathered = np.array([32768 - p0, 0, 0], np.int32)
+        if enc is not None:
+            part = int(plan.partitions[(mi_row, mi_col, bsize)])
+            self._sym_w(enc, gathered, int(part == int(P.PARTITION_SPLIT)), 2)
+            return part
+        else:
+            is_split = self._sym_r(dec, gathered, 2)
+            return int(P.PARTITION_SPLIT) if is_split else int(P.PARTITION_VERT if vert_alike else P.PARTITION_HORZ)
+
+    # ------------------------------------------------------------------ block
+
+    def _code_block(self, enc, dec, plan, mi_row, mi_col, bsize):
+        p = self.p
+        fc = self.fc
+        bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+        key = (mi_row, mi_col, bsize)
+        d = plan.blocks[key] if enc is not None else BlockDecision()
+
+        # --- skip
+        sctx = self._skip_ctx(mi_row, mi_col)
+        if enc is not None:
+            self._sym_w(enc, fc["skip"][sctx], d.skip, 2)
+        else:
+            d.skip = self._sym_r(dec, fc["skip"][sctx], 2)
+
+        # --- y mode (key frame)
+        actx, lctx = self._kf_y_ctx(mi_row, mi_col)
+        if enc is not None:
+            self._sym_w(enc, fc["kf_y_mode"][actx][lctx], d.y_mode, 13)
+        else:
+            d.y_mode = self._sym_r(dec, fc["kf_y_mode"][actx][lctx], 13)
+
+        # --- uv mode (cfl allowed for blocks <= 32x32)
+        if self._has_chroma(mi_row, mi_col, bsize):
+            cfl_allowed = int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32
+            nsyms = 14 if cfl_allowed else 13
+            if enc is not None:
+                self._sym_w(enc, fc["uv_mode"][int(cfl_allowed)][d.y_mode], d.uv_mode, nsyms)
+            else:
+                d.uv_mode = self._sym_r(dec, fc["uv_mode"][int(cfl_allowed)][d.y_mode], nsyms)
+
+        # update mode/skip grids
+        self.mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.y_mode
+        self.mode_valid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = True
+        self.skip_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.skip
+
+        # --- residual
+        if d.skip:
+            # skip resets entropy contexts to zero over the block
+            self._set_block_ctx_zero(mi_row, mi_col, bsize)
+            if dec is not None:
+                self._reconstruct(dec_levels=None, d=d, mi_row=mi_row, mi_col=mi_col, bsize=bsize)
+            return
+
+        tx_size_y = int(MAX_TXSIZE_RECT[bsize])
+        tx_size_uv = int(max_uv_txsize(bsize))
+        levels = {}
+        for plane, tx_size, lv in ((0, tx_size_y, d.levels_y), (1, tx_size_uv, d.levels_u), (2, tx_size_uv, d.levels_v)):
+            ss = 0 if plane == 0 else 1
+            px4 = mi_col >> ss
+            py4 = mi_row >> ss
+            plane_type = int(plane > 0)
+            tctx, dctx = self._txb_ctx(plane, px4, py4, tx_size, plane_bsize_equal=True)
+            if enc is not None:
+                adj = txb_mod.adjusted_tx_size(tx_size)
+                lv2 = lv if lv is not None else np.zeros((int(TX_H[adj]), int(TX_W[adj])), np.int32)
+                # tx type signaling for luma before eob (intra sets for < 32)
+                eob_nonzero = np.any(lv2 != 0)
+                cul = self._code_txb(enc, None, d, plane, plane_type, tx_size, tctx, dctx, lv2, eob_nonzero)
+            else:
+                lv2, cul = self._code_txb(None, dec, d, plane, plane_type, tx_size, tctx, dctx, None, None)
+                levels[plane] = lv2
+            self._set_txb_ctx(plane, px4, py4, tx_size, cul)
+        if dec is not None:
+            self._reconstruct(dec_levels=levels, d=d, mi_row=mi_row, mi_col=mi_col, bsize=bsize)
+
+    def _code_txb(self, enc, dec, d, plane, plane_type, tx_size, tctx, dctx, lv2, eob_nonzero):
+        """Wrap txb read/write with the luma tx-type signal in spec order:
+        all_zero first, then tx type, then eob/levels. We re-implement the
+        txb_skip symbol here so tx_type lands between it and the eob."""
+        fc = self.fc
+        if enc is not None:
+            # txb writer handles txb_skip itself; tx type must come right
+            # after txb_skip and before eob -> emulate by splitting
+            cul = self._write_txb_with_txtype(enc, d, plane, plane_type, tx_size, tctx, dctx, lv2)
+            return cul
+        else:
+            return self._read_txb_with_txtype(dec, d, plane, plane_type, tx_size, tctx, dctx)
+
+    def _txtype_signal_info(self, tx_size):
+        set_type = ext_tx_set_type_intra(tx_size)
+        nsym = AV1_NUM_EXT_TX_SET[set_type]
+        if nsym <= 1 or self.p.qindex == 0:
+            return None
+        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        from ..constants.av1 import TX_SIZE_SQR
+
+        return set_type, eset, int(TX_SIZE_SQR[tx_size]), nsym
+
+    def _write_txb_with_txtype(self, enc, d, plane, plane_type, tx_size, tctx, dctx, lv2):
+        fc = self.fc
+        # spec order: txb_skip, then (luma) transform_type, then eob/levels.
+        eob_zero = not np.any(lv2 != 0)
+        txs_ctx = txb_mod.get_txsize_entropy_ctx(tx_size)
+        self._sym_w(enc, fc["txb_skip"][txs_ctx][tctx], int(eob_zero), 2)
+        if eob_zero:
+            return 0
+        if plane == 0:
+            info = self._txtype_signal_info(tx_size)
+            if info is not None:
+                set_type, eset, sqr, nsym = info
+                sym = int(AV1_EXT_TX_IND[set_type][d.tx_type])
+                self._sym_w(enc, fc["intra_ext_tx"][eset][sqr][d.y_mode], sym, nsym)
+            tx_type = d.tx_type
+        else:
+            tx_type = chroma_tx_type(d.uv_mode, tx_size)
+        return txb_mod.write_coeffs_txb_body(enc, fc, lv2, tx_size, tx_type, plane_type, dctx, self.update)
+
+    def _read_txb_with_txtype(self, dec, d, plane, plane_type, tx_size, tctx, dctx):
+        fc = self.fc
+        txs_ctx = txb_mod.get_txsize_entropy_ctx(tx_size)
+        all_zero = self._sym_r(dec, fc["txb_skip"][txs_ctx][tctx], 2)
+        adj = txb_mod.adjusted_tx_size(tx_size)
+        if all_zero:
+            return np.zeros((int(TX_H[adj]), int(TX_W[adj])), np.int32), 0
+        if plane == 0:
+            d.tx_type = int(TxType.DCT_DCT)
+            info = self._txtype_signal_info(tx_size)
+            if info is not None:
+                set_type, eset, sqr, nsym = info
+                sym = self._sym_r(dec, fc["intra_ext_tx"][eset][sqr][d.y_mode], nsym)
+                d.tx_type = int(AV1_EXT_TX_INV[set_type][sym])
+            tx_type = d.tx_type
+        else:
+            tx_type = chroma_tx_type(d.uv_mode, tx_size)
+        return txb_mod.read_coeffs_txb_body(dec, fc, tx_size, tx_type, plane_type, dctx, self.update)
+
+    def _set_block_ctx_zero(self, mi_row, mi_col, bsize):
+        bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+        self.above_ctx[0][mi_col : mi_col + bw4] = 0
+        self.left_ctx[0][mi_row : mi_row + bh4] = 0
+        for pl in (1, 2):
+            self.above_ctx[pl][mi_col >> 1 : (mi_col >> 1) + max(bw4 >> 1, 1)] = 0
+            self.left_ctx[pl][mi_row >> 1 : (mi_row >> 1) + max(bh4 >> 1, 1)] = 0
+
+    # ------------------------------------------------------------------ recon
+
+    def _reconstruct(self, dec_levels, d, mi_row, mi_col, bsize):
+        """Decoder-side prediction + dequant + inverse transform + recon."""
+        p = self.p
+        x, y = mi_col * 4, mi_row * 4
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        tx_size_y = int(MAX_TXSIZE_RECT[bsize])
+        tx_size_uv = int(max_uv_txsize(bsize))
+        for plane in range(3):
+            ss = 0 if plane == 0 else 1
+            px, py = x >> ss, y >> ss
+            pw, ph = bw >> ss, bh >> ss
+            tx_size = tx_size_y if plane == 0 else tx_size_uv
+            mode = d.y_mode if plane == 0 else d.uv_mode
+            rec = self._recon[plane]
+            above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd)
+            pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), py > 0, px > 0, p.bd)[0]
+            if d.skip or dec_levels is None:
+                rec[py : py + ph, px : px + pw] = pred
+                continue
+            lv = dec_levels[plane]
+            tx_type = d.tx_type if plane == 0 else chroma_tx_type(d.uv_mode, tx_size)
+            # expand adjusted levels to full tx size
+            full = np.zeros((min(ph, 64), min(pw, 64)), np.int32)
+            full[: lv.shape[0], : lv.shape[1]] = lv
+            dqc = quant_ops.dequantize_np(full, p.qindex, full.shape[1], full.shape[0], p.bd)
+            recon = txfm_ops.inv_txfm2d_add_np(dqc[None], pred[None], tx_type, p.bd)[0]
+            rec[py : py + ph, px : px + pw] = recon
+
+
+# int-indexed partition subsize for the two partitions we emit
+PARTITION_SUBSIZE_INT = {
+    int(Partition.PARTITION_NONE): {int(b): int(b) for b in
+                                    (BlockSize.BLOCK_8X8, BlockSize.BLOCK_16X16, BlockSize.BLOCK_32X32, BlockSize.BLOCK_64X64)},
+    int(Partition.PARTITION_SPLIT): {int(BlockSize.BLOCK_16X16): int(BlockSize.BLOCK_8X8),
+                                     int(BlockSize.BLOCK_32X32): int(BlockSize.BLOCK_16X16),
+                                     int(BlockSize.BLOCK_64X64): int(BlockSize.BLOCK_32X32)},
+}

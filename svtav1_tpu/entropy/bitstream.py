@@ -1,0 +1,226 @@
+"""OBU assembly: uncompressed headers + bitstream packaging (AV1 spec 5.x).
+
+Covers the round-1 profile: profile 0, 8-bit 4:2:0, single tile, key frames,
+loop filter / CDEF / restoration disabled, TX_MODE_LARGEST.
+Behavioral reference: Source/Lib/Codec/packetization_process.c:784
+(svt_aom_encode_sps_av1) and entropy_coding.c:3768
+(svt_aom_write_frame_header_av1).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..constants.av1 import ObuType
+
+
+class BitWriter:
+    """MSB-first bit writer for uncompressed OBU headers (spec f(n))."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def f(self, value: int, n: int) -> "BitWriter":
+        assert 0 <= value < (1 << n), (value, n)
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+        return self
+
+    def trailing_bits(self) -> "BitWriter":
+        """trailing_bits(): a 1 then 0s to a byte boundary (spec 5.3.4)."""
+        self.bits.append(1)
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return self
+
+    def byte_alignment(self) -> "BitWriter":
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return self
+
+    def bytes(self) -> bytes:
+        assert len(self.bits) % 8 == 0, "unaligned header"
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | self.bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+class BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def f(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def byte_alignment(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def leb128(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_leb128(data: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    for i in range(8):
+        b = data[pos + i]
+        v |= (b & 0x7F) << (7 * i)
+        if not (b & 0x80):
+            return v, pos + i + 1
+    raise ValueError("leb128 too long")
+
+
+def obu(obu_type: int, payload: bytes) -> bytes:
+    """Wrap payload: obu_header (has_size_field=1) + leb128 size + payload."""
+    header = BitWriter()
+    header.f(0, 1)  # obu_forbidden_bit
+    header.f(int(obu_type), 4)
+    header.f(0, 1)  # obu_extension_flag
+    header.f(1, 1)  # obu_has_size_field
+    header.f(0, 1)  # obu_reserved_1bit
+    return header.bytes() + leb128(len(payload)) + payload
+
+
+@dataclass
+class SequenceConfig:
+    width: int
+    height: int
+    bd: int = 8
+    seq_level_idx: int = 8  # level 4.0
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    enable_superres: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+
+
+def sequence_header_obu(cfg: SequenceConfig) -> bytes:
+    w = BitWriter()
+    w.f(0, 3)  # seq_profile
+    w.f(0, 1)  # still_picture
+    w.f(0, 1)  # reduced_still_picture_header
+    w.f(0, 1)  # timing_info_present_flag
+    w.f(0, 1)  # initial_display_delay_present_flag
+    w.f(0, 5)  # operating_points_cnt_minus_1
+    w.f(0, 12)  # operating_point_idc[0]
+    w.f(cfg.seq_level_idx, 5)
+    if cfg.seq_level_idx > 7:
+        w.f(0, 1)  # seq_tier[0]
+    wbits = max((cfg.width - 1).bit_length(), 1)
+    hbits = max((cfg.height - 1).bit_length(), 1)
+    w.f(wbits - 1, 4)
+    w.f(hbits - 1, 4)
+    w.f(cfg.width - 1, wbits)
+    w.f(cfg.height - 1, hbits)
+    w.f(0, 1)  # frame_id_numbers_present_flag
+    w.f(0, 1)  # use_128x128_superblock
+    w.f(int(cfg.enable_filter_intra), 1)
+    w.f(int(cfg.enable_intra_edge_filter), 1)
+    w.f(0, 1)  # enable_interintra_compound
+    w.f(0, 1)  # enable_masked_compound
+    w.f(0, 1)  # enable_warped_motion
+    w.f(0, 1)  # enable_dual_filter
+    w.f(0, 1)  # enable_order_hint
+    w.f(0, 1)  # seq_choose_screen_content_tools
+    w.f(0, 1)  # seq_force_screen_content_tools = 0
+    w.f(int(cfg.enable_superres), 1)
+    w.f(int(cfg.enable_cdef), 1)
+    w.f(int(cfg.enable_restoration), 1)
+    # color_config
+    w.f(int(cfg.bd > 8), 1)  # high_bitdepth
+    w.f(0, 1)  # mono_chrome
+    w.f(0, 1)  # color_description_present_flag
+    w.f(0, 1)  # color_range
+    w.f(0, 2)  # chroma_sample_position (4:2:0 implied by profile 0)
+    w.f(0, 1)  # separate_uv_delta_q
+    w.f(0, 1)  # film_grain_params_present
+    w.trailing_bits()
+    return obu(ObuType.OBU_SEQUENCE_HEADER, w.bytes())
+
+
+@dataclass
+class FrameConfig:
+    qindex: int
+    disable_cdf_update: bool = False
+    show_frame: bool = True
+    error_resilient: bool = False
+
+
+def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
+    """Key-frame uncompressed header (not byte-aligned; caller decides
+    trailing_bits for OBU_FRAME_HEADER vs byte_alignment for OBU_FRAME)."""
+    w = BitWriter()
+    w.f(0, 1)  # show_existing_frame
+    w.f(0, 2)  # frame_type = KEY_FRAME
+    w.f(int(fr.show_frame), 1)
+    if not fr.show_frame:
+        w.f(1, 1)  # showable_frame
+        w.f(int(fr.error_resilient), 1)
+    # (shown KEY frames: error_resilient_mode implied 1, no bit —
+    #  reference entropy_coding.c:3294)
+    w.f(int(fr.disable_cdf_update), 1)
+    # allow_screen_content_tools = 0 (seq_force_screen_content_tools == 0)
+    w.f(0, 1)  # frame_size_override_flag
+    # no order hint bits (enable_order_hint = 0)
+    # primary_ref_frame: intra -> PRIMARY_REF_NONE implied
+    # refresh_frame_flags: KEY shown -> implied allFrames
+    # frame_size(): override=0 -> max dims; superres disabled -> no bits
+    w.f(0, 1)  # render_and_frame_size_different
+    # allow_intrabc: requires allow_screen_content_tools -> absent
+    if not fr.disable_cdf_update:
+        w.f(1, 1)  # disable_frame_end_update_cdf = 1 (no frame-end adaptation)
+    # tile_info(): single tile
+    w.f(1, 1)  # uniform_tile_spacing_flag
+    # assuming minLog2Tile == 0 (true up to 4096-wide at 64px SBs)
+    w.f(0, 1)  # increment_tile_cols_log2 stop
+    w.f(0, 1)  # increment_tile_rows_log2 stop
+    # quantization_params()
+    w.f(fr.qindex, 8)  # base_q_idx
+    w.f(0, 1)  # delta_q_y_dc coded flag
+    w.f(0, 1)  # delta_q_u_dc
+    w.f(0, 1)  # delta_q_u_ac
+    w.f(0, 1)  # using_qmatrix
+    w.f(0, 1)  # segmentation_enabled
+    if fr.qindex > 0:
+        w.f(0, 1)  # delta_q_present
+    # loop_filter_params (CodedLossless false)
+    w.f(0, 6)  # loop_filter_level[0]
+    w.f(0, 6)  # loop_filter_level[1]
+    # levels 0 -> no chroma levels coded
+    w.f(0, 3)  # loop_filter_sharpness
+    w.f(0, 1)  # loop_filter_delta_enabled
+    # cdef/lr absent (seq flags off)
+    w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST
+    # frame_reference_mode / skip_mode: intra -> absent
+    w.f(0, 1)  # reduced_tx_set
+    # global motion / film grain absent
+    return w
+
+
+def frame_obu(seq: SequenceConfig, fr: FrameConfig, tile_payload: bytes) -> bytes:
+    """OBU_FRAME = frame_header + byte_alignment + tile_group (single tile)."""
+    w = frame_header_bits(seq, fr)
+    w.byte_alignment()
+    # tile_group_obu: NumTiles == 1 -> no header bits, payload starts aligned
+    return obu(ObuType.OBU_FRAME, w.bytes() + tile_payload)
+
+
+def temporal_delimiter_obu() -> bytes:
+    return obu(ObuType.OBU_TEMPORAL_DELIMITER, b"")

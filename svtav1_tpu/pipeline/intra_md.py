@@ -1,0 +1,182 @@
+"""Intra mode decision + reconstruction (encoder side).
+
+Sequential reference implementation (numpy): recursive partition RD over
+square blocks 8..64, mode search over the non-directional intra modes,
+closed-loop recon identical to the decoder's. This is the behavioral model
+for the batched JAX wavefront MD (pipeline/intra_device.py); reference
+behavior: product_coding_loop.c md_encode_block / svt_aom_mode_decision_sb.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codec import txb as txb_mod
+from ..codec.tile_codec import (BlockDecision, FrameParams, Plan, chroma_tx_type, max_uv_txsize)
+from ..constants.av1 import BLOCK_W, MAX_TXSIZE_RECT, TX_H, TX_W, BlockSize, Partition, PredMode, TxType
+from ..ops import intra as intra_ops
+from ..ops import quantize as quant_ops
+from ..ops import transforms as txfm_ops
+
+MODES = [PredMode.DC_PRED, PredMode.V_PRED, PredMode.H_PRED, PredMode.SMOOTH_PRED,
+         PredMode.SMOOTH_V_PRED, PredMode.SMOOTH_H_PRED, PredMode.PAETH_PRED]
+
+BSIZE_OF = {8: BlockSize.BLOCK_8X8, 16: BlockSize.BLOCK_16X16, 32: BlockSize.BLOCK_32X32, 64: BlockSize.BLOCK_64X64}
+
+
+def rd_lambda(qindex: int, bd: int = 8) -> float:
+    """RD lambda in (SSE, bits) units — classic q^2 scaling (rd_cost.c analog)."""
+    q = quant_ops.ac_q(qindex, bd) / 8.0
+    return 0.12 * q * q
+
+
+@dataclass
+class _Ctx:
+    params: FrameParams
+    src: list  # [y, u, v] source planes (aligned dims, int32)
+    recon: list  # planes being built
+    plan: Plan
+    lam: float
+
+
+def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, write: bool):
+    """Predict/transform/quantize one block; if write, commit recon + plan.
+
+    Returns (sse, bits_estimate, levels_per_plane, all_zero)."""
+    p = ctx.params
+    bsize = BSIZE_OF[size]
+    tx_y = int(MAX_TXSIZE_RECT[int(bsize)])
+    tx_uv = int(max_uv_txsize(int(bsize)))
+    total_sse = 0.0
+    total_bits = 16.0  # mode signaling ballpark
+    levels_out = []
+    all_zero = True
+    for plane in range(3):
+        ss = 0 if plane == 0 else 1
+        px, py, psz = x >> ss, y >> ss, size >> ss
+        tx_size = tx_y if plane == 0 else tx_uv
+        m = mode if plane == 0 else uv_mode
+        tx_type = int(TxType.DCT_DCT) if plane == 0 else chroma_tx_type(uv_mode, tx_size)
+        rec = ctx.recon[plane]
+        srcp = ctx.src[plane]
+        above, left, topleft = intra_ops.build_edges(rec, px, py, psz, psz, p.bd)
+        pred = intra_ops.predict(m, above[None], left[None], np.array([topleft]), py > 0, px > 0, p.bd)[0]
+        target = srcp[py : py + psz, px : px + psz]
+        resid = (target - pred).astype(np.int32)
+        coeff = txfm_ops.fwd_txfm2d_np(resid[None], tx_type, p.bd)[0]
+        lv_full = quant_ops.quantize_np(coeff, p.qindex, psz, psz, p.bd)
+        adj = txb_mod.adjusted_tx_size(tx_size)
+        ah, aw = int(TX_H[adj]), int(TX_W[adj])
+        lv = lv_full[:ah, :aw]
+        # fwd already zeroes outside the adjusted (<=32x32) region for 64-pt dims
+        dq = quant_ops.dequantize_np(lv_full, p.qindex, psz, psz, p.bd)
+        recon_blk = txfm_ops.inv_txfm2d_add_np(dq[None], pred[None], tx_type, p.bd)[0]
+        sse = float(((recon_blk - target).astype(np.float64) ** 2).sum())
+        nz = int(np.count_nonzero(lv))
+        mag = float(np.abs(lv).sum())
+        bits = 2.0 + nz * 3.0 + 2.0 * np.log2(1.0 + mag)  # crude; real rate est later
+        total_sse += sse
+        total_bits += bits
+        levels_out.append(lv.copy())
+        if nz:
+            all_zero = False
+        if write:
+            rec[py : py + psz, px : px + psz] = recon_blk
+    return total_sse, total_bits, levels_out, all_zero
+
+
+def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
+    """Try modes open-loop (without committing recon), return best decision."""
+    best = None
+    for mode in MODES:
+        sse, bits, levels, zero = _code_unit(ctx, x, y, size, int(mode), int(mode), write=False)
+        cost = sse + ctx.lam * bits
+        if best is None or cost < best[0]:
+            best = (cost, int(mode), levels, zero)
+    return best
+
+
+def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
+    """Recursive partition RD. Commits recon+plan for the winning choice."""
+    p = ctx.params
+    mi_row, mi_col = y // 4, x // 4
+    bsize = BSIZE_OF[size]
+
+    # blocks that stick out of the mi grid must SPLIT (no NONE choice)
+    fits = (x + size <= p.aligned_width) and (y + size <= p.aligned_height)
+    if not fits:
+        assert size > 8
+        half = size // 2
+        cost_split = 0.0
+        for dy in (0, half):
+            for dx in (0, half):
+                sx, sy = x + dx, y + dy
+                if sx // 4 >= p.mi_cols or sy // 4 >= p.mi_rows:
+                    continue
+                cost_split += _code_square(ctx, sx, sy, half)
+        ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_SPLIT)
+        return cost_split
+
+    # candidate NONE on a snapshot
+    snap = [r.copy() for r in ctx.recon]
+    best = _best_mode_for_block(ctx, x, y, size)
+    cost_none, mode, levels, zero = best
+    # commit NONE tentatively
+    sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=True)
+    cost_none = sse + ctx.lam * bits
+
+    if size > 8:
+        recon_none = [r.copy() for r in ctx.recon]
+        # try SPLIT from snapshot
+        for i, r in enumerate(ctx.recon):
+            r[:] = snap[i]
+        half = size // 2
+        cost_split = ctx.lam * 4.0  # partition signaling ballpark
+        sub_keys = []
+        for dy in (0, half):
+            for dx in (0, half):
+                sx, sy = x + dx, y + dy
+                if sx // 4 >= p.mi_cols or sy // 4 >= p.mi_rows:
+                    continue
+                cost_split += _code_square(ctx, sx, sy, half)
+        if cost_split < cost_none:
+            ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_SPLIT)
+            return cost_split
+        # undo split decisions: restore recon and drop sub-plan entries
+        for i, r in enumerate(ctx.recon):
+            r[:] = recon_none[i]
+        _drop_subtree(ctx.plan, mi_row, mi_col, size)
+
+    ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_NONE)
+    ctx.plan.blocks[(mi_row, mi_col, int(bsize))] = BlockDecision(
+        y_mode=mode, uv_mode=mode, skip=int(zero), tx_type=int(TxType.DCT_DCT),
+        levels_y=levels[0] if not zero else None,
+        levels_u=levels[1] if not zero else None,
+        levels_v=levels[2] if not zero else None,
+    )
+    return cost_none
+
+
+def _drop_subtree(plan: Plan, mi_row: int, mi_col: int, size: int) -> None:
+    span = size // 4
+    for key in [k for k in plan.partitions if mi_row <= k[0] < mi_row + span and mi_col <= k[1] < mi_col + span
+                and BLOCK_W[k[2]] < size]:
+        del plan.partitions[key]
+    for key in [k for k in plan.blocks if mi_row <= k[0] < mi_row + span and mi_col <= k[1] < mi_col + span
+                and BLOCK_W[k[2]] < size]:
+        del plan.blocks[key]
+
+
+def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
+    """Mode decision for a whole intra frame.
+
+    src_planes: [y, u, v] int32 planes at aligned dims.
+    Returns (plan, recon_planes)."""
+    p = params
+    recon = [np.zeros_like(pl) for pl in src_planes]
+    ctx = _Ctx(params=p, src=src_planes, recon=recon, plan=Plan(), lam=rd_lambda(p.qindex, p.bd))
+    for sb_y in range(0, p.aligned_height, 64):
+        for sb_x in range(0, p.aligned_width, 64):
+            _code_square(ctx, sb_x, sb_y, 64)
+    return ctx.plan, recon
