@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Benchmark: full-pipeline intra encode fps at 1080p (BASELINE config 3 axis).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference SVT-AV1's ballpark 32-core
+1080p preset-8 throughput (~30 fps; BASELINE.md — to be measured precisely).
+
+Env overrides: BENCH_W/BENCH_H/BENCH_FRAMES/BENCH_QINDEX.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from svtav1_tpu.pipeline.encoder import Encoder, EncoderConfig  # noqa: E402
+
+REF_FPS_1080P_P8_32CORE = 30.0  # placeholder until measured (BASELINE.md)
+
+
+def main() -> None:
+    w = int(os.environ.get("BENCH_W", 1920))
+    h = int(os.environ.get("BENCH_H", 1080))
+    nframes = int(os.environ.get("BENCH_FRAMES", 3))
+    qindex = int(os.environ.get("BENCH_QINDEX", 120))
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(nframes + 1):
+        y = (110 + 70 * np.sin((xx + 3 * t) / 19.0) + 45 * np.cos(yy / 13.0)
+             + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+        u = (128 + 35 * np.sin(xx[::2, ::2] / 29.0)).clip(0, 255).astype(np.uint8)
+        v = (128 - 30 * np.cos(yy[::2, ::2] / 23.0)).clip(0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+
+    enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, mode_decision="jax"))
+    # warmup frame (compile)
+    t0 = time.time()
+    tu, _ = enc.encode_frame(*frames[0])
+    warm = time.time() - t0
+
+    t0 = time.time()
+    total_bytes = 0
+    for f in frames[1:]:
+        tu, _ = enc.encode_frame(*f)
+        total_bytes += len(tu)
+    dt = time.time() - t0
+    fps = nframes / dt
+
+    print(json.dumps({
+        "metric": f"intra encode fps {w}x{h} q{qindex} (full pipeline, 1 chip)",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_FPS_1080P_P8_32CORE, 5),
+    }))
+    print(f"# warmup(compile) {warm:.1f}s, {total_bytes/nframes/1000:.1f} kB/frame", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

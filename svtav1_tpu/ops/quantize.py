@@ -37,11 +37,10 @@ def ac_q(qindex: int, bd: int = 8) -> int:
 
 
 def tx_scale(tx_w: int, tx_h: int) -> int:
-    """log-scale shift for large transforms (spec Av1 get_tx_scale)."""
+    """log-scale shift for large transforms (spec av1_get_tx_scale:
+    (pels > 256) + (pels > 1024))."""
     pels = tx_w * tx_h
-    if pels > 1024:
-        return 2 if pels > 4096 else 1
-    return 0
+    return int(pels > 256) + int(pels > 1024)
 
 
 def quantize_np(coeff: np.ndarray, qindex: int, tx_w: int, tx_h: int, bd: int = 8,
