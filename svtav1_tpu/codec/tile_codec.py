@@ -265,8 +265,15 @@ class TileCodec:
 
     # --------------------------------------------------------------- encoding
 
-    def encode(self, plan: Plan) -> bytes:
-        enc = RangeEncoder()
+    def encode(self, plan: Plan, use_native: bool = True) -> bytes:
+        enc = None
+        if use_native:
+            from ..entropy import native
+
+            if native.available():
+                enc = native.NativeRangeEncoder()
+        if enc is None:
+            enc = RangeEncoder()
         for sb_row in range(self.p.sb_rows):
             for sb_col in range(self.p.sb_cols):
                 self._code_partition(enc, None, plan, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))

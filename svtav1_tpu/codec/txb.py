@@ -219,6 +219,21 @@ def write_coeffs_txb(enc: RangeEncoder, fc, coeffs: np.ndarray, tx_size: int, tx
 def write_coeffs_txb_body(enc: RangeEncoder, fc, coeffs: np.ndarray, tx_size: int, tx_type: int,
                           plane_type: int, dc_sign_ctx: int, update: bool = True) -> int:
     """Everything after txb_skip (eob, levels, signs). Requires eob > 0."""
+    if hasattr(enc, "write_txb_body"):  # native C fast path (byte-exact twin)
+        adj = adjusted_tx_size(tx_size)
+        tx_class = int(TX_TYPE_CLASS[tx_type])
+        txs_ctx = get_txsize_entropy_ctx(tx_size)
+        scan = get_scan(tx_size, tx_type)
+        ems = eob_multi_size(tx_size)
+        off2d = nz_map_ctx_offset_2d(tx_size) if tx_class == TX_CLASS_2D else None
+        return enc.write_txb_body(
+            coeffs, scan, tx_class, dc_sign_ctx, update,
+            _eob_flag_cdf(fc, tx_size)[plane_type][0 if tx_class == TX_CLASS_2D else 1], ems + 5,
+            fc["eob_extra"][txs_ctx][plane_type],
+            fc["coeff_base_eob"][txs_ctx][plane_type],
+            fc["coeff_base"][txs_ctx][plane_type],
+            fc["coeff_br"][min(txs_ctx, int(TxSize.TX_32X32))][plane_type],
+            fc["dc_sign"][plane_type][dc_sign_ctx], off2d)
     adj = adjusted_tx_size(tx_size)
     h, w = int(TX_H[adj]), int(TX_W[adj])
     assert coeffs.shape == (h, w), (coeffs.shape, h, w)
