@@ -1,16 +1,17 @@
-"""Device (JAX/TPU) intra encoder: batched wavefront over 32x32 blocks.
+"""Device (JAX/TPU) intra encoder: batched wavefront over fixed block grids.
 
 TPU-first re-architecture of the reference's wavefront EncDec
 (enc_dec_process.c:3270 + enc_dec_segments.h dependency maps): instead of
-worker threads claiming segments, the whole frame is encoded by one XLA
-program that runs a `lax.fori_loop` over block anti-diagonals; every block on
-a diagonal is processed in parallel (batched edges -> 7 intra predictions ->
-integer transform/quant/recon -> RD select), and recon is scattered back for
-the next diagonal. All shapes static; masked lanes handle ragged diagonals.
+worker threads claiming segments, a whole block grid is encoded by one XLA
+program running `lax.fori_loop` over block anti-diagonals; every block on a
+diagonal is processed in parallel (batched edge gather -> 7 intra predictions
+-> integer transform/quant/recon -> RD select), and recon is scattered back
+for the next diagonal. All shapes static; masked lanes handle ragged
+diagonals.
 
-v1 profile: uniform 32x32 luma blocks (16x16 chroma, DC chroma mode).
-Frame strips not divisible by 32 fall back to the numpy MD for the edge
-blocks only (interior stays on device).
+A frame = interior grid of 32x32 blocks + (if dims aren't 32-divisible)
+right/bottom strips of 8x8 blocks, each strip encoded by the same device
+kernel with an external border apron carrying neighbor recon pixels.
 """
 from __future__ import annotations
 
@@ -28,7 +29,9 @@ from ..ops import transforms_jax as TJ
 from . import intra_md
 
 MODES = [int(m) for m in intra_md.MODES]  # DC,V,H,SMOOTH,SMOOTH_V,SMOOTH_H,PAETH
-B64, B32, B16 = int(BlockSize.BLOCK_64X64), int(BlockSize.BLOCK_32X32), int(BlockSize.BLOCK_16X16)
+B64, B32, B16, B8 = (int(BlockSize.BLOCK_64X64), int(BlockSize.BLOCK_32X32),
+                     int(BlockSize.BLOCK_16X16), int(BlockSize.BLOCK_8X8))
+BSIZE_BY_N = {8: B8, 16: B16, 32: B32, 64: B64}
 
 
 def _smooth_weights(n: int) -> np.ndarray:
@@ -38,9 +41,7 @@ def _smooth_weights(n: int) -> np.ndarray:
 
 
 def _predict_modes(above, left, topleft, have_above, have_left, n: int):
-    """above (B, n), left (B, n), topleft (B,), have_* (B,) bool ->
-    (B, 7, n, n) predictions for MODES order. Edges are already filled per
-    the availability rules; DC still needs the flags for its average."""
+    """above/left (B, n), topleft (B,) -> (B, 7, n, n) for MODES order."""
     B = above.shape[0]
     ha = have_above.astype(jnp.int32)
     hl = have_left.astype(jnp.int32)
@@ -77,142 +78,155 @@ def _predict_modes(above, left, topleft, have_above, have_left, n: int):
     return jnp.stack([dc_pred, v_pred, h_pred, smooth, smooth_v, smooth_h, paeth], axis=1)
 
 
-def _gather_edges(plane, ys, xs, n: int, bd: int):
-    """Batched edge construction from the recon plane.
-
-    ys/xs: (B,) pixel origins (clamped valid). Returns above (B,n), left
-    (B,n), topleft (B,), have_above, have_left. Interior blocks only (no
-    frame-right replication needed)."""
-    base = 1 << (bd - 1)
-    have_above = ys > 0
-    have_left = xs > 0
-
-    def one(y, x):
-        arow = jax.lax.dynamic_slice(plane, (jnp.maximum(y - 1, 0), x), (1, n))[0]
-        lcol = jax.lax.dynamic_slice(plane, (y, jnp.maximum(x - 1, 0)), (n, 1))[:, 0]
-        tl = jax.lax.dynamic_slice(plane, (jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)), (1, 1))[0, 0]
-        return arow, lcol, tl
-
-    above, left, tl = jax.vmap(one)(ys, xs)
-    # availability fills (reference enc_intra_prediction.c:124-183)
-    left_fill = jnp.where(have_above, above[:, 0], base + 1)
-    above_fill = jnp.where(have_left, left[:, 0], base - 1)
-    above = jnp.where(have_above[:, None], above, above_fill[:, None])
-    left = jnp.where(have_left[:, None], left, left_fill[:, None])
-    tl = jnp.where(have_above & have_left, tl,
-                   jnp.where(have_above, above[:, 0], jnp.where(have_left, left[:, 0], base)))
-    return above, left, tl, have_above, have_left
-
-
 def _rate_proxy(levels):
-    """Crude bit estimate matching intra_md's (nz*3 + 2*log2(1+|sum|))."""
     nz = jnp.sum((levels != 0).astype(jnp.float32), axis=(-2, -1))
     mag = jnp.sum(jnp.abs(levels).astype(jnp.float32), axis=(-2, -1))
     return 2.0 + nz * 3.0 + 2.0 * jnp.log2(1.0 + mag)
 
 
-@functools.partial(jax.jit, static_argnames=("R", "C", "qindex", "bd", "lam"))
-def _encode32_device(src_y, src_u, src_v, R: int, C: int, qindex: int, bd: int, lam: float):
-    """Wavefront encode of the (R x C) grid of 32x32 blocks.
+@functools.partial(jax.jit, static_argnames=("R", "C", "n", "qindex", "bd", "lam", "ext_top", "ext_left"))
+def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u, left_v,
+                        R: int, C: int, n: int, qindex: int, bd: int, lam: float,
+                        ext_top: bool, ext_left: bool):
+    """Wavefront encode of an (R x C) grid of n x n luma blocks.
 
-    Returns (recon_y, recon_u, recon_v, modes (R,C), skip (R,C),
-    levels_y (R,C,32,32), levels_u, levels_v)."""
+    src_*: source planes (R*n x C*n luma; half-size chroma).
+    top_* / left_*: external neighbor recon borders (used when ext_top /
+    ext_left) of lengths C*n (+1 corner at left_*[0]... corner unused here).
+    Returns (recon_y, recon_u, recon_v, modes, skip, levels_y, levels_u,
+    levels_v)."""
     dq_dc, dq_ac = quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)
+    nc = n // 2
+    ls_l = quant_ops.tx_scale(n, n)
+    ls_c = quant_ops.tx_scale(nc, nc)
     BMAX = min(R, C)
     n_diag = R + C - 1
 
-    def block_batch(d, recon, n, src, dq_scale_ls, lam_, fixed_dc):
-        """Process diagonal d for one plane size n (32 luma / 16 chroma)."""
-        # block indices along the diagonal
+    def make_plane(src, top, left, m):
+        """(1 + R*m, 1 + C*m) apron plane; apron row/col from external borders."""
+        p = jnp.zeros((1 + R * m, 1 + C * m), jnp.int32) + src[0, 0] * 0
+        p = p.at[0, 1:].set(top)
+        p = p.at[1:, 0].set(left)
+        return p
+
+    def block_batch(d, recon, m, src, ls, lam_, fixed_dc):
         k = jnp.arange(BMAX)
         r = jnp.minimum(d, R - 1) - k
         c = d - r
         valid = (r >= 0) & (r < R) & (c >= 0) & (c < C)
         rs = jnp.clip(r, 0, R - 1)
         cs = jnp.clip(c, 0, C - 1)
-        ys, xs = rs * n, cs * n
-        above, left, tl, ha, hl = _gather_edges(recon, ys, xs, n, bd)
-        preds = _predict_modes(above, left, tl, ha, hl, n)  # (B,7,n,n)
+        ys, xs = 1 + rs * m, 1 + cs * m  # apron offset
+        have_above = (rs > 0) | bool(ext_top)
+        have_left = (cs > 0) | bool(ext_left)
+
+        def one(y, x):
+            arow = jax.lax.dynamic_slice(recon, (y - 1, x), (1, m))[0]
+            lcol = jax.lax.dynamic_slice(recon, (y, x - 1), (m, 1))[:, 0]
+            tl = jax.lax.dynamic_slice(recon, (y - 1, x - 1), (1, 1))[0, 0]
+            return arow, lcol, tl
+
+        above, left, tl = jax.vmap(one)(ys, xs)
+        base = 1 << (bd - 1)
+        left_fill = jnp.where(have_above, above[:, 0], base + 1)
+        above_fill = jnp.where(have_left, left[:, 0], base - 1)
+        above = jnp.where(have_above[:, None], above, above_fill[:, None])
+        left = jnp.where(have_left[:, None], left, left_fill[:, None])
+        tl = jnp.where(have_above & have_left, tl,
+                       jnp.where(have_above, above[:, 0], jnp.where(have_left, left[:, 0], base)))
+
+        preds = _predict_modes(above, left, tl, have_above, have_left, m)
         if fixed_dc:
             preds = preds[:, :1]
-        src_blk = jax.vmap(lambda y, x: jax.lax.dynamic_slice(src, (y, x), (n, n)))(ys, xs)
-        resid = src_blk[:, None] - preds  # (B,M,n,n)
+        src_blk = jax.vmap(lambda y, x: jax.lax.dynamic_slice(src, (y, x), (m, m)))(ys - 1, xs - 1)
+        resid = src_blk[:, None] - preds
         coeff = TJ.fwd_txfm2d_j(resid, int(TxType.DCT_DCT), bd)
-        lv = TJ.quantize_j(coeff, dq_dc, dq_ac, dq_scale_ls)
-        dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, dq_scale_ls, bd)
+        lv = TJ.quantize_j(coeff, dq_dc, dq_ac, ls)
+        dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
         rec = TJ.inv_txfm2d_add_j(dqc, preds, int(TxType.DCT_DCT), bd)
         sse = jnp.sum((rec - src_blk[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
         cost = sse + lam_ * _rate_proxy(lv)
-        best = jnp.argmin(cost, axis=1)  # (B,)
+        best = jnp.argmin(cost, axis=1)
         bi = jnp.arange(BMAX)
         best_lv = lv[bi, best]
         best_rec = rec[bi, best]
-        # scatter recon; masked lanes get an out-of-bounds row (-1 would WRAP
-        # under numpy semantics) so mode="drop" discards them
+        # masked lanes get an out-of-bounds row (-1 would wrap) -> dropped
         oob = recon.shape[0]
-        row_idx = jnp.where(valid[:, None, None], ys[:, None, None] + jnp.arange(n)[None, :, None], oob)
-        col_idx = xs[:, None, None] + jnp.arange(n)[None, None, :]
+        row_idx = jnp.where(valid[:, None, None], ys[:, None, None] + jnp.arange(m)[None, :, None], oob)
+        col_idx = xs[:, None, None] + jnp.arange(m)[None, None, :]
         recon = recon.at[row_idx, col_idx].set(best_rec, mode="drop")
         return recon, best, best_lv, rs, cs, valid
 
     def body(d, carry):
         recon_y, recon_u, recon_v, modes, skip, ly, lu, lvv = carry
-        recon_y, best, blv, rs, cs, valid = block_batch(d, recon_y, 32, src_y, 1, lam, False)
-        modes = modes.at[rs, cs].set(jnp.where(valid, best, modes[rs, cs]), mode="drop")
-        ly = ly.at[rs, cs].set(jnp.where(valid[:, None, None], blv, ly[rs, cs]), mode="drop")
-        recon_u, _, ulv, _, _, _ = block_batch(d, recon_u, 16, src_u, 0, lam, True)
-        recon_v, _, vlv, _, _, _ = block_batch(d, recon_v, 16, src_v, 0, lam, True)
-        lu = lu.at[rs, cs].set(jnp.where(valid[:, None, None], ulv, lu[rs, cs]), mode="drop")
-        lvv = lvv.at[rs, cs].set(jnp.where(valid[:, None, None], vlv, lvv[rs, cs]), mode="drop")
+        recon_y, best, blv, rs, cs, valid = block_batch(d, recon_y, n, src_y, ls_l, lam, False)
+        modes = modes.at[rs, cs].set(jnp.where(valid, best, modes[rs, cs]))
+        ly = ly.at[rs, cs].set(jnp.where(valid[:, None, None], blv, ly[rs, cs]))
+        recon_u, _, ulv, _, _, _ = block_batch(d, recon_u, nc, src_u, ls_c, lam, True)
+        recon_v, _, vlv, _, _, _ = block_batch(d, recon_v, nc, src_v, ls_c, lam, True)
+        lu = lu.at[rs, cs].set(jnp.where(valid[:, None, None], ulv, lu[rs, cs]))
+        lvv = lvv.at[rs, cs].set(jnp.where(valid[:, None, None], vlv, lvv[rs, cs]))
         nz = (jnp.sum(jnp.abs(blv), (-2, -1)) + jnp.sum(jnp.abs(ulv), (-2, -1)) + jnp.sum(jnp.abs(vlv), (-2, -1))) == 0
-        skip = skip.at[rs, cs].set(jnp.where(valid, nz.astype(jnp.int32), skip[rs, cs]), mode="drop")
+        skip = skip.at[rs, cs].set(jnp.where(valid, nz.astype(jnp.int32), skip[rs, cs]))
         return recon_y, recon_u, recon_v, modes, skip, ly, lu, lvv
 
-    # derive zeros from the input so the carry keeps the input's device-varying
-    # type under shard_map (replicated literals would break the scan carry)
+    # derive zeros from the input so the carry keeps the input's
+    # device-varying type under shard_map
     z = src_y[0, 0] * 0
     carry = (
-        src_y * 0, src_u * 0, src_v * 0,
+        make_plane(src_y, top_y, left_y, n),
+        make_plane(src_u, top_u, left_u, nc),
+        make_plane(src_v, top_v, left_v, nc),
         jnp.zeros((R, C), jnp.int32) + z, jnp.zeros((R, C), jnp.int32) + z,
-        jnp.zeros((R, C, 32, 32), jnp.int32) + z, jnp.zeros((R, C, 16, 16), jnp.int32) + z,
-        jnp.zeros((R, C, 16, 16), jnp.int32) + z,
+        jnp.zeros((R, C, n, n), jnp.int32) + z, jnp.zeros((R, C, nc, nc), jnp.int32) + z,
+        jnp.zeros((R, C, nc, nc), jnp.int32) + z,
     )
-    return jax.lax.fori_loop(0, n_diag, body, carry)
+    out = jax.lax.fori_loop(0, n_diag, body, carry)
+    # strip the apron off the recon planes
+    return (out[0][1:, 1:], out[1][1:, 1:], out[2][1:, 1:]) + out[3:]
 
 
-def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
-    """Device MD for the 32-aligned interior; numpy MD for edge strips."""
-    p = params
-    aw, ah = p.aligned_width, p.aligned_height
-    C, R = aw // 32, ah // 32
-    assert R >= 1 and C >= 1, "frame too small for device path"
-    lam = intra_md.rd_lambda(p.qindex, p.bd)
+def _run_grid(src, recon, plan, p, y0: int, x0: int, R: int, C: int, n: int, lam: float):
+    """Encode one grid region on device and merge results into recon + plan."""
+    nc = n // 2
+    iw, ih = C * n, R * n
+    ext_top, ext_left = y0 > 0, x0 > 0
+    sy = jnp.asarray(src[0][y0 : y0 + ih, x0 : x0 + iw])
+    su = jnp.asarray(src[1][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2])
+    sv = jnp.asarray(src[2][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2])
 
-    sy = jnp.asarray(src_planes[0])
-    su = jnp.asarray(src_planes[1])
-    sv = jnp.asarray(src_planes[2])
-    # device operates on the 32-aligned interior region
-    iw, ih = C * 32, R * 32
-    out = _encode32_device(sy[:ih, :iw], su[: ih // 2, : iw // 2], sv[: ih // 2, : iw // 2],
-                           R, C, p.qindex, p.bd, float(lam))
+    def border_top(plane, yy0, xx0, w):
+        if yy0 > 0:
+            return jnp.asarray(plane[yy0 - 1, xx0 : xx0 + w])
+        return jnp.zeros((w,), jnp.int32)
+
+    def border_left(plane, yy0, xx0, h):
+        if xx0 > 0:
+            return jnp.asarray(plane[yy0 : yy0 + h, xx0 - 1])
+        return jnp.zeros((h,), jnp.int32)
+
+    ty = border_top(recon[0], y0, x0, iw)
+    tu = border_top(recon[1], y0 // 2, x0 // 2, iw // 2)
+    tv = border_top(recon[2], y0 // 2, x0 // 2, iw // 2)
+    lyb = border_left(recon[0], y0, x0, ih)
+    lub = border_left(recon[1], y0 // 2, x0 // 2, ih // 2)
+    lvb = border_left(recon[2], y0 // 2, x0 // 2, ih // 2)
+
+    out = _encode_grid_device(sy, su, sv, ty, tu, tv, lyb, lub, lvb,
+                              R, C, n, p.qindex, p.bd, lam, ext_top, ext_left)
     recon_y, recon_u, recon_v, modes, skip, ly, lu, lv = (np.asarray(x) for x in out)
+    recon[0][y0 : y0 + ih, x0 : x0 + iw] = recon_y
+    recon[1][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2] = recon_u
+    recon[2][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2] = recon_v
 
-    recon = [np.zeros_like(pl) for pl in src_planes]
-    recon[0][:ih, :iw] = recon_y
-    recon[1][: ih // 2, : iw // 2] = recon_u
-    recon[2][: ih // 2, : iw // 2] = recon_v
-
-    plan = Plan()
-    # assemble partition tree: every 64x64 node splits to 32x32 NONE leaves
-    for sb_y in range(0, ah, 64):
-        for sb_x in range(0, aw, 64):
-            plan.partitions[(sb_y // 4, sb_x // 4, B64)] = int(Partition.PARTITION_SPLIT)
+    bsize = BSIZE_BY_N[n]
+    mi_n = n // 4
     for r in range(R):
         for c in range(C):
-            mi_row, mi_col = r * 8, c * 8
+            mi_row = (y0 + r * n) // 4
+            mi_col = (x0 + c * n) // 4
             sk = int(skip[r, c])
-            plan.partitions[(mi_row, mi_col, B32)] = int(Partition.PARTITION_NONE)
-            plan.blocks[(mi_row, mi_col, B32)] = BlockDecision(
+            plan.blocks[(mi_row, mi_col, bsize)] = BlockDecision(
                 y_mode=MODES[int(modes[r, c])], uv_mode=int(PredMode.DC_PRED), skip=sk,
                 tx_type=int(TxType.DCT_DCT),
                 levels_y=None if sk else ly[r, c].copy(),
@@ -220,14 +234,44 @@ def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, lis
                 levels_v=None if sk else lv[r, c].copy(),
             )
 
-    # edge strips (if dims not 32-divisible): numpy MD continues on the same
-    # recon state, coding 32-blocks that overhang via recursive splits
-    if iw < aw or ih < ah:
-        ctx = intra_md._Ctx(params=p, src=src_planes, recon=recon, plan=plan, lam=lam)
-        for y in range(0, ih, 32):  # right strip
-            for x in range(iw, aw, 32):
-                intra_md._code_square(ctx, x, y, 32)
-        for y in range(ih, ah, 32):  # bottom strip (full width)
-            for x in range(0, aw, 32):
-                intra_md._code_square(ctx, x, y, 32)
+
+def _assemble_partitions(plan: Plan, p: FrameParams) -> None:
+    """Derive the partition decision for every visited square node from the
+    leaf-block set (node == leaf -> NONE, else SPLIT)."""
+
+    def walk(mi_row, mi_col, bsize):
+        if mi_row >= p.mi_rows or mi_col >= p.mi_cols:
+            return
+        if (mi_row, mi_col, bsize) in plan.blocks:
+            plan.partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
+            return
+        plan.partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_SPLIT)
+        half = {B64: 8, B32: 4, B16: 2}[bsize]
+        sub = {B64: B32, B32: B16, B16: B8}[bsize]
+        for dy in (0, half):
+            for dx in (0, half):
+                walk(mi_row + dy, mi_col + dx, sub)
+
+    for sb_row in range(p.sb_rows):
+        for sb_col in range(p.sb_cols):
+            walk(sb_row * 16, sb_col * 16, B64)
+
+
+def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
+    """Device MD: 32x32 interior + 8x8 edge strips, all on device."""
+    p = params
+    aw, ah = p.aligned_width, p.aligned_height
+    C, R = aw // 32, ah // 32
+    iw, ih = C * 32, R * 32
+    lam = float(intra_md.rd_lambda(p.qindex, p.bd))
+
+    recon = [np.zeros_like(pl) for pl in src_planes]
+    plan = Plan()
+    if R > 0 and C > 0:
+        _run_grid(src_planes, recon, plan, p, 0, 0, R, C, 32, lam)
+    if aw > iw and ih > 0:  # right strip (8x8)
+        _run_grid(src_planes, recon, plan, p, 0, iw, ih // 8, (aw - iw) // 8, 8, lam)
+    if ah > ih:  # bottom strip (8x8, full width)
+        _run_grid(src_planes, recon, plan, p, ih, 0, (ah - ih) // 8, aw // 8, 8, lam)
+    _assemble_partitions(plan, p)
     return plan, recon
