@@ -117,6 +117,8 @@ class FrameParams:
     bd: int = 8
     sb_size: int = 64
     disable_cdf_update: bool = False
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
 
     @property
     def mi_cols(self) -> int:
@@ -141,6 +143,25 @@ class FrameParams:
     @property
     def sb_rows(self) -> int:
         return (self.mi_rows * 4 + self.sb_size - 1) // self.sb_size
+
+    def tiles(self) -> list:
+        """Uniform tile grid (spec 5.9.15): list of
+        (sb_row0, sb_row1, sb_col0, sb_col1) in raster tile order."""
+        tcl, trl = self.tile_cols_log2, self.tile_rows_log2
+        tw = (self.sb_cols + (1 << tcl) - 1) >> tcl
+        th = (self.sb_rows + (1 << trl) - 1) >> trl
+        out = []
+        for tr in range(1 << trl):
+            r0 = tr * th
+            if r0 >= self.sb_rows:
+                break
+            r1 = min(r0 + th, self.sb_rows)
+            for tc in range(1 << tcl):
+                c0 = tc * tw
+                if c0 >= self.sb_cols:
+                    break
+                out.append((r0, r1, c0, min(c0 + tw, self.sb_cols)))
+        return out
 
 
 @dataclass
@@ -171,9 +192,14 @@ class TileCodec:
     Decode: `decode(data) -> recon planes` (the conformance path).
     """
 
-    def __init__(self, params: FrameParams, fc: FrameContext):
+    def __init__(self, params: FrameParams, fc: FrameContext, tile=None):
         self.p = params
         self.fc = fc
+        # tile bounds in SB units (defaults: whole frame)
+        sb = tile if tile is not None else (0, params.sb_rows, 0, params.sb_cols)
+        self.mi_row0, self.mi_row1 = sb[0] * 16, min(sb[1] * 16, params.mi_rows)
+        self.mi_col0, self.mi_col1 = sb[2] * 16, min(sb[3] * 16, params.mi_cols)
+        self.sb_range = sb
         mc, mr = params.mi_cols, params.mi_rows
         self.above_part = np.zeros(mc, np.uint8)
         self.left_part = np.zeros(mr, np.uint8)
@@ -211,13 +237,13 @@ class TileCodec:
         self.left_part[mi_row : mi_row + bh] = PARTITION_CTX_LOOKUP[subsize][1]
 
     def _skip_ctx(self, mi_row, mi_col):
-        above = int(self.skip_grid[mi_row - 1, mi_col]) if mi_row > 0 and self.mode_valid[mi_row - 1, mi_col] else 0
-        left = int(self.skip_grid[mi_row, mi_col - 1]) if mi_col > 0 and self.mode_valid[mi_row, mi_col - 1] else 0
+        above = int(self.skip_grid[mi_row - 1, mi_col]) if mi_row > self.mi_row0 and self.mode_valid[mi_row - 1, mi_col] else 0
+        left = int(self.skip_grid[mi_row, mi_col - 1]) if mi_col > self.mi_col0 and self.mode_valid[mi_row, mi_col - 1] else 0
         return above + left
 
     def _kf_y_ctx(self, mi_row, mi_col):
-        above_mode = int(self.mode_grid[mi_row - 1, mi_col]) if mi_row > 0 and self.mode_valid[mi_row - 1, mi_col] else int(PredMode.DC_PRED)
-        left_mode = int(self.mode_grid[mi_row, mi_col - 1]) if mi_col > 0 and self.mode_valid[mi_row, mi_col - 1] else int(PredMode.DC_PRED)
+        above_mode = int(self.mode_grid[mi_row - 1, mi_col]) if mi_row > self.mi_row0 and self.mode_valid[mi_row - 1, mi_col] else int(PredMode.DC_PRED)
+        left_mode = int(self.mode_grid[mi_row, mi_col - 1]) if mi_col > self.mi_col0 and self.mode_valid[mi_row, mi_col - 1] else int(PredMode.DC_PRED)
         return int(INTRA_MODE_CONTEXT[above_mode]), int(INTRA_MODE_CONTEXT[left_mode])
 
     def _txb_ctx(self, plane, plane_x4, plane_y4, tx_size, plane_bsize_equal):
@@ -274,8 +300,9 @@ class TileCodec:
                 enc = native.NativeRangeEncoder()
         if enc is None:
             enc = RangeEncoder()
-        for sb_row in range(self.p.sb_rows):
-            for sb_col in range(self.p.sb_cols):
+        r0, r1, c0, c1 = self.sb_range
+        for sb_row in range(r0, r1):
+            for sb_col in range(c0, c1):
                 self._code_partition(enc, None, plan, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
         return enc.done()
 
@@ -283,8 +310,9 @@ class TileCodec:
         """recon: [y (H, W), u, v] int32 planes (aligned dims), filled in place."""
         dec = RangeDecoder(data)
         self._recon = recon
-        for sb_row in range(self.p.sb_rows):
-            for sb_col in range(self.p.sb_cols):
+        r0, r1, c0, c1 = self.sb_range
+        for sb_row in range(r0, r1):
+            for sb_col in range(c0, c1):
                 self._code_partition(None, dec, None, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
 
     # ------------------------------------------------------------- partitions
@@ -513,8 +541,10 @@ class TileCodec:
             tx_size = tx_size_y if plane == 0 else tx_size_uv
             mode = d.y_mode if plane == 0 else d.uv_mode
             rec = self._recon[plane]
-            above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd)
-            pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), py > 0, px > 0, p.bd)[0]
+            ha = py > ((self.mi_row0 * 4) >> ss)
+            hl = px > ((self.mi_col0 * 4) >> ss)
+            above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd, ha, hl)
+            pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), ha, hl, p.bd)[0]
             if d.skip or dec_levels is None:
                 rec[py : py + ph, px : px + pw] = pred
                 continue

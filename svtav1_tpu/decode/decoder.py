@@ -65,6 +65,8 @@ class FrameInfo:
     qindex: int
     disable_cdf_update: bool
     header_bytes: int  # size of frame header portion (byte aligned)
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
@@ -79,8 +81,16 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     if not disable_cdf_update:
         assert r.f(1) == 1  # disable_frame_end_update_cdf
     assert r.f(1) == 1  # uniform_tile_spacing
-    assert r.f(1) == 0  # tile cols log2 stop
-    assert r.f(1) == 0  # tile rows log2 stop
+    tcl = 0
+    while r.f(1) == 1:
+        tcl += 1
+    trl = 0
+    while r.f(1) == 1:
+        trl += 1
+    if tcl or trl:
+        r.f(tcl + trl)  # context_update_tile_id
+        tsb = r.f(2) + 1
+        assert tsb == 4, tsb
     qindex = r.f(8)
     assert r.f(1) == 0  # delta_q_y_dc
     assert r.f(1) == 0  # delta_q_u_dc
@@ -94,8 +104,11 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     assert r.f(1) == 0  # lf delta enabled
     assert r.f(1) == 0  # tx_mode_select -> LARGEST
     assert r.f(1) == 0  # reduced_tx_set
+    if tcl or trl:
+        assert r.f(1) == 0  # tile_start_and_end_present_flag
     r.byte_alignment()
-    return FrameInfo(qindex=qindex, disable_cdf_update=bool(disable_cdf_update), header_bytes=r.pos // 8)
+    return FrameInfo(qindex=qindex, disable_cdf_update=bool(disable_cdf_update),
+                     header_bytes=r.pos // 8, tile_cols_log2=tcl, tile_rows_log2=trl)
 
 
 def decode_temporal_unit(data: bytes):
@@ -117,15 +130,24 @@ def decode_temporal_unit(data: bytes):
         elif obu_type == int(ObuType.OBU_FRAME):
             assert seq is not None
             fi = parse_frame_header(payload, seq)
-            tile_payload = payload[fi.header_bytes :]
+            tile_data = payload[fi.header_bytes :]
             params = FrameParams(width=seq.width, height=seq.height, qindex=fi.qindex, bd=seq.bd,
-                                 disable_cdf_update=fi.disable_cdf_update)
-            fc = FrameContext(fi.qindex)
-            tc = TileCodec(params, fc)
+                                 disable_cdf_update=fi.disable_cdf_update,
+                                 tile_cols_log2=fi.tile_cols_log2, tile_rows_log2=fi.tile_rows_log2)
+            tiles = params.tiles()
             aw, ah = params.aligned_width, params.aligned_height
             recon = [np.zeros((ah, aw), np.int32), np.zeros((ah >> 1, aw >> 1), np.int32),
                      np.zeros((ah >> 1, aw >> 1), np.int32)]
-            tc.decode(tile_payload, recon)
+            off = 0
+            for i, tile in enumerate(tiles):
+                if i < len(tiles) - 1:
+                    tsz = int.from_bytes(tile_data[off : off + 4], "little") + 1
+                    off += 4
+                else:
+                    tsz = len(tile_data) - off
+                tc = TileCodec(params, FrameContext(fi.qindex), tile=tile)
+                tc.decode(tile_data[off : off + tsz], recon)
+                off += tsz
             w, h = seq.width, seq.height
             out = (recon[0][:h, :w], recon[1][: h >> 1, : w >> 1], recon[2][: h >> 1, : w >> 1], recon)
     return out

@@ -161,6 +161,8 @@ class FrameConfig:
     disable_cdf_update: bool = False
     show_frame: bool = True
     error_resilient: bool = False
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
 
 
 def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
@@ -186,11 +188,17 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
     # allow_intrabc: requires allow_screen_content_tools -> absent
     if not fr.disable_cdf_update:
         w.f(1, 1)  # disable_frame_end_update_cdf = 1 (no frame-end adaptation)
-    # tile_info(): single tile
+    # tile_info() — uniform spacing; min log2 == 0 up to 4096-wide frames
     w.f(1, 1)  # uniform_tile_spacing_flag
-    # assuming minLog2Tile == 0 (true up to 4096-wide at 64px SBs)
+    for _ in range(fr.tile_cols_log2):
+        w.f(1, 1)
     w.f(0, 1)  # increment_tile_cols_log2 stop
+    for _ in range(fr.tile_rows_log2):
+        w.f(1, 1)
     w.f(0, 1)  # increment_tile_rows_log2 stop
+    if fr.tile_cols_log2 or fr.tile_rows_log2:
+        w.f(0, fr.tile_cols_log2 + fr.tile_rows_log2)  # context_update_tile_id
+        w.f(3, 2)  # tile_size_bytes_minus_1 -> 4-byte LE tile sizes
     # quantization_params()
     w.f(fr.qindex, 8)  # base_q_idx
     w.f(0, 1)  # delta_q_y_dc coded flag
@@ -214,12 +222,24 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
     return w
 
 
-def frame_obu(seq: SequenceConfig, fr: FrameConfig, tile_payload: bytes) -> bytes:
-    """OBU_FRAME = frame_header + byte_alignment + tile_group (single tile)."""
+def frame_obu(seq: SequenceConfig, fr: FrameConfig, tile_payloads) -> bytes:
+    """OBU_FRAME = frame_header + byte_alignment + tile_group.
+
+    tile_payloads: bytes (single tile) or list of per-tile bytes in raster
+    tile order (all but the last prefixed with a 4-byte LE size)."""
+    if isinstance(tile_payloads, (bytes, bytearray)):
+        tile_payloads = [tile_payloads]
     w = frame_header_bits(seq, fr)
+    ntiles = len(tile_payloads)
+    if ntiles > 1:
+        w.f(0, 1)  # tile_start_and_end_present_flag (OBU_FRAME: full group)
     w.byte_alignment()
-    # tile_group_obu: NumTiles == 1 -> no header bits, payload starts aligned
-    return obu(ObuType.OBU_FRAME, w.bytes() + tile_payload)
+    body = bytearray(w.bytes())
+    for i, tp in enumerate(tile_payloads):
+        if i < ntiles - 1:
+            body += int(len(tp) - 1).to_bytes(4, "little")  # tile_size_minus_1
+        body += tp
+    return obu(ObuType.OBU_FRAME, bytes(body))
 
 
 def temporal_delimiter_obu() -> bytes:

@@ -125,16 +125,20 @@ def predict(mode: int, above, left, topleft, have_above: bool, have_left: bool, 
     return fn(above, left, topleft, xp=xp)
 
 
-def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int, bd: int = 8):
+def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int, bd: int = 8,
+                have_above: bool | None = None, have_left: bool | None = None):
     """Build (above, left, topleft) for one block from the recon plane
     (single-block helper used by the scalar encoder/decoder paths).
 
     recon: (H, W) plane holding decoded samples for all blocks before this one
-    in coding order. Returns int32 arrays above (w,), left (h,), topleft ().
+    in coding order. Availability defaults to frame-boundary rules; pass
+    explicit flags for tile boundaries. Returns above (w,), left (h,), topleft.
     """
     base = 1 << (bd - 1)
-    have_above = y > 0
-    have_left = x > 0
+    if have_above is None:
+        have_above = y > 0
+    if have_left is None:
+        have_left = x > 0
     if have_above:
         above = recon[y - 1, x : x + w].astype(np.int32)
         if above.shape[0] < w:  # replicate last (frame edge)

@@ -23,6 +23,8 @@ class EncoderConfig:
     qindex: int = 120  # base_q_idx (CQP)
     bd: int = 8
     mode_decision: str = "numpy"  # "numpy" (reference) or "jax" (device path)
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
 
 
 def pad_to_aligned(plane: np.ndarray, aw: int, ah: int) -> np.ndarray:
@@ -43,7 +45,10 @@ class Encoder:
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, "round-1 profile: dims multiple of 8"
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd)
-        self.params = FrameParams(width=cfg.width, height=cfg.height, qindex=cfg.qindex, bd=cfg.bd)
+        self.params = FrameParams(width=cfg.width, height=cfg.height, qindex=cfg.qindex, bd=cfg.bd,
+                                  tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2)
+        if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.mode_decision != "jax":
+            raise ValueError("multi-tile encoding requires the jax mode-decision backend")
         self._wrote_seq_hdr = False
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> tuple[bytes, list]:
@@ -63,11 +68,14 @@ class Encoder:
         else:
             plan, recon = intra_md.encode_intra_frame(src, p)
 
-        fc = FrameContext(p.qindex)
-        tc = TileCodec(p, fc)
-        tile_payload = tc.encode(plan)
+        payloads = []
+        for tile in p.tiles():
+            tc = TileCodec(p, FrameContext(p.qindex), tile=tile)
+            payloads.append(tc.encode(plan))
+        tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
-        fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update)
+        fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
+                         tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2)
         tu = temporal_delimiter_obu()
         tu += sequence_header_obu(self.seq)
         tu += frame_obu(self.seq, fr, tile_payload)

@@ -186,11 +186,13 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
     return (out[0][1:, 1:], out[1][1:, 1:], out[2][1:, 1:]) + out[3:]
 
 
-def _run_grid(src, recon, plan, p, y0: int, x0: int, R: int, C: int, n: int, lam: float):
-    """Encode one grid region on device and merge results into recon + plan."""
+def _run_grid(src, recon, plan, p, y0: int, x0: int, R: int, C: int, n: int, lam: float,
+              region=(0, 0)):
+    """Encode one grid region on device and merge results into recon + plan.
+    `region` is the enclosing tile's pixel origin: borders never cross it."""
     nc = n // 2
     iw, ih = C * n, R * n
-    ext_top, ext_left = y0 > 0, x0 > 0
+    ext_top, ext_left = y0 > region[1], x0 > region[0]
     sy = jnp.asarray(src[0][y0 : y0 + ih, x0 : x0 + iw])
     su = jnp.asarray(src[1][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2])
     sv = jnp.asarray(src[2][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2])
@@ -257,21 +259,31 @@ def _assemble_partitions(plan: Plan, p: FrameParams) -> None:
             walk(sb_row * 16, sb_col * 16, B64)
 
 
+def _encode_region(src, recon, plan, p, x0, y0, w, h, lam):
+    """Encode one tile region: 32x32 interior + 8x8 right/bottom strips.
+    The region is a prediction boundary (no external borders at its
+    top-left; strips take borders from within the region)."""
+    C, R = w // 32, h // 32
+    iw, ih = C * 32, R * 32
+    if R > 0 and C > 0:
+        _run_grid(src, recon, plan, p, y0, x0, R, C, 32, lam, region=(x0, y0))
+    if w > iw and ih > 0:  # right strip (8x8)
+        _run_grid(src, recon, plan, p, y0, x0 + iw, ih // 8, (w - iw) // 8, 8, lam, region=(x0, y0))
+    if h > ih:  # bottom strip (8x8, full region width)
+        _run_grid(src, recon, plan, p, y0 + ih, x0, (h - ih) // 8, w // 8, 8, lam, region=(x0, y0))
+
+
 def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
-    """Device MD: 32x32 interior + 8x8 edge strips, all on device."""
+    """Device MD per tile: 32x32 interior + 8x8 edge strips, all on device."""
     p = params
     aw, ah = p.aligned_width, p.aligned_height
-    C, R = aw // 32, ah // 32
-    iw, ih = C * 32, R * 32
     lam = float(intra_md.rd_lambda(p.qindex, p.bd))
-
     recon = [np.zeros_like(pl) for pl in src_planes]
     plan = Plan()
-    if R > 0 and C > 0:
-        _run_grid(src_planes, recon, plan, p, 0, 0, R, C, 32, lam)
-    if aw > iw and ih > 0:  # right strip (8x8)
-        _run_grid(src_planes, recon, plan, p, 0, iw, ih // 8, (aw - iw) // 8, 8, lam)
-    if ah > ih:  # bottom strip (8x8, full width)
-        _run_grid(src_planes, recon, plan, p, ih, 0, (ah - ih) // 8, aw // 8, 8, lam)
+    for (r0, r1, c0, c1) in p.tiles():
+        x0, y0 = c0 * 64, r0 * 64
+        w = min(c1 * 64, aw) - x0
+        h = min(r1 * 64, ah) - y0
+        _encode_region(src_planes, recon, plan, p, x0, y0, w, h, lam)
     _assemble_partitions(plan, p)
     return plan, recon

@@ -55,3 +55,17 @@ def test_near_lossless_q0():
     dy, du, dv, _ = decode_temporal_unit(tu)
     mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 44.0
+
+
+@pytest.mark.parametrize("tcl,trl", [(1, 0), (0, 1), (1, 1)])
+def test_tiles_roundtrip(tcl, trl):
+    """Tile independence (model: reference TileIndependenceTest)."""
+    y, u, v = synth_frame(256, 128, 5)
+    enc = Encoder(EncoderConfig(width=256, height=128, qindex=120, mode_decision="jax",
+                                tile_cols_log2=tcl, tile_rows_log2=trl))
+    tu, recon = enc.encode_frame(y, u, v)
+    dy, du, dv, drecon = decode_temporal_unit(tu)
+    for i in range(3):
+        assert np.array_equal(recon[i], drecon[i])
+    mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 30.0
