@@ -175,6 +175,12 @@ class BlockDecision:
     levels_u: np.ndarray | None = None
     levels_v: np.ndarray | None = None
     tx_type: int = int(TxType.DCT_DCT)
+    angle_delta_y: int = 0
+    angle_delta_uv: int = 0
+
+
+def is_directional(mode: int) -> bool:
+    return int(PredMode.V_PRED) <= mode <= int(PredMode.D67_PRED)
 
 
 @dataclass
@@ -412,6 +418,14 @@ class TileCodec:
         else:
             d.y_mode = self._sym_r(dec, fc["kf_y_mode"][actx][lctx], 13)
 
+        # --- angle delta y (directional modes on blocks >= 8x8)
+        if is_directional(d.y_mode):
+            adcdf = fc["angle_delta"][d.y_mode - int(PredMode.V_PRED)]
+            if enc is not None:
+                self._sym_w(enc, adcdf, d.angle_delta_y + 3, 7)
+            else:
+                d.angle_delta_y = self._sym_r(dec, adcdf, 7) - 3
+
         # --- uv mode (cfl allowed for blocks <= 32x32)
         if self._has_chroma(mi_row, mi_col, bsize):
             cfl_allowed = int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32
@@ -420,6 +434,12 @@ class TileCodec:
                 self._sym_w(enc, fc["uv_mode"][int(cfl_allowed)][d.y_mode], d.uv_mode, nsyms)
             else:
                 d.uv_mode = self._sym_r(dec, fc["uv_mode"][int(cfl_allowed)][d.y_mode], nsyms)
+            if is_directional(d.uv_mode):
+                adcdf = fc["angle_delta"][d.uv_mode - int(PredMode.V_PRED)]
+                if enc is not None:
+                    self._sym_w(enc, adcdf, d.angle_delta_uv + 3, 7)
+                else:
+                    d.angle_delta_uv = self._sym_r(dec, adcdf, 7) - 3
 
         # update mode/skip grids
         self.mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.y_mode
@@ -543,8 +563,27 @@ class TileCodec:
             rec = self._recon[plane]
             ha = py > ((self.mi_row0 * 4) >> ss)
             hl = px > ((self.mi_col0 * 4) >> ss)
-            above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd, ha, hl)
-            pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), ha, hl, p.bd)[0]
+            angle = 0
+            if is_directional(mode):
+                delta = d.angle_delta_y if plane == 0 else d.angle_delta_uv
+                angle = intra_ops.MODE_ANGLE[mode] + delta * 3
+            if angle and angle != 90 and angle != 180:
+                bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+                right_av = (mi_col + bw4) < self.mi_col1
+                xr = ((p.mi_cols * 4 - (x + int(BLOCK_W[bsize]))) >> ss)
+                yd = ((p.mi_rows * 4 - (y + int(BLOCK_H[bsize]))) >> ss)
+                bottom_av = yd > 0 and (mi_row + bh4) < self.mi_row1
+                has_tr = intra_ops.intra_has_top_right(bsize, mi_row, mi_col, ha, right_av)
+                has_bl = intra_ops.intra_has_bottom_left(bsize, mi_row, mi_col, bottom_av, hl)
+                n_tr = min(pw, xr) if has_tr else 0
+                n_bl = min(ph, yd) if has_bl else 0
+                ae, le, topleft = intra_ops.build_edges_ext(rec, px, py, pw, ph, p.bd, ha, hl, n_tr, n_bl)
+                pred = intra_ops.dr_pred(ae[None], le[None], np.array([topleft]), angle, pw, ph)[0]
+            else:
+                if angle:  # pure V/H (delta 0)
+                    mode = int(PredMode.V_PRED) if angle == 90 else int(PredMode.H_PRED)
+                above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd, ha, hl)
+                pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), ha, hl, p.bd)[0]
             if d.skip or dec_levels is None:
                 rec[py : py + ph, px : px + pw] = pred
                 continue

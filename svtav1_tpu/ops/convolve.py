@@ -1,0 +1,88 @@
+"""Inter-prediction subpel convolution (AV1 spec 7.11.3.4).
+
+Normative 8-tap separable interpolation for motion compensation: horizontal
+pass at round_0=3 into 16-bit intermediates, vertical pass at round_1=11,
+with the spec's offset terms (behavioral reference:
+Source/Lib/Codec/inter_prediction.c svt_av1_convolve_2d_sr_c; filter kernels
+inter_prediction.c:223 sub_pel_filters_*, extracted to
+constants/data/subpel_filters.npz).
+
+Batched TPU-first layout: (B, h+7, w+7) source patches -> (B, h, w)
+predictions; the taps loop unrolls into 8 shifted adds (VPU work, fusable).
+Works with numpy or jax.numpy.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(__file__), "..", "constants", "data")
+
+FILTER_BITS = 7
+ROUND0 = 3
+ROUND1 = 11  # 2*FILTER_BITS - ROUND0
+
+# interp filter enum (spec): EIGHTTAP_REGULAR, EIGHTTAP_SMOOTH, EIGHTTAP_SHARP, BILINEAR
+REGULAR, SMOOTH, SHARP, BILINEAR = 0, 1, 2, 3
+_FILTER_TABLE = {REGULAR: "sub_pel_filters_8", SMOOTH: "sub_pel_filters_8smooth",
+                 SHARP: "sub_pel_filters_8sharp", BILINEAR: "bilinear_filters"}
+
+
+@functools.lru_cache(maxsize=None)
+def filter_kernels(which: int) -> np.ndarray:
+    """(16, 8) int32 kernels per subpel phase 0..15."""
+    with np.load(os.path.join(_DATA, "subpel_filters.npz")) as z:
+        return z[_FILTER_TABLE[which]].astype(np.int32)
+
+
+def _round_pow2(x, n, xp):
+    return (x + (1 << (n - 1))) >> n
+
+
+def convolve_2d_batch(patches, subpel_x: int, subpel_y: int, which: int = REGULAR,
+                      bd: int = 8, xp=np):
+    """Normative single-ref subpel interpolation.
+
+    patches: (B, h + 7, w + 7) int32 source windows whose (3, 3) offset is
+    the full-pel position (fo = taps/2 - 1 = 3). subpel_x/y in 1/16 units
+    (0..15). Returns (B, h, w) int32 predictions.
+    """
+    B, hp, wp = patches.shape
+    h, w = hp - 7, wp - 7
+    fx = filter_kernels(which)[subpel_x & 15]
+    fy = filter_kernels(which)[subpel_y & 15]
+    bits = 2 * FILTER_BITS - ROUND0 - ROUND1
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+
+    # horizontal: rows 0..h+6, cols 0..w-1
+    acc = xp.zeros((B, hp, w), xp.int32) + (1 << (bd + FILTER_BITS - 1))
+    for k in range(8):
+        acc = acc + int(fx[k]) * patches[:, :, k : k + w]
+    im = _round_pow2(acc, ROUND0, xp)
+
+    acc = xp.zeros((B, h, w), xp.int32) + (1 << offset_bits)
+    for k in range(8):
+        acc = acc + int(fy[k]) * im[:, k : k + h, :]
+    res = _round_pow2(acc, ROUND1, xp) - ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
+    if bits > 0:
+        res = _round_pow2(res, bits, xp)
+    return xp.clip(res, 0, (1 << bd) - 1).astype(xp.int32)
+
+
+def convolve_2d_scalar(plane: np.ndarray, x: int, y: int, w: int, h: int,
+                       mv_x_q4: int, mv_y_q4: int, which: int = REGULAR, bd: int = 8) -> np.ndarray:
+    """Scalar helper: motion-compensate one block from `plane` with a
+    1/16-pel MV (mv in q4... q3? units of 1/16 pel => q4 naming per spec).
+    Used by the (round-2) inter decoder path and tests."""
+    fx = (x << 4) + mv_x_q4
+    fy = (y << 4) + mv_y_q4
+    ix, sx = fx >> 4, fx & 15
+    iy, sy = fy >> 4, fy & 15
+    H, W = plane.shape
+    # gather padded window with edge replication
+    ys = np.clip(np.arange(iy - 3, iy + h + 4), 0, H - 1)
+    xs = np.clip(np.arange(ix - 3, ix + w + 4), 0, W - 1)
+    patch = plane[np.ix_(ys, xs)].astype(np.int32)
+    return convolve_2d_batch(patch[None], sx, sy, which, bd)[0]

@@ -160,3 +160,184 @@ def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int, bd: int = 8,
     else:
         topleft = np.int32(base)
     return above, left, topleft
+
+
+# ---------------------------------------------------------------------------
+# Directional prediction (AV1 spec 7.11.2.4; behavior intra_prediction.c:314-413)
+# ---------------------------------------------------------------------------
+
+import functools
+import os as _os
+
+_DATA = _os.path.join(_os.path.dirname(__file__), "..", "constants", "data")
+
+# base angles for the 8 directional modes, enum order V..D67
+MODE_ANGLE = {int(PredMode.V_PRED): 90, int(PredMode.H_PRED): 180, int(PredMode.D45_PRED): 45,
+              int(PredMode.D135_PRED): 135, int(PredMode.D113_PRED): 113, int(PredMode.D157_PRED): 157,
+              int(PredMode.D203_PRED): 203, int(PredMode.D67_PRED): 67}
+
+
+@functools.lru_cache(maxsize=None)
+def _avail_tables() -> dict:
+    with np.load(_os.path.join(_DATA, "intra_avail.npz")) as z:
+        return {k: z[k].copy() for k in z.files}
+
+
+def _dr_derivative(angle: int) -> tuple[int, int]:
+    """(dx, dy) per reference get_dx/get_dy (intra_prediction.c:286-300)."""
+    d = _avail_tables()["eb_dr_intra_derivative"]
+    if 0 < angle < 90:
+        dx = int(d[angle])
+    elif 90 < angle < 180:
+        dx = int(d[180 - angle])
+    else:
+        dx = 1
+    if 90 < angle < 180:
+        dy = int(d[angle - 90])
+    elif 180 < angle < 270:
+        dy = int(d[270 - angle])
+    else:
+        dy = 1
+    return dx, dy
+
+
+@functools.lru_cache(maxsize=None)
+def dr_tables(angle: int, w: int, h: int):
+    """Constant gather tables for directional prediction (upsample==0).
+
+    Returns (src_sel, base, shift) as (h, w) int32 arrays:
+      src_sel 0 -> gather from above_ext at [base] (index -1 == topleft,
+      so stored offset +1); 1 -> from left_ext likewise. `shift` in 0..31.
+      base is clamped to the max extension; positions past max replicate
+      the last extension pixel (base points at it with shift 0).
+    """
+    dx, dy = _dr_derivative(angle)
+    rr, cc = np.mgrid[0:h, 0:w]
+    if angle < 90:  # zone 1: above only
+        x = (rr + 1) * dx
+        base = (x >> 6) + cc
+        shift = (x & 0x3F) >> 1
+        maxb = w + h - 1
+        over = base >= maxb
+        base = np.where(over, maxb, base)
+        shift = np.where(over, 0, shift)
+        return np.zeros_like(base), base.astype(np.int32), shift.astype(np.int32)
+    if angle > 180:  # zone 3: left only
+        y = (cc + 1) * dy
+        base = (y >> 6) + rr
+        shift = (y & 0x3F) >> 1
+        maxb = w + h - 1
+        over = base >= maxb
+        base = np.where(over, maxb, base)
+        shift = np.where(over, 0, shift)
+        return np.ones_like(base), base.astype(np.int32), shift.astype(np.int32)
+    # zone 2: above for base_x >= -1 else left
+    xrow = -(rr + 1) * dx
+    base1 = (xrow >> 6) + cc
+    shift1 = (xrow & 0x3F) >> 1
+    yy = (rr << 6) - (cc + 1) * dy
+    base2 = yy >> 6
+    shift2 = (yy & 0x3F) >> 1
+    use_above = base1 >= -1
+    base = np.where(use_above, base1, base2)
+    shift = np.where(use_above, shift1, shift2)
+    return np.where(use_above, 0, 1).astype(np.int32), base.astype(np.int32), shift.astype(np.int32)
+
+
+def dr_pred(above_ext, left_ext, topleft, angle: int, w: int, h: int, xp=np):
+    """Directional prediction for a batch.
+
+    above_ext: (B, w + h) above row incl. top-right extension (replicated
+    per availability); left_ext: (B, h + w); topleft (B,).
+    """
+    B = above_ext.shape[0]
+    src_sel, base, shift = dr_tables(angle, w, h)
+    # prepend topleft so index -1 maps to slot 0
+    a = xp.concatenate([topleft[:, None], above_ext], axis=1)  # (B, 1+w+h)
+    l = xp.concatenate([topleft[:, None], left_ext], axis=1)
+    bi = xp.asarray(base) + 1
+    bs = xp.asarray(shift)
+    sel = xp.asarray(src_sel)
+    va = a[:, bi] * (32 - bs) + a[:, xp.minimum(bi + 1, a.shape[1] - 1)] * bs
+    vl = l[:, bi] * (32 - bs) + l[:, xp.minimum(bi + 1, l.shape[1] - 1)] * bs
+    val = xp.where(sel[None] == 0, va, vl)
+    return ((val + 16) >> 5).astype(xp.int32)
+
+
+def intra_has_top_right(bsize: int, mi_row: int, mi_col: int, have_top: bool, right_available: bool) -> bool:
+    """Square-block, whole-block-tx subset of the reference rule
+    (intra_prediction.c svt_aom_intra_has_top_right; 64px superblocks)."""
+    if not have_top or not right_available:
+        return False
+    from ..constants.av1 import BLOCK_W as _BW
+
+    bw_mi_log2 = int(np.log2(_BW[bsize] // 4))
+    sb_mi_size = 16
+    blk_row_in_sb = (mi_row & (sb_mi_size - 1)) >> bw_mi_log2
+    blk_col_in_sb = (mi_col & (sb_mi_size - 1)) >> bw_mi_log2
+    if blk_row_in_sb == 0:
+        return True
+    if ((blk_col_in_sb + 1) << bw_mi_log2) >= sb_mi_size:
+        return False
+    name = {8: "has_tr_8x8", 16: "has_tr_16x16", 32: "has_tr_32x32", 64: "has_tr_64x64"}[int(_BW[bsize])]
+    tbl = _avail_tables()[name]
+    idx = (blk_row_in_sb << (4 - bw_mi_log2)) + blk_col_in_sb
+    return bool((int(tbl[idx // 8]) >> (idx % 8)) & 1)
+
+
+def intra_has_bottom_left(bsize: int, mi_row: int, mi_col: int, bottom_available: bool, have_left: bool) -> bool:
+    """Square-block subset of svt_aom_intra_has_bottom_left."""
+    if not bottom_available or not have_left:
+        return False
+    from ..constants.av1 import BLOCK_W as _BW
+
+    bw_mi_log2 = int(np.log2(_BW[bsize] // 4))
+    sb_mi_size = 16
+    blk_row_in_sb = (mi_row & (sb_mi_size - 1)) >> bw_mi_log2
+    blk_col_in_sb = (mi_col & (sb_mi_size - 1)) >> bw_mi_log2
+    # leftmost column of superblock: available only while the needed rows
+    # stay inside the left superblock
+    if blk_col_in_sb == 0:
+        return ((blk_row_in_sb + 1) << bw_mi_log2) < sb_mi_size
+    name = {8: "has_bl_8x8", 16: "has_bl_16x16", 32: "has_bl_32x32", 64: "has_bl_64x64"}[int(_BW[bsize])]
+    tbl = _avail_tables()[name]
+    idx = (blk_row_in_sb << (4 - bw_mi_log2)) + blk_col_in_sb
+    return bool((int(tbl[idx // 8]) >> (idx % 8)) & 1)
+
+
+def build_edges_ext(recon, x: int, y: int, w: int, h: int, bd: int,
+                    have_above: bool, have_left: bool,
+                    n_topright: int, n_bottomleft: int):
+    """Extended edges for directional modes.
+
+    Returns (above_ext (w+h,), left_ext (h+w,), topleft) with the
+    normative replication rules (reference enc_intra_prediction.c:124-183):
+    real above pixels [x, x+w+n_topright), then replicate; same for left.
+    """
+    base = 1 << (bd - 1)
+    na, nl = w + h, h + w
+    if have_above:
+        avail = w + max(n_topright, 0)
+        row = recon[y - 1, x : x + avail].astype(np.int32)
+        above = np.empty(na, np.int32)
+        above[: row.shape[0]] = row
+        above[row.shape[0] :] = row[-1]
+    else:
+        above = np.full(na, np.int32(recon[y, x - 1]) if have_left else base - 1, np.int32)
+    if have_left:
+        avail = h + max(n_bottomleft, 0)
+        col = recon[y : y + avail, x - 1].astype(np.int32)
+        left = np.empty(nl, np.int32)
+        left[: col.shape[0]] = col
+        left[col.shape[0] :] = col[-1]
+    else:
+        left = np.full(nl, np.int32(recon[y - 1, x]) if have_above else base + 1, np.int32)
+    if have_above and have_left:
+        topleft = np.int32(recon[y - 1, x - 1])
+    elif have_above:
+        topleft = np.int32(above[0])
+    elif have_left:
+        topleft = np.int32(left[0])
+    else:
+        topleft = np.int32(base)
+    return above, left, topleft

@@ -40,8 +40,8 @@ def _smooth_weights(n: int) -> np.ndarray:
     return SM_WEIGHTS[n]
 
 
-def _predict_modes(above, left, topleft, have_above, have_left, n: int):
-    """above/left (B, n), topleft (B,) -> (B, 7, n, n) for MODES order."""
+def _predict_modes(above, left, topleft, have_above, have_left, n: int, dc_only: bool = False):
+    """above/left (B, n), topleft (B,) -> (B, 13|1, n, n) in MODES order."""
     B = above.shape[0]
     ha = have_above.astype(jnp.int32)
     hl = have_left.astype(jnp.int32)
@@ -53,6 +53,8 @@ def _predict_modes(above, left, topleft, have_above, have_left, n: int):
     dc_l = (sl + (n >> 1)) >> log2n
     dc = jnp.where(ha & hl, dc_both, jnp.where(ha, dc_a, jnp.where(hl, dc_l, 128)))
     dc_pred = jnp.broadcast_to(dc[:, None, None], (B, n, n))
+    if dc_only:
+        return dc_pred[:, None]
 
     t = above[:, None, :]
     l = left[:, :, None]
@@ -75,7 +77,18 @@ def _predict_modes(above, left, topleft, have_above, have_left, n: int):
     smooth_v = jnp.broadcast_to((wh * t + (256 - wh) * below + 128) >> 8, (B, n, n))
     smooth_h = jnp.broadcast_to((ww * l + (256 - ww) * right + 128) >> 8, (B, n, n))
 
-    return jnp.stack([dc_pred, v_pred, h_pred, smooth, smooth_v, smooth_h, paeth], axis=1)
+    out = [dc_pred, v_pred, h_pred, smooth, smooth_v, smooth_h, paeth]
+    # true-directional modes D45,D135,D113,D157,D203,D67 with REPLICATED
+    # extensions (offered only where has_tr/has_bl are false, so the decoder
+    # reproduces the same replicated edges)
+    from ..ops.intra import MODE_ANGLE, dr_pred
+    from ..constants.av1 import PredMode as _PM
+
+    above_ext = jnp.concatenate([above, jnp.broadcast_to(above[:, -1:], (B, n))], axis=1)
+    left_ext = jnp.concatenate([left, jnp.broadcast_to(left[:, -1:], (B, n))], axis=1)
+    for m in (_PM.D45_PRED, _PM.D135_PRED, _PM.D113_PRED, _PM.D157_PRED, _PM.D203_PRED, _PM.D67_PRED):
+        out.append(dr_pred(above_ext, left_ext, topleft, MODE_ANGLE[int(m)], n, n, xp=jnp))
+    return jnp.stack(out, axis=1)
 
 
 def _rate_proxy(levels):
@@ -86,6 +99,7 @@ def _rate_proxy(levels):
 
 @functools.partial(jax.jit, static_argnames=("R", "C", "n", "qindex", "bd", "lam", "ext_top", "ext_left"))
 def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u, left_v,
+                        mode_penalty,
                         R: int, C: int, n: int, qindex: int, bd: int, lam: float,
                         ext_top: bool, ext_left: bool):
     """Wavefront encode of an (R x C) grid of n x n luma blocks.
@@ -109,7 +123,7 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
         p = p.at[1:, 0].set(left)
         return p
 
-    def block_batch(d, recon, m, src, ls, lam_, fixed_dc):
+    def block_batch(d, recon, m, src, ls, lam_, fixed_dc, mode_penalty=None):
         k = jnp.arange(BMAX)
         r = jnp.minimum(d, R - 1) - k
         c = d - r
@@ -135,9 +149,7 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
         tl = jnp.where(have_above & have_left, tl,
                        jnp.where(have_above, above[:, 0], jnp.where(have_left, left[:, 0], base)))
 
-        preds = _predict_modes(above, left, tl, have_above, have_left, m)
-        if fixed_dc:
-            preds = preds[:, :1]
+        preds = _predict_modes(above, left, tl, have_above, have_left, m, dc_only=bool(fixed_dc))
         src_blk = jax.vmap(lambda y, x: jax.lax.dynamic_slice(src, (y, x), (m, m)))(ys - 1, xs - 1)
         resid = src_blk[:, None] - preds
         coeff = TJ.fwd_txfm2d_j(resid, int(TxType.DCT_DCT), bd)
@@ -146,6 +158,8 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
         rec = TJ.inv_txfm2d_add_j(dqc, preds, int(TxType.DCT_DCT), bd)
         sse = jnp.sum((rec - src_blk[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
         cost = sse + lam_ * _rate_proxy(lv)
+        if mode_penalty is not None:
+            cost = cost + mode_penalty[rs, cs]
         best = jnp.argmin(cost, axis=1)
         bi = jnp.arange(BMAX)
         best_lv = lv[bi, best]
@@ -159,7 +173,8 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
 
     def body(d, carry):
         recon_y, recon_u, recon_v, modes, skip, ly, lu, lvv = carry
-        recon_y, best, blv, rs, cs, valid = block_batch(d, recon_y, n, src_y, ls_l, lam, False)
+        recon_y, best, blv, rs, cs, valid = block_batch(d, recon_y, n, src_y, ls_l, lam, False,
+                                                        mode_penalty=mode_penalty)
         modes = modes.at[rs, cs].set(jnp.where(valid, best, modes[rs, cs]))
         ly = ly.at[rs, cs].set(jnp.where(valid[:, None, None], blv, ly[rs, cs]))
         recon_u, _, ulv, _, _, _ = block_batch(d, recon_u, nc, src_u, ls_c, lam, True)
@@ -186,13 +201,43 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
     return (out[0][1:, 1:], out[1][1:, 1:], out[2][1:, 1:]) + out[3:]
 
 
+def _mode_penalty_grid(p, y0, x0, R, C, n, region, region_mi_end):
+    """(R, C, 13) float32: +inf-like penalty for directional modes whose
+    edge extensions the wavefront cannot provide (has_tr / has_bl true per
+    spec -> decoder would read real pixels we don't schedule)."""
+    from ..ops.intra import intra_has_bottom_left, intra_has_top_right
+
+    bsize = BSIZE_BY_N[n]
+    n4 = n // 4
+    pen = np.zeros((R, C, 13), np.float32)
+    BIG = 1e18
+    for r in range(R):
+        mi_row = (y0 + r * n) // 4
+        ha = r > 0 or y0 > region[1]
+        yd = p.mi_rows * 4 - (y0 + r * n + n)
+        for c in range(C):
+            mi_col = (x0 + c * n) // 4
+            hl = c > 0 or x0 > region[0]
+            right_av = (mi_col + n4) < region_mi_end[1]
+            bottom_av = yd > 0 and (mi_row + n4) < region_mi_end[0]
+            if intra_has_top_right(bsize, mi_row, mi_col, ha, right_av):
+                pen[r, c, 7] = BIG   # D45
+                pen[r, c, 12] = BIG  # D67
+            if intra_has_bottom_left(bsize, mi_row, mi_col, bottom_av, hl):
+                pen[r, c, 11] = BIG  # D203
+    return pen
+
+
 def _run_grid(src, recon, plan, p, y0: int, x0: int, R: int, C: int, n: int, lam: float,
-              region=(0, 0)):
+              region=(0, 0), region_mi_end=None):
     """Encode one grid region on device and merge results into recon + plan.
     `region` is the enclosing tile's pixel origin: borders never cross it."""
     nc = n // 2
     iw, ih = C * n, R * n
     ext_top, ext_left = y0 > region[1], x0 > region[0]
+    if region_mi_end is None:
+        region_mi_end = (p.mi_rows, p.mi_cols)
+    mode_penalty = jnp.asarray(_mode_penalty_grid(p, y0, x0, R, C, n, region, region_mi_end))
     sy = jnp.asarray(src[0][y0 : y0 + ih, x0 : x0 + iw])
     su = jnp.asarray(src[1][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2])
     sv = jnp.asarray(src[2][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2])
@@ -214,7 +259,7 @@ def _run_grid(src, recon, plan, p, y0: int, x0: int, R: int, C: int, n: int, lam
     lub = border_left(recon[1], y0 // 2, x0 // 2, ih // 2)
     lvb = border_left(recon[2], y0 // 2, x0 // 2, ih // 2)
 
-    out = _encode_grid_device(sy, su, sv, ty, tu, tv, lyb, lub, lvb,
+    out = _encode_grid_device(sy, su, sv, ty, tu, tv, lyb, lub, lvb, mode_penalty,
                               R, C, n, p.qindex, p.bd, lam, ext_top, ext_left)
     recon_y, recon_u, recon_v, modes, skip, ly, lu, lv = (np.asarray(x) for x in out)
     recon[0][y0 : y0 + ih, x0 : x0 + iw] = recon_y
@@ -265,12 +310,15 @@ def _encode_region(src, recon, plan, p, x0, y0, w, h, lam):
     top-left; strips take borders from within the region)."""
     C, R = w // 32, h // 32
     iw, ih = C * 32, R * 32
+    mi_end = (min((y0 + h) // 4, p.mi_rows), min((x0 + w) // 4, p.mi_cols))
     if R > 0 and C > 0:
-        _run_grid(src, recon, plan, p, y0, x0, R, C, 32, lam, region=(x0, y0))
+        _run_grid(src, recon, plan, p, y0, x0, R, C, 32, lam, region=(x0, y0), region_mi_end=mi_end)
     if w > iw and ih > 0:  # right strip (8x8)
-        _run_grid(src, recon, plan, p, y0, x0 + iw, ih // 8, (w - iw) // 8, 8, lam, region=(x0, y0))
+        _run_grid(src, recon, plan, p, y0, x0 + iw, ih // 8, (w - iw) // 8, 8, lam,
+                  region=(x0, y0), region_mi_end=mi_end)
     if h > ih:  # bottom strip (8x8, full region width)
-        _run_grid(src, recon, plan, p, y0 + ih, x0, (h - ih) // 8, w // 8, 8, lam, region=(x0, y0))
+        _run_grid(src, recon, plan, p, y0 + ih, x0, (h - ih) // 8, w // 8, 8, lam,
+                  region=(x0, y0), region_mi_end=mi_end)
 
 
 def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:

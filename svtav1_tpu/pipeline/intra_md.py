@@ -15,12 +15,39 @@ import numpy as np
 from ..codec import txb as txb_mod
 from ..codec.tile_codec import (BlockDecision, FrameParams, Plan, chroma_tx_type, max_uv_txsize)
 from ..constants.av1 import BLOCK_W, MAX_TXSIZE_RECT, TX_H, TX_W, BlockSize, Partition, PredMode, TxType
+from ..codec.tile_codec import is_directional
 from ..ops import intra as intra_ops
 from ..ops import quantize as quant_ops
 from ..ops import transforms as txfm_ops
 
+
+def predict_block(recon, px, py, pw, ph, mode, p, ss, bsize):
+    """Prediction incl. directional modes, frame-wide (single tile)."""
+    ha, hl = py > 0, px > 0
+    angle = intra_ops.MODE_ANGLE[mode] if is_directional(mode) else 0
+    if angle and angle != 90 and angle != 180:
+        x, y = px << ss, py << ss
+        mi_row, mi_col = y // 4, x // 4
+        from ..constants.av1 import BLOCK_H, BLOCK_W
+
+        bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+        right_av = (mi_col + bw4) < p.mi_cols
+        xr = (p.mi_cols * 4 - (x + int(BLOCK_W[bsize]))) >> ss
+        yd = (p.mi_rows * 4 - (y + int(BLOCK_H[bsize]))) >> ss
+        bottom_av = yd > 0 and (mi_row + bh4) < p.mi_rows
+        has_tr = intra_ops.intra_has_top_right(bsize, mi_row, mi_col, ha, right_av)
+        has_bl = intra_ops.intra_has_bottom_left(bsize, mi_row, mi_col, bottom_av, hl)
+        n_tr = min(pw, xr) if has_tr else 0
+        n_bl = min(ph, yd) if has_bl else 0
+        ae, le, tl = intra_ops.build_edges_ext(recon, px, py, pw, ph, p.bd, ha, hl, n_tr, n_bl)
+        return intra_ops.dr_pred(ae[None], le[None], np.array([tl]), angle, pw, ph)[0]
+    above, left, tl = intra_ops.build_edges(recon, px, py, pw, ph, p.bd, ha, hl)
+    return intra_ops.predict(mode, above[None], left[None], np.array([tl]), ha, hl, p.bd)[0]
+
 MODES = [PredMode.DC_PRED, PredMode.V_PRED, PredMode.H_PRED, PredMode.SMOOTH_PRED,
-         PredMode.SMOOTH_V_PRED, PredMode.SMOOTH_H_PRED, PredMode.PAETH_PRED]
+         PredMode.SMOOTH_V_PRED, PredMode.SMOOTH_H_PRED, PredMode.PAETH_PRED,
+         PredMode.D45_PRED, PredMode.D135_PRED, PredMode.D113_PRED,
+         PredMode.D157_PRED, PredMode.D203_PRED, PredMode.D67_PRED]
 
 BSIZE_OF = {8: BlockSize.BLOCK_8X8, 16: BlockSize.BLOCK_16X16, 32: BlockSize.BLOCK_32X32, 64: BlockSize.BLOCK_64X64}
 
@@ -60,8 +87,7 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
         tx_type = int(TxType.DCT_DCT) if plane == 0 else chroma_tx_type(uv_mode, tx_size)
         rec = ctx.recon[plane]
         srcp = ctx.src[plane]
-        above, left, topleft = intra_ops.build_edges(rec, px, py, psz, psz, p.bd)
-        pred = intra_ops.predict(m, above[None], left[None], np.array([topleft]), py > 0, px > 0, p.bd)[0]
+        pred = predict_block(rec, px, py, psz, psz, int(m), p, ss, int(bsize))
         target = srcp[py : py + psz, px : px + psz]
         resid = (target - pred).astype(np.int32)
         coeff = txfm_ops.fwd_txfm2d_np(resid[None], tx_type, p.bd)[0]
