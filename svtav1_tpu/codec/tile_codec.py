@@ -185,10 +185,36 @@ def is_directional(mode: int) -> bool:
 
 @dataclass
 class Plan:
-    """Encoder decisions for one tile: partition map + per-block decisions."""
+    """Encoder decisions for one tile: partition map + per-block decisions.
+
+    Device MD fills `grids` (whole block-grids as arrays — no per-block
+    objects); scalar paths fill `blocks`. `materialize()` expands grids into
+    `blocks` for consumers that need per-block dicts (Python walk, decoder
+    tests)."""
 
     partitions: dict = field(default_factory=dict)  # (mi_row, mi_col, bsize) -> Partition
     blocks: dict = field(default_factory=dict)  # (mi_row, mi_col, bsize) -> BlockDecision
+    grids: list = field(default_factory=list)  # dicts: y0,x0,n,bsize,modes,skip,ly,lu,lv
+    leaves: set = field(default_factory=set)  # all leaf keys (blocks + grid cells)
+
+    def materialize(self) -> None:
+        from ..pipeline.intra_md import MODES as _MODES
+
+        for g in self.grids:
+            R, C = g["modes"].shape
+            n = g["n"]
+            for r in range(R):
+                for c in range(C):
+                    key = ((g["y0"] + r * n) // 4, (g["x0"] + c * n) // 4, g["bsize"])
+                    if key in self.blocks:
+                        continue
+                    sk = int(g["skip"][r, c])
+                    self.blocks[key] = BlockDecision(
+                        y_mode=_MODES[int(g["modes"][r, c])], uv_mode=int(PredMode.DC_PRED),
+                        skip=sk, tx_type=int(TxType.DCT_DCT),
+                        levels_y=None if sk else np.asarray(g["ly"][r, c], np.int32),
+                        levels_u=None if sk else np.asarray(g["lu"][r, c], np.int32),
+                        levels_v=None if sk else np.asarray(g["lv"][r, c], np.int32))
 
 
 class TileCodec:
@@ -303,9 +329,12 @@ class TileCodec:
             from ..entropy import native
 
             if native.available():
-                enc = native.NativeRangeEncoder()
+                from . import tile_walk_native
+
+                return tile_walk_native.encode_tile_native(self.p, self.fc, plan, self.sb_range)
         if enc is None:
             enc = RangeEncoder()
+        plan.materialize()
         r0, r1, c0, c1 = self.sb_range
         for sb_row in range(r0, r1):
             for sb_col in range(c0, c1):

@@ -342,3 +342,284 @@ int32_t ec_write_txb_body(Ec *e, const int32_t *coeffs, int w, int h, const int3
         cul_level += 2 << 6;
     return cul_level;
 }
+
+/* ------------------------------------------------------------------------ */
+/* whole-tile symbol walk (codec/tile_codec.py twin, encode side)           */
+/*                                                                          */
+/* Python flattens the partition tree + block decisions into an op stream   */
+/* (int32 rows); this walker maintains every context (partition/mode/skip   */
+/* grids, per-plane entropy ctx) and writes all symbols, calling the txb    */
+/* body above. Byte-exact with the Python walk (tests).                     */
+/* ------------------------------------------------------------------------ */
+
+#define OP_COLS 16
+/* op columns */
+enum {
+    OPC_KIND = 0, /* 0 = partition node, 1 = block */
+    OPC_MI_ROW,
+    OPC_MI_COL,
+    OPC_BW4, /* block width in mi units (4px) */
+    OPC_PART_OR_YMODE,
+    OPC_UV_MODE,
+    OPC_SKIP,
+    OPC_ANGLE_Y, /* symbol (delta+3), -1 if not coded */
+    OPC_ANGLE_UV,
+    OPC_TXSIG_NSYM, /* luma ext-tx: nsyms (0 = none) */
+    OPC_TXSIG_SYM,  /* luma ext-tx symbol */
+    OPC_TXSIG_ESET, /* intra_ext_tx [eset][sqr][ymode] */
+    OPC_TXSIG_SQR,
+    OPC_LVL_Y, /* offsets into levels buffer, -1 = absent */
+    OPC_LVL_U,
+    OPC_LVL_V,
+};
+
+typedef struct {
+    /* cdf table base pointers (int32, layout [..][nsyms+1]) */
+    int32_t *partition;   /* [20][11] */
+    int32_t *skip;        /* [3][3] */
+    int32_t *kf_y;        /* [5][5][14] */
+    int32_t *uv_mode;     /* [2][13][15] */
+    int32_t *angle;       /* [8][8] */
+    int32_t *intra_ext_tx;/* [3][4][13][8] */
+    int32_t *txb_skip;    /* [5][13][3] */
+    int32_t *eob_flag[7]; /* 16..1024: [2][2][n+1] with n=5..11 */
+    int32_t *eob_extra;   /* [5][2][22][3] */
+    int32_t *base_eob;    /* [5][2][4][4] */
+    int32_t *base;        /* [5][2][42][5] */
+    int32_t *br;          /* [5][2][21][5] */
+    int32_t *dc_sign;     /* [2][3][3] */
+    /* geometry tables */
+    int32_t *scans;       /* concatenated scans */
+    int32_t *scan_off;    /* [19*16] offsets into scans */
+    int32_t *off2d;       /* concatenated 2d ctx offsets */
+    int32_t *off2d_off;   /* [19] offsets */
+    int32_t mi_rows, mi_cols;
+    int32_t mi_row0, mi_row1, mi_col0, mi_col1; /* tile bounds */
+    int32_t qindex_positive;
+    int32_t update;
+} TileParams;
+
+/* partition_context_lookup (definitions.h:1574) indexed by sq size log2-3 (8..64) */
+static const uint8_t part_ctx_above[4] = {30, 28, 24, 16};
+static const uint8_t part_ctx_left[4] = {30, 28, 24, 16};
+static const uint8_t intra_mode_ctx[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+static const uint8_t skip_ctx_2d[5][5] = {
+    {1, 2, 2, 2, 3}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 6}};
+/* tx sizes per (square) block mi-width-log2: 8px->TX_8X8(1)... */
+static const int32_t luma_txsize_by_log2[4] = {1, 2, 3, 4};   /* TX_8X8..TX_64X64 */
+static const int32_t uv_txsize_by_log2[4] = {0, 1, 2, 3};     /* TX_4X4..TX_32X32 */
+static const int32_t txw_by_txsize[5] = {4, 8, 16, 32, 64};
+/* txs entropy ctx = (sqr + sqr_up + 1) >> 1 for square sizes = identity */
+static const int32_t tx_class_of[16] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 1, 2, 1, 2, 1};
+/* Mode_To_Txfm (chroma derived tx type) */
+static const int32_t mode_to_txfm[13] = {0, 1, 2, 0, 3, 1, 2, 2, 1, 3, 1, 2, 3};
+
+typedef struct {
+    uint8_t *above_part; /* [mi_cols] */
+    uint8_t *left_part;  /* [mi_rows] */
+    int8_t *mode_grid;   /* [mi_rows*mi_cols], -1 invalid */
+    uint8_t *skip_grid;
+    int32_t *above_ctx[3];
+    int32_t *left_ctx[3];
+} TileState;
+
+static int32_t cdf_elem_prob(const int32_t *cdf, int k) {
+    int32_t prev = k == 0 ? 32768 : cdf[k - 1];
+    return prev - cdf[k];
+}
+
+static void write_partition_c(Ec *e, TileParams *tp, TileState *st, int mi_row, int mi_col,
+                              int bw4, int part) {
+    int bsl = 0;
+    while ((2 << bsl) < bw4) bsl++; /* bw4=2 -> 0 ... bw4=16 -> 3 */
+    int above = (st->above_part[mi_col] >> bsl) & 1;
+    int left = (st->left_part[mi_row] >> bsl) & 1;
+    int ctx = (left * 2 + above) + bsl * 4;
+    int half = bw4 >> 1;
+    int has_rows = (mi_row + half) < tp->mi_rows;
+    int has_cols = (mi_col + half) < tp->mi_cols;
+    int32_t *cdf = tp->partition + ctx * 11;
+    if (bw4 == 2) { /* 8x8: 4-ary */
+        ec_encode_symbol(e, cdf, 4, part, tp->update);
+    } else if (has_rows && has_cols) {
+        ec_encode_symbol(e, cdf, 10, part, tp->update);
+    } else if (!has_rows && !has_cols) {
+        /* forced split, no symbol */
+    } else {
+        /* gathered bool: split-alike probability */
+        int32_t p0 = 32768;
+        if (has_rows) { /* right edge: vert-alike */
+            p0 -= cdf_elem_prob(cdf, 2);  /* VERT */
+            p0 -= cdf_elem_prob(cdf, 3);  /* SPLIT */
+            p0 -= cdf_elem_prob(cdf, 4);  /* HORZ_A */
+            p0 -= cdf_elem_prob(cdf, 6);  /* VERT_A */
+            p0 -= cdf_elem_prob(cdf, 7);  /* VERT_B */
+            p0 -= cdf_elem_prob(cdf, 9);  /* VERT_4 */
+        } else { /* bottom edge: horz-alike */
+            p0 -= cdf_elem_prob(cdf, 1);  /* HORZ */
+            p0 -= cdf_elem_prob(cdf, 3);  /* SPLIT */
+            p0 -= cdf_elem_prob(cdf, 4);  /* HORZ_A */
+            p0 -= cdf_elem_prob(cdf, 5);  /* HORZ_B */
+            p0 -= cdf_elem_prob(cdf, 6);  /* VERT_A */
+            p0 -= cdf_elem_prob(cdf, 8);  /* HORZ_4 */
+        }
+        int32_t g[3] = {32768 - p0, 0, 0};
+        ec_encode_symbol(e, g, 2, part == 3, 0);
+    }
+    if (part == 0) { /* NONE: update ctx over the block */
+        int idx = 0;
+        while ((8 << idx) < bw4 * 4) idx++;
+        for (int i = 0; i < bw4; i++) st->above_part[mi_col + i] = part_ctx_above[idx];
+        for (int i = 0; i < bw4; i++) st->left_part[mi_row + i] = part_ctx_left[idx];
+    }
+}
+
+static void set_entropy_ctx(TileState *st, int plane, int px4, int py4, int w4, int h4, int32_t v) {
+    for (int i = 0; i < w4; i++) st->above_ctx[plane][px4 + i] = v;
+    for (int i = 0; i < h4; i++) st->left_ctx[plane][py4 + i] = v;
+}
+
+static void txb_ctx_of(TileState *st, int plane, int px4, int py4, int w4, int h4, int luma_whole,
+                       int *skip_ctx, int *dc_ctx) {
+    int32_t *a = st->above_ctx[plane] + px4;
+    int32_t *l = st->left_ctx[plane] + py4;
+    int dc_sum = 0;
+    for (int i = 0; i < w4; i++) {
+        int s = (a[i] >> 6) & 3;
+        dc_sum += s == 1 ? -1 : (s == 2 ? 1 : 0);
+    }
+    for (int i = 0; i < h4; i++) {
+        int s = (l[i] >> 6) & 3;
+        dc_sum += s == 1 ? -1 : (s == 2 ? 1 : 0);
+    }
+    *dc_ctx = dc_sum == 0 ? 0 : (dc_sum < 0 ? 1 : 2);
+    if (plane == 0) {
+        *skip_ctx = 0; /* whole-block tx: plane bsize == tx bsize */
+        (void)luma_whole;
+    } else {
+        int any_a = 0, any_l = 0;
+        for (int i = 0; i < w4; i++) any_a |= a[i] != 0;
+        for (int i = 0; i < h4; i++) any_l |= l[i] != 0;
+        *skip_ctx = (any_a != 0) + (any_l != 0) + 7;
+    }
+}
+
+int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_ops,
+                           const int32_t *levels, TileState *st) {
+    for (int64_t i = 0; i < n_ops; i++) {
+        const int32_t *op = ops + i * OP_COLS;
+        int mi_row = op[OPC_MI_ROW], mi_col = op[OPC_MI_COL], bw4 = op[OPC_BW4];
+        if (op[OPC_KIND] == 0) {
+            write_partition_c(e, tp, st, mi_row, mi_col, bw4, op[OPC_PART_OR_YMODE]);
+            continue;
+        }
+        int y_mode = op[OPC_PART_OR_YMODE], uv_mode = op[OPC_UV_MODE], skip = op[OPC_SKIP];
+        /* skip symbol */
+        int above_sk = 0, left_sk = 0;
+        if (mi_row > tp->mi_row0 && st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col] >= 0)
+            above_sk = st->skip_grid[(mi_row - 1) * tp->mi_cols + mi_col];
+        if (mi_col > tp->mi_col0 && st->mode_grid[mi_row * tp->mi_cols + mi_col - 1] >= 0)
+            left_sk = st->skip_grid[mi_row * tp->mi_cols + mi_col - 1];
+        ec_encode_symbol(e, tp->skip + (above_sk + left_sk) * 3, 2, skip, tp->update);
+        /* kf y mode */
+        int am = 0, lm = 0;
+        if (mi_row > tp->mi_row0 && st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col] >= 0)
+            am = intra_mode_ctx[st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col]];
+        if (mi_col > tp->mi_col0 && st->mode_grid[mi_row * tp->mi_cols + mi_col - 1] >= 0)
+            lm = intra_mode_ctx[st->mode_grid[mi_row * tp->mi_cols + mi_col - 1]];
+        ec_encode_symbol(e, tp->kf_y + (am * 5 + lm) * 14, 13, y_mode, tp->update);
+        if (op[OPC_ANGLE_Y] >= 0)
+            ec_encode_symbol(e, tp->angle + (y_mode - 1) * 8, 7, op[OPC_ANGLE_Y], tp->update);
+        /* uv mode */
+        int cfl_allowed = bw4 <= 8;
+        ec_encode_symbol(e, tp->uv_mode + (cfl_allowed * 13 + y_mode) * 15,
+                         cfl_allowed ? 14 : 13, uv_mode, tp->update);
+        if (op[OPC_ANGLE_UV] >= 0)
+            ec_encode_symbol(e, tp->angle + (uv_mode - 1) * 8, 7, op[OPC_ANGLE_UV], tp->update);
+        /* mode/skip grids */
+        for (int r = 0; r < bw4; r++)
+            for (int c = 0; c < bw4; c++) {
+                st->mode_grid[(mi_row + r) * tp->mi_cols + mi_col + c] = (int8_t)y_mode;
+                st->skip_grid[(mi_row + r) * tp->mi_cols + mi_col + c] = (uint8_t)skip;
+            }
+        if (skip) {
+            set_entropy_ctx(st, 0, mi_col, mi_row, bw4, bw4, 0);
+            int c4 = bw4 >> 1 ? bw4 >> 1 : 1;
+            set_entropy_ctx(st, 1, mi_col >> 1, mi_row >> 1, c4, c4, 0);
+            set_entropy_ctx(st, 2, mi_col >> 1, mi_row >> 1, c4, c4, 0);
+            continue;
+        }
+        /* residual: luma then chroma */
+        int lg = 0;
+        while ((2 << lg) < bw4) lg++;
+        int tx_y = luma_txsize_by_log2[lg];
+        int tx_uv = uv_txsize_by_log2[lg];
+        for (int plane = 0; plane < 3; plane++) {
+            int tx_size = plane == 0 ? tx_y : tx_uv;
+            int pl = plane > 0;
+            int px4 = plane == 0 ? mi_col : mi_col >> 1;
+            int py4 = plane == 0 ? mi_row : mi_row >> 1;
+            int tw4 = txw_by_txsize[tx_size] >> 2;
+            if (tw4 < 1) tw4 = 1;
+            /* adjusted (coded) size: 64 -> 32 */
+            int adj = tx_size == 4 ? 3 : tx_size;
+            int aw = txw_by_txsize[adj];
+            int sctx, dctx;
+            txb_ctx_of(st, plane, px4, py4, tw4, tw4, 1, &sctx, &dctx);
+            int txs_ctx = tx_size; /* square sizes: entropy ctx == tx_size */
+            int32_t lvl_off = op[OPC_LVL_Y + plane];
+            const int32_t *coeffs = lvl_off >= 0 ? levels + lvl_off : NULL;
+            int eob_zero = 1;
+            if (coeffs) {
+                for (int k = 0; k < aw * aw; k++)
+                    if (coeffs[k]) {
+                        eob_zero = 0;
+                        break;
+                    }
+            }
+            ec_encode_symbol(e, tp->txb_skip + (txs_ctx * 13 + sctx) * 3, 2, eob_zero, tp->update);
+            if (eob_zero) {
+                set_entropy_ctx(st, plane, px4, py4, tw4, tw4, 0);
+                continue;
+            }
+            int tx_type = 0;
+            if (plane == 0) {
+                if (op[OPC_TXSIG_NSYM] > 1 && tp->qindex_positive) {
+                    int32_t *cdf = tp->intra_ext_tx +
+                        ((op[OPC_TXSIG_ESET] * 4 + op[OPC_TXSIG_SQR]) * 13 + y_mode) * 8;
+                    ec_encode_symbol(e, cdf, op[OPC_TXSIG_NSYM], op[OPC_TXSIG_SYM], tp->update);
+                }
+                tx_type = 0; /* DCT (the only luma type we emit) */
+            } else {
+                tx_type = mode_to_txfm[uv_mode];
+                if (tx_size >= 3) /* 32x32 chroma: DCT only */
+                    tx_type = 0;
+            }
+            int tx_class = tx_class_of[tx_type];
+            int ems = 0; /* eob multi size = log2(aw*aw) - 4 */
+            {
+                int area = aw * aw, t = 16;
+                while (t < area) {
+                    t <<= 1;
+                    ems++;
+                }
+            }
+            const int32_t *scan = tp->scans + tp->scan_off[tx_size * 16 + tx_type];
+            const int32_t *off2d = tx_class == 0 ? tp->off2d + tp->off2d_off[tx_size] : NULL;
+            int eob_nsyms = ems + 5;
+            int eob_multi_ctx = tx_class == 0 ? 0 : 1;
+            int32_t *eob_cdf = tp->eob_flag[ems] + (pl * 2 + eob_multi_ctx) * (eob_nsyms + 1);
+            int32_t *eob_extra = tp->eob_extra + (txs_ctx * 2 + pl) * 22 * 3;
+            int32_t *base_eob = tp->base_eob + (txs_ctx * 2 + pl) * 4 * 4;
+            int32_t *base = tp->base + (txs_ctx * 2 + pl) * 42 * 5;
+            int br_txs = txs_ctx < 3 ? txs_ctx : 3;
+            int32_t *br = tp->br + (br_txs * 2 + pl) * 21 * 5;
+            int32_t *dcs = tp->dc_sign + (pl * 3 + dctx) * 3;
+            int32_t cul = ec_write_txb_body(e, coeffs, aw, aw, scan, tx_class, 0, 0, dctx,
+                                            tp->update, eob_cdf, eob_nsyms, eob_extra, base_eob,
+                                            base, br, dcs, off2d);
+            set_entropy_ctx(st, plane, px4, py4, tw4, tw4, cul);
+        }
+    }
+    return 0;
+}

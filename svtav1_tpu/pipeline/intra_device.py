@@ -154,6 +154,7 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
         resid = src_blk[:, None] - preds
         coeff = TJ.fwd_txfm2d_j(resid, int(TxType.DCT_DCT), bd)
         lv = TJ.quantize_j(coeff, dq_dc, dq_ac, ls)
+        lv = jnp.clip(lv, -32767, 32767)  # int16 transport; recon uses clamped
         dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
         rec = TJ.inv_txfm2d_add_j(dqc, preds, int(TxType.DCT_DCT), bd)
         sse = jnp.sum((rec - src_blk[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
@@ -176,11 +177,11 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
         recon_y, best, blv, rs, cs, valid = block_batch(d, recon_y, n, src_y, ls_l, lam, False,
                                                         mode_penalty=mode_penalty)
         modes = modes.at[rs, cs].set(jnp.where(valid, best, modes[rs, cs]))
-        ly = ly.at[rs, cs].set(jnp.where(valid[:, None, None], blv, ly[rs, cs]))
+        ly = ly.at[rs, cs].set(jnp.where(valid[:, None, None], blv.astype(jnp.int16), ly[rs, cs]))
         recon_u, _, ulv, _, _, _ = block_batch(d, recon_u, nc, src_u, ls_c, lam, True)
         recon_v, _, vlv, _, _, _ = block_batch(d, recon_v, nc, src_v, ls_c, lam, True)
-        lu = lu.at[rs, cs].set(jnp.where(valid[:, None, None], ulv, lu[rs, cs]))
-        lvv = lvv.at[rs, cs].set(jnp.where(valid[:, None, None], vlv, lvv[rs, cs]))
+        lu = lu.at[rs, cs].set(jnp.where(valid[:, None, None], ulv.astype(jnp.int16), lu[rs, cs]))
+        lvv = lvv.at[rs, cs].set(jnp.where(valid[:, None, None], vlv.astype(jnp.int16), lvv[rs, cs]))
         nz = (jnp.sum(jnp.abs(blv), (-2, -1)) + jnp.sum(jnp.abs(ulv), (-2, -1)) + jnp.sum(jnp.abs(vlv), (-2, -1))) == 0
         skip = skip.at[rs, cs].set(jnp.where(valid, nz.astype(jnp.int32), skip[rs, cs]))
         return recon_y, recon_u, recon_v, modes, skip, ly, lu, lvv
@@ -193,8 +194,9 @@ def _encode_grid_device(src_y, src_u, src_v, top_y, top_u, top_v, left_y, left_u
         make_plane(src_u, top_u, left_u, nc),
         make_plane(src_v, top_v, left_v, nc),
         jnp.zeros((R, C), jnp.int32) + z, jnp.zeros((R, C), jnp.int32) + z,
-        jnp.zeros((R, C, n, n), jnp.int32) + z, jnp.zeros((R, C, nc, nc), jnp.int32) + z,
-        jnp.zeros((R, C, nc, nc), jnp.int32) + z,
+        jnp.zeros((R, C, n, n), jnp.int16) + z.astype(jnp.int16),
+        jnp.zeros((R, C, nc, nc), jnp.int16) + z.astype(jnp.int16),
+        jnp.zeros((R, C, nc, nc), jnp.int16) + z.astype(jnp.int16),
     )
     out = jax.lax.fori_loop(0, n_diag, body, carry)
     # strip the apron off the recon planes
@@ -267,29 +269,22 @@ def _run_grid(src, recon, plan, p, y0: int, x0: int, R: int, C: int, n: int, lam
     recon[2][y0 // 2 : (y0 + ih) // 2, x0 // 2 : (x0 + iw) // 2] = recon_v
 
     bsize = BSIZE_BY_N[n]
-    mi_n = n // 4
-    for r in range(R):
-        for c in range(C):
-            mi_row = (y0 + r * n) // 4
-            mi_col = (x0 + c * n) // 4
-            sk = int(skip[r, c])
-            plan.blocks[(mi_row, mi_col, bsize)] = BlockDecision(
-                y_mode=MODES[int(modes[r, c])], uv_mode=int(PredMode.DC_PRED), skip=sk,
-                tx_type=int(TxType.DCT_DCT),
-                levels_y=None if sk else ly[r, c].copy(),
-                levels_u=None if sk else lu[r, c].copy(),
-                levels_v=None if sk else lv[r, c].copy(),
-            )
+    plan.grids.append(dict(y0=y0, x0=x0, n=n, bsize=bsize, modes=modes, skip=skip, ly=ly, lu=lu, lv=lv))
+    rows = (y0 + np.arange(R) * n) // 4
+    cols = (x0 + np.arange(C) * n) // 4
+    plan.leaves.update((int(rr), int(cc), bsize) for rr in rows for cc in cols)
 
 
 def _assemble_partitions(plan: Plan, p: FrameParams) -> None:
     """Derive the partition decision for every visited square node from the
     leaf-block set (node == leaf -> NONE, else SPLIT)."""
 
+    leaves = plan.leaves | set(plan.blocks.keys())
+
     def walk(mi_row, mi_col, bsize):
         if mi_row >= p.mi_rows or mi_col >= p.mi_cols:
             return
-        if (mi_row, mi_col, bsize) in plan.blocks:
+        if (mi_row, mi_col, bsize) in leaves:
             plan.partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
             return
         plan.partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_SPLIT)

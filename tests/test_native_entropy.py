@@ -77,3 +77,30 @@ def test_native_stream_decodable():
         got = dec.decode_symbol_n(fc_d["partition"][5], 10)
         update_cdf(fc_d["partition"][5], got, 10)
         assert got == s
+
+
+def test_tile_walk_parity():
+    """C tile walker is byte-exact with the Python TileCodec walk."""
+    import numpy as np
+
+    from svtav1_tpu.codec.tile_codec import FrameParams, TileCodec
+    from svtav1_tpu.pipeline import intra_md
+    from svtav1_tpu.pipeline.encoder import pad_to_aligned
+
+    rng = np.random.default_rng(7)
+    w, h = 96, 72  # forces boundary partitions + strips
+    p = FrameParams(width=w, height=h, qindex=90)
+    aw, ah = p.aligned_width, p.aligned_height
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 60 * np.sin(xx / 9.0) + 50 * ((xx + yy) % 23 < 10) + rng.normal(0, 4, (h, w))).clip(0, 255)
+    src = [pad_to_aligned(y.astype(np.int32), aw, ah),
+           pad_to_aligned(np.full((h // 2, w // 2), 100, np.int32), aw >> 1, ah >> 1),
+           pad_to_aligned(np.full((h // 2, w // 2), 160, np.int32), aw >> 1, ah >> 1)]
+    plan, recon = intra_md.encode_intra_frame(src, p)
+    from svtav1_tpu.constants.cdf import FrameContext
+
+    tc1 = TileCodec(p, FrameContext(p.qindex))
+    b_native = tc1.encode(plan, use_native=True)
+    tc2 = TileCodec(p, FrameContext(p.qindex))
+    b_python = tc2.encode(plan, use_native=False)
+    assert b_native == b_python
