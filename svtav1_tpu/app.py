@@ -11,7 +11,7 @@ import time
 
 import numpy as np
 
-from .decode.decoder import decode_temporal_unit
+from .decode.decoder import Decoder
 from .io.ivf import write_ivf
 from .io.y4m import read_y4m, write_y4m
 from .pipeline.encoder import Encoder, EncoderConfig
@@ -25,6 +25,7 @@ def main(argv=None) -> int:
     ap.add_argument("-n", "--frames", type=int, default=None, help="max frames")
     ap.add_argument("--recon", default=None, help="write decoder-checked recon .y4m")
     ap.add_argument("--md", default="numpy", choices=["numpy", "jax"], help="mode decision backend")
+    ap.add_argument("--keyint", type=int, default=1, help="key frame interval (1 = all-intra)")
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
     args = ap.parse_args(argv)
 
@@ -38,7 +39,9 @@ def main(argv=None) -> int:
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
-    enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md))
+    enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
+                                keyint=args.keyint))
+    dec = Decoder()
     tus = []
     recons = []
     t0 = time.time()
@@ -47,7 +50,7 @@ def main(argv=None) -> int:
         tu, recon = enc.encode_frame(y, u, v)
         tus.append(tu)
         if args.verify or args.recon:
-            dy, du, dv, drecon = decode_temporal_unit(tu)
+            dy, du, dv, drecon = dec.decode_tu(tu)
             for pl in range(3):
                 assert np.array_equal(recon[pl], drecon[pl]), f"frame {i} plane {pl} enc/dec recon mismatch"
             recons.append((dy.astype(np.uint8), du.astype(np.uint8), dv.astype(np.uint8)))

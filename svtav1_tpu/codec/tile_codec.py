@@ -17,14 +17,17 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants.av1 import (BLOCK_H, BLOCK_W, MAX_TXSIZE_RECT, TX_H, TX_W, BlockSize, Partition, PredMode, TxSize,
-                             TxType)
+from ..constants.av1 import (BLOCK_H, BLOCK_W, MAX_TXSIZE_RECT, SIZE_GROUP, TX_H, TX_W, BlockSize, InterMode,
+                             Partition, PredMode, RefFrame, TxSize, TxType)
 from ..constants.cdf import FrameContext
 from ..entropy.range_coder import RangeDecoder, RangeEncoder, update_cdf
+from ..ops import convolve as conv_ops
 from ..ops import intra as intra_ops
 from ..ops import quantize as quant_ops
 from ..ops import transforms as txfm_ops
 from . import txb as txb_mod
+from .mv import MvCoder
+from .mvp import MiState, TileBounds, find_mv_stack
 
 PARTITION_PLOFFSET = 4
 INTRA_MODE_CONTEXT = np.array([0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0], np.int32)
@@ -60,6 +63,8 @@ AV1_EXT_TX_INV = np.array(
     np.int32,
 )
 EXT_TX_SET_INDEX_INTRA = {EXT_TX_SET_DCTONLY: 0, EXT_TX_SET_DTT4_IDTX_1DDCT: 1, EXT_TX_SET_DTT4_IDTX: 2}
+EXT_TX_SET_INDEX_INTER = {EXT_TX_SET_DCTONLY: 0, EXT_TX_SET_ALL16: 1, EXT_TX_SET_DTT9_IDTX_1DDCT: 2,
+                          EXT_TX_SET_DCT_IDTX: 3}
 AV1_EXT_TX_USED = np.array(
     [[1] + [0] * 15,
      [1, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
@@ -101,6 +106,29 @@ def ext_tx_set_type_intra(tx_size: int) -> int:
     return EXT_TX_SET_DTT4_IDTX_1DDCT
 
 
+def ext_tx_set_type_inter(tx_size: int) -> int:
+    """spec get_ext_tx_set_type, is_inter=1, reduced_tx_set=0."""
+    from ..constants.av1 import TX_SIZE_SQR, TX_SIZE_SQR_UP
+
+    squp = int(TX_SIZE_SQR_UP[tx_size])
+    if squp > int(TxSize.TX_32X32):
+        return EXT_TX_SET_DCTONLY
+    if squp == int(TxSize.TX_32X32):
+        return EXT_TX_SET_DCT_IDTX
+    if int(TX_SIZE_SQR[tx_size]) == int(TxSize.TX_16X16):
+        return EXT_TX_SET_DTT9_IDTX_1DDCT
+    return EXT_TX_SET_ALL16
+
+
+def chroma_tx_type_inter(luma_tx_type: int, chroma_tx_size: int) -> int:
+    """Inter chroma derives its tx type from the co-located luma txb, gated
+    by membership in the chroma tx size's inter set (spec compute_tx_type)."""
+    set_type = ext_tx_set_type_inter(chroma_tx_size)
+    if not AV1_EXT_TX_USED[set_type][luma_tx_type]:
+        return int(TxType.DCT_DCT)
+    return int(luma_tx_type)
+
+
 def max_uv_txsize(luma_bsize: int) -> int:
     """Chroma tx size for 4:2:0 given (square) luma block size."""
     w = max(int(BLOCK_W[luma_bsize]) // 2, 4)
@@ -119,6 +147,27 @@ class FrameParams:
     disable_cdf_update: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    # inter-frame state (spec uncompressed_header); intra defaults
+    frame_is_intra: bool = True
+    order_hint: int = 0
+    order_hint_bits: int = 7
+    allow_high_precision_mv: bool = False
+    interp_filter: int = 0  # REGULAR (frame-level, non-switchable)
+    ref_hints: tuple = (0,) * 8  # order hints per ref-frame id 1..7 (idx 0 unused)
+
+    def sign_bias(self):
+        """RefFrameSignBias per ref id (spec: ref hint after current frame)."""
+        import numpy as _np
+
+        bias = _np.zeros(8, _np.int32)
+        if self.frame_is_intra:
+            return bias
+        m = 1 << (self.order_hint_bits - 1)
+        for ref in range(1, 8):
+            diff = (self.ref_hints[ref] - self.order_hint)
+            diff = (diff & (m - 1)) - (diff & m)
+            bias[ref] = int(diff > 0)
+        return bias
 
     @property
     def mi_cols(self) -> int:
@@ -168,7 +217,7 @@ class FrameParams:
 class BlockDecision:
     """Mode-decision output for one coded block (encoder side)."""
 
-    y_mode: int = int(PredMode.DC_PRED)
+    y_mode: int = int(PredMode.DC_PRED)  # full YMode range (intra + inter modes)
     uv_mode: int = int(PredMode.DC_PRED)
     skip: int = 0
     levels_y: np.ndarray | None = None  # adjusted-size quantized levels
@@ -177,6 +226,14 @@ class BlockDecision:
     tx_type: int = int(TxType.DCT_DCT)
     angle_delta_y: int = 0
     angle_delta_uv: int = 0
+    # inter fields
+    ref_frame: int = int(RefFrame.INTRA_FRAME)  # 0 = intra block
+    mv: tuple = (0, 0)  # (row, col) 1/8 pel
+    ref_mv_idx: int = 0
+
+    @property
+    def is_inter(self) -> bool:
+        return self.ref_frame >= int(RefFrame.LAST_FRAME)
 
 
 def is_directional(mode: int) -> bool:
@@ -224,7 +281,7 @@ class TileCodec:
     Decode: `decode(data) -> recon planes` (the conformance path).
     """
 
-    def __init__(self, params: FrameParams, fc: FrameContext, tile=None):
+    def __init__(self, params: FrameParams, fc: FrameContext, tile=None, refs=None):
         self.p = params
         self.fc = fc
         # tile bounds in SB units (defaults: whole frame)
@@ -242,6 +299,12 @@ class TileCodec:
         self.above_ctx = [np.zeros(mc, np.int32), np.zeros((mc + 1) >> 1, np.int32), np.zeros((mc + 1) >> 1, np.int32)]
         self.left_ctx = [np.zeros(mr, np.int32), np.zeros((mr + 1) >> 1, np.int32), np.zeros((mr + 1) >> 1, np.int32)]
         self.update = not params.disable_cdf_update
+        # inter-frame state: per-mi mode info + refs for decoder-side MC
+        self.mi = MiState(mr, mc)
+        self.tile_bounds = TileBounds(self.mi_row0, self.mi_row1, self.mi_col0, self.mi_col1)
+        self.refs = refs  # dict ref_frame_id -> [y, u, v] recon planes
+        self.sbias = params.sign_bias()
+        self.mv_coder = MvCoder(fc, update=self.update, allow_hp=params.allow_high_precision_mv)
 
     # ------------------------------------------------------------------ utils
 
@@ -325,7 +388,7 @@ class TileCodec:
 
     def encode(self, plan: Plan, use_native: bool = True) -> bytes:
         enc = None
-        if use_native:
+        if use_native and self.p.frame_is_intra:
             from ..entropy import native
 
             if native.available():
@@ -440,40 +503,28 @@ class TileCodec:
         else:
             d.skip = self._sym_r(dec, fc["skip"][sctx], 2)
 
-        # --- y mode (key frame)
-        actx, lctx = self._kf_y_ctx(mi_row, mi_col)
-        if enc is not None:
-            self._sym_w(enc, fc["kf_y_mode"][actx][lctx], d.y_mode, 13)
+        if p.frame_is_intra:
+            self._code_intra_modes(enc, dec, d, mi_row, mi_col, bsize, key_frame=True)
         else:
-            d.y_mode = self._sym_r(dec, fc["kf_y_mode"][actx][lctx], 13)
-
-        # --- angle delta y (directional modes on blocks >= 8x8)
-        if is_directional(d.y_mode):
-            adcdf = fc["angle_delta"][d.y_mode - int(PredMode.V_PRED)]
+            # --- is_inter (spec read_is_inter)
+            ictx = self._intra_inter_ctx(mi_row, mi_col)
             if enc is not None:
-                self._sym_w(enc, adcdf, d.angle_delta_y + 3, 7)
+                self._sym_w(enc, fc["intra_inter"][ictx], int(d.is_inter), 2)
+                is_inter = d.is_inter
             else:
-                d.angle_delta_y = self._sym_r(dec, adcdf, 7) - 3
-
-        # --- uv mode (cfl allowed for blocks <= 32x32)
-        if self._has_chroma(mi_row, mi_col, bsize):
-            cfl_allowed = int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32
-            nsyms = 14 if cfl_allowed else 13
-            if enc is not None:
-                self._sym_w(enc, fc["uv_mode"][int(cfl_allowed)][d.y_mode], d.uv_mode, nsyms)
+                is_inter = bool(self._sym_r(dec, fc["intra_inter"][ictx], 2))
+            if is_inter:
+                self._code_inter_info(enc, dec, d, mi_row, mi_col, bsize)
             else:
-                d.uv_mode = self._sym_r(dec, fc["uv_mode"][int(cfl_allowed)][d.y_mode], nsyms)
-            if is_directional(d.uv_mode):
-                adcdf = fc["angle_delta"][d.uv_mode - int(PredMode.V_PRED)]
-                if enc is not None:
-                    self._sym_w(enc, adcdf, d.angle_delta_uv + 3, 7)
-                else:
-                    d.angle_delta_uv = self._sym_r(dec, adcdf, 7) - 3
+                d.ref_frame = int(RefFrame.INTRA_FRAME)
+                self._code_intra_modes(enc, dec, d, mi_row, mi_col, bsize, key_frame=False)
 
-        # update mode/skip grids
+        # update mode/skip grids + per-mi mode info
         self.mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.y_mode
         self.mode_valid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = True
         self.skip_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.skip
+        self.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
+                          (int(d.mv[0]), int(d.mv[1])))
 
         # --- residual
         if d.skip:
@@ -505,6 +556,177 @@ class TileCodec:
         if dec is not None:
             self._reconstruct(dec_levels=levels, d=d, mi_row=mi_row, mi_col=mi_col, bsize=bsize)
 
+    def _code_intra_modes(self, enc, dec, d, mi_row, mi_col, bsize, key_frame: bool):
+        """Y mode (+angle), UV mode (+angle). Key frames use the neighbor-
+        conditioned kf_y_mode CDF, inter frames the size-group y_mode CDF."""
+        fc = self.fc
+        if key_frame:
+            actx, lctx = self._kf_y_ctx(mi_row, mi_col)
+            ycdf, nsy = fc["kf_y_mode"][actx][lctx], 13
+        else:
+            ycdf, nsy = fc["y_mode"][int(SIZE_GROUP[bsize])], 13
+        if enc is not None:
+            self._sym_w(enc, ycdf, d.y_mode, nsy)
+        else:
+            d.y_mode = self._sym_r(dec, ycdf, nsy)
+
+        if is_directional(d.y_mode):
+            adcdf = fc["angle_delta"][d.y_mode - int(PredMode.V_PRED)]
+            if enc is not None:
+                self._sym_w(enc, adcdf, d.angle_delta_y + 3, 7)
+            else:
+                d.angle_delta_y = self._sym_r(dec, adcdf, 7) - 3
+
+        if self._has_chroma(mi_row, mi_col, bsize):
+            cfl_allowed = int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32
+            nsyms = 14 if cfl_allowed else 13
+            if enc is not None:
+                self._sym_w(enc, fc["uv_mode"][int(cfl_allowed)][d.y_mode], d.uv_mode, nsyms)
+            else:
+                d.uv_mode = self._sym_r(dec, fc["uv_mode"][int(cfl_allowed)][d.y_mode], nsyms)
+            if is_directional(d.uv_mode):
+                adcdf = fc["angle_delta"][d.uv_mode - int(PredMode.V_PRED)]
+                if enc is not None:
+                    self._sym_w(enc, adcdf, d.angle_delta_uv + 3, 7)
+                else:
+                    d.angle_delta_uv = self._sym_r(dec, adcdf, 7) - 3
+
+    # -------------------------------------------------------------- inter info
+
+    def _intra_inter_ctx(self, mi_row, mi_col):
+        """entropy_coding.c svt_av1_get_intra_inter_context."""
+        has_above = mi_row > self.mi_row0
+        has_left = mi_col > self.mi_col0
+        a_intra = has_above and int(self.mi.ref0[mi_row - 1, mi_col]) == int(RefFrame.INTRA_FRAME)
+        l_intra = has_left and int(self.mi.ref0[mi_row, mi_col - 1]) == int(RefFrame.INTRA_FRAME)
+        if has_above and has_left:
+            return 3 if (a_intra and l_intra) else int(a_intra or l_intra)
+        if has_above or has_left:
+            return 2 * int(a_intra if has_above else l_intra)
+        return 0
+
+    def _neighbor_ref_counts(self, mi_row, mi_col):
+        """entropy_coding.c svt_aom_collect_neighbors_ref_counts_new."""
+        c = np.zeros(8, np.int64)
+        for r, col, avail in ((mi_row - 1, mi_col, mi_row > self.mi_row0),
+                              (mi_row, mi_col - 1, mi_col > self.mi_col0)):
+            if not avail:
+                continue
+            r0, r1 = int(self.mi.ref0[r, col]), int(self.mi.ref1[r, col])
+            if r0 >= int(RefFrame.LAST_FRAME):
+                c[r0] += 1
+                if r1 >= int(RefFrame.LAST_FRAME):
+                    c[r1] += 1
+        return c
+
+    @staticmethod
+    def _ref_ctx(a, b):
+        return 1 if a == b else (0 if a < b else 2)
+
+    def _code_ref_frames(self, enc, dec, d, counts):
+        """Single-reference tree (spec read_ref_frames, SINGLE_REFERENCE mode;
+        reference write_ref_frames entropy_coding.c:2107)."""
+        fc = self.fc
+        c = counts
+        R = RefFrame
+
+        def rw(which_bit, ctx, bit):
+            cdf = fc["single_ref"][ctx][which_bit]
+            if enc is not None:
+                self._sym_w(enc, cdf, bit, 2)
+                return bit
+            return self._sym_r(dec, cdf, 2)
+
+        ref = d.ref_frame
+        p1 = self._ref_ctx(c[1] + c[2] + c[3] + c[4], c[5] + c[6] + c[7])
+        bit0 = rw(0, p1, int(ref >= int(R.BWDREF_FRAME)))
+        if bit0:
+            p2 = self._ref_ctx(c[5] + c[6], c[7])
+            if rw(1, p2, int(ref == int(R.ALTREF_FRAME))):
+                ref = int(R.ALTREF_FRAME)
+            else:
+                p6 = self._ref_ctx(c[5], c[6])
+                ref = int(R.ALTREF2_FRAME) if rw(5, p6, int(ref == int(R.ALTREF2_FRAME))) else int(R.BWDREF_FRAME)
+        else:
+            p3 = self._ref_ctx(c[1] + c[2], c[3] + c[4])
+            if rw(2, p3, int(ref in (int(R.LAST3_FRAME), int(R.GOLDEN_FRAME)))):
+                p5 = self._ref_ctx(c[3], c[4])
+                ref = int(R.GOLDEN_FRAME) if rw(4, p5, int(ref == int(R.GOLDEN_FRAME))) else int(R.LAST3_FRAME)
+            else:
+                p4 = self._ref_ctx(c[1], c[2])
+                ref = int(R.LAST2_FRAME) if rw(3, p4, int(ref == int(R.LAST2_FRAME))) else int(R.LAST_FRAME)
+        if dec is not None:
+            d.ref_frame = ref
+
+    def _code_drl(self, enc, dec, d, stack, mode):
+        """spec read_drl_idx; returns RefMvIdx."""
+        fc = self.fc
+        M = InterMode
+        ref_mv_idx = 0
+        if mode == int(M.NEWMV):
+            rng = range(0, 2)
+        elif mode == int(M.NEARMV):
+            ref_mv_idx = 1
+            rng = range(1, 3)
+        else:
+            return 0
+        for idx in rng:
+            if stack.count > idx + 1:
+                cdf = fc["drl"][stack.drl_ctx(idx)]
+                if enc is not None:
+                    bit = int(d.ref_mv_idx != idx)
+                    self._sym_w(enc, cdf, bit, 2)
+                else:
+                    bit = self._sym_r(dec, cdf, 2)
+                if not bit:
+                    ref_mv_idx = idx
+                    break
+                ref_mv_idx = idx + 1
+        return ref_mv_idx
+
+    def _code_inter_info(self, enc, dec, d, mi_row, mi_col, bsize):
+        """Ref frame + inter mode + drl + MV (spec inter_block_mode_info).
+        Must run BEFORE the mi grid is updated for this block."""
+        fc = self.fc
+        M = InterMode
+        counts = self._neighbor_ref_counts(mi_row, mi_col)
+        self._code_ref_frames(enc, dec, d, counts)
+        stack = find_mv_stack(self.mi, self.tile_bounds, mi_row, mi_col, bsize, d.ref_frame, self.sbias)
+
+        if enc is not None:
+            mode = d.y_mode
+            self._sym_w(enc, fc["newmv"][stack.new_mv_ctx], int(mode != int(M.NEWMV)), 2)
+            if mode != int(M.NEWMV):
+                self._sym_w(enc, fc["zeromv"][stack.zero_mv_ctx], int(mode != int(M.GLOBALMV)), 2)
+                if mode != int(M.GLOBALMV):
+                    self._sym_w(enc, fc["refmv"][stack.ref_mv_ctx], int(mode != int(M.NEARESTMV)), 2)
+        else:
+            if self._sym_r(dec, fc["newmv"][stack.new_mv_ctx], 2) == 0:
+                mode = int(M.NEWMV)
+            elif self._sym_r(dec, fc["zeromv"][stack.zero_mv_ctx], 2) == 0:
+                mode = int(M.GLOBALMV)
+            else:
+                mode = int(M.NEARESTMV) if self._sym_r(dec, fc["refmv"][stack.ref_mv_ctx], 2) == 0 \
+                    else int(M.NEARMV)
+            d.y_mode = mode
+
+        ref_mv_idx = self._code_drl(enc, dec, d, stack, mode)
+        if dec is not None:
+            d.ref_mv_idx = ref_mv_idx
+
+        if mode == int(M.NEWMV):
+            pred = stack.pred_mv(ref_mv_idx)
+            if enc is not None:
+                self.mv_coder.write_mv(enc, d.mv, pred)
+            else:
+                d.mv = self.mv_coder.read_mv(dec, pred)
+        elif mode == int(M.NEARESTMV):
+            d.mv = (int(stack.mvs[0][0]), int(stack.mvs[0][1]))
+        elif mode == int(M.NEARMV):
+            d.mv = (int(stack.mvs[ref_mv_idx][0]), int(stack.mvs[ref_mv_idx][1]))
+        else:  # GLOBALMV with identity global motion
+            d.mv = (0, 0)
+
     def _code_txb(self, enc, dec, d, plane, plane_type, tx_size, tctx, dctx, lv2, eob_nonzero):
         """Wrap txb read/write with the luma tx-type signal in spec order:
         all_zero first, then tx type, then eob/levels. We re-implement the
@@ -518,15 +740,20 @@ class TileCodec:
         else:
             return self._read_txb_with_txtype(dec, d, plane, plane_type, tx_size, tctx, dctx)
 
-    def _txtype_signal_info(self, tx_size):
-        set_type = ext_tx_set_type_intra(tx_size)
+    def _txtype_signal_info(self, tx_size, is_inter: bool = False):
+        set_type = ext_tx_set_type_inter(tx_size) if is_inter else ext_tx_set_type_intra(tx_size)
         nsym = AV1_NUM_EXT_TX_SET[set_type]
         if nsym <= 1 or self.p.qindex == 0:
             return None
-        eset = EXT_TX_SET_INDEX_INTRA[set_type]
+        eset = (EXT_TX_SET_INDEX_INTER if is_inter else EXT_TX_SET_INDEX_INTRA)[set_type]
         from ..constants.av1 import TX_SIZE_SQR
 
         return set_type, eset, int(TX_SIZE_SQR[tx_size]), nsym
+
+    def _chroma_tx_type(self, d, tx_size):
+        if d.is_inter:
+            return chroma_tx_type_inter(getattr(self, "_eff_luma_tx", int(d.tx_type)), tx_size)
+        return chroma_tx_type(d.uv_mode, tx_size)
 
     def _write_txb_with_txtype(self, enc, d, plane, plane_type, tx_size, tctx, dctx, lv2):
         fc = self.fc
@@ -534,17 +761,23 @@ class TileCodec:
         eob_zero = not np.any(lv2 != 0)
         txs_ctx = txb_mod.get_txsize_entropy_ctx(tx_size)
         self._sym_w(enc, fc["txb_skip"][txs_ctx][tctx], int(eob_zero), 2)
+        if plane == 0:
+            # effective luma tx type as the decoder will see it (DCT when eob=0)
+            self._eff_luma_tx = int(TxType.DCT_DCT) if eob_zero else int(d.tx_type)
         if eob_zero:
             return 0
         if plane == 0:
-            info = self._txtype_signal_info(tx_size)
+            info = self._txtype_signal_info(tx_size, d.is_inter)
             if info is not None:
                 set_type, eset, sqr, nsym = info
                 sym = int(AV1_EXT_TX_IND[set_type][d.tx_type])
-                self._sym_w(enc, fc["intra_ext_tx"][eset][sqr][d.y_mode], sym, nsym)
+                if d.is_inter:
+                    self._sym_w(enc, fc["inter_ext_tx"][eset][sqr], sym, nsym)
+                else:
+                    self._sym_w(enc, fc["intra_ext_tx"][eset][sqr][d.y_mode], sym, nsym)
             tx_type = d.tx_type
         else:
-            tx_type = chroma_tx_type(d.uv_mode, tx_size)
+            tx_type = self._chroma_tx_type(d, tx_size)
         return txb_mod.write_coeffs_txb_body(enc, fc, lv2, tx_size, tx_type, plane_type, dctx, self.update)
 
     def _read_txb_with_txtype(self, dec, d, plane, plane_type, tx_size, tctx, dctx):
@@ -552,18 +785,24 @@ class TileCodec:
         txs_ctx = txb_mod.get_txsize_entropy_ctx(tx_size)
         all_zero = self._sym_r(dec, fc["txb_skip"][txs_ctx][tctx], 2)
         adj = txb_mod.adjusted_tx_size(tx_size)
+        if plane == 0:
+            self._eff_luma_tx = int(TxType.DCT_DCT)
         if all_zero:
             return np.zeros((int(TX_H[adj]), int(TX_W[adj])), np.int32), 0
         if plane == 0:
             d.tx_type = int(TxType.DCT_DCT)
-            info = self._txtype_signal_info(tx_size)
+            info = self._txtype_signal_info(tx_size, d.is_inter)
             if info is not None:
                 set_type, eset, sqr, nsym = info
-                sym = self._sym_r(dec, fc["intra_ext_tx"][eset][sqr][d.y_mode], nsym)
+                if d.is_inter:
+                    sym = self._sym_r(dec, fc["inter_ext_tx"][eset][sqr], nsym)
+                else:
+                    sym = self._sym_r(dec, fc["intra_ext_tx"][eset][sqr][d.y_mode], nsym)
                 d.tx_type = int(AV1_EXT_TX_INV[set_type][sym])
+            self._eff_luma_tx = int(d.tx_type)
             tx_type = d.tx_type
         else:
-            tx_type = chroma_tx_type(d.uv_mode, tx_size)
+            tx_type = self._chroma_tx_type(d, tx_size)
         return txb_mod.read_coeffs_txb_body(dec, fc, tx_size, tx_type, plane_type, dctx, self.update)
 
     def _set_block_ctx_zero(self, mi_row, mi_col, bsize):
@@ -590,34 +829,42 @@ class TileCodec:
             tx_size = tx_size_y if plane == 0 else tx_size_uv
             mode = d.y_mode if plane == 0 else d.uv_mode
             rec = self._recon[plane]
-            ha = py > ((self.mi_row0 * 4) >> ss)
-            hl = px > ((self.mi_col0 * 4) >> ss)
-            angle = 0
-            if is_directional(mode):
-                delta = d.angle_delta_y if plane == 0 else d.angle_delta_uv
-                angle = intra_ops.MODE_ANGLE[mode] + delta * 3
-            if angle and angle != 90 and angle != 180:
-                bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
-                right_av = (mi_col + bw4) < self.mi_col1
-                xr = ((p.mi_cols * 4 - (x + int(BLOCK_W[bsize]))) >> ss)
-                yd = ((p.mi_rows * 4 - (y + int(BLOCK_H[bsize]))) >> ss)
-                bottom_av = yd > 0 and (mi_row + bh4) < self.mi_row1
-                has_tr = intra_ops.intra_has_top_right(bsize, mi_row, mi_col, ha, right_av)
-                has_bl = intra_ops.intra_has_bottom_left(bsize, mi_row, mi_col, bottom_av, hl)
-                n_tr = min(pw, xr) if has_tr else 0
-                n_bl = min(ph, yd) if has_bl else 0
-                ae, le, topleft = intra_ops.build_edges_ext(rec, px, py, pw, ph, p.bd, ha, hl, n_tr, n_bl)
-                pred = intra_ops.dr_pred(ae[None], le[None], np.array([topleft]), angle, pw, ph)[0]
+            if d.is_inter:
+                refp = self.refs[d.ref_frame][plane]
+                mvy, mvx = int(d.mv[0]), int(d.mv[1])
+                if ss == 0:
+                    mvy, mvx = mvy * 2, mvx * 2  # 1/8 luma pel -> 1/16 units
+                pred = conv_ops.convolve_2d_scalar(refp, px, py, pw, ph, mvx, mvy,
+                                                   which=p.interp_filter, bd=p.bd)
             else:
-                if angle:  # pure V/H (delta 0)
-                    mode = int(PredMode.V_PRED) if angle == 90 else int(PredMode.H_PRED)
-                above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd, ha, hl)
-                pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), ha, hl, p.bd)[0]
+                ha = py > ((self.mi_row0 * 4) >> ss)
+                hl = px > ((self.mi_col0 * 4) >> ss)
+                angle = 0
+                if is_directional(mode):
+                    delta = d.angle_delta_y if plane == 0 else d.angle_delta_uv
+                    angle = intra_ops.MODE_ANGLE[mode] + delta * 3
+                if angle and angle != 90 and angle != 180:
+                    bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+                    right_av = (mi_col + bw4) < self.mi_col1
+                    xr = ((p.mi_cols * 4 - (x + int(BLOCK_W[bsize]))) >> ss)
+                    yd = ((p.mi_rows * 4 - (y + int(BLOCK_H[bsize]))) >> ss)
+                    bottom_av = yd > 0 and (mi_row + bh4) < self.mi_row1
+                    has_tr = intra_ops.intra_has_top_right(bsize, mi_row, mi_col, ha, right_av)
+                    has_bl = intra_ops.intra_has_bottom_left(bsize, mi_row, mi_col, bottom_av, hl)
+                    n_tr = min(pw, xr) if has_tr else 0
+                    n_bl = min(ph, yd) if has_bl else 0
+                    ae, le, topleft = intra_ops.build_edges_ext(rec, px, py, pw, ph, p.bd, ha, hl, n_tr, n_bl)
+                    pred = intra_ops.dr_pred(ae[None], le[None], np.array([topleft]), angle, pw, ph)[0]
+                else:
+                    if angle:  # pure V/H (delta 0)
+                        mode = int(PredMode.V_PRED) if angle == 90 else int(PredMode.H_PRED)
+                    above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd, ha, hl)
+                    pred = intra_ops.predict(mode, above[None], left[None], np.array([topleft]), ha, hl, p.bd)[0]
             if d.skip or dec_levels is None:
                 rec[py : py + ph, px : px + pw] = pred
                 continue
             lv = dec_levels[plane]
-            tx_type = d.tx_type if plane == 0 else chroma_tx_type(d.uv_mode, tx_size)
+            tx_type = d.tx_type if plane == 0 else self._chroma_tx_type(d, tx_size)
             # expand adjusted levels to full tx size
             full = np.zeros((min(ph, 64), min(pw, 64)), np.int32)
             full[: lv.shape[0], : lv.shape[1]] = lv

@@ -164,6 +164,60 @@ class PredMode(enum.IntEnum):
 
 
 INTRA_MODES = 13
+
+
+class InterMode(enum.IntEnum):
+    """Inter Y modes continue the PredMode numbering (spec 6.10.18)."""
+
+    NEARESTMV = 13
+    NEARMV = 14
+    GLOBALMV = 15
+    NEWMV = 16
+    NEAREST_NEARESTMV = 17
+    NEAR_NEARMV = 18
+    NEAREST_NEWMV = 19
+    NEW_NEARESTMV = 20
+    NEAR_NEWMV = 21
+    NEW_NEARMV = 22
+    GLOBAL_GLOBALMV = 23
+    NEW_NEWMV = 24
+
+
+def has_newmv(mode: int) -> bool:
+    """Modes that carry a NEWMV component (svt_aom_have_newmv_in_inter_mode)."""
+    M = InterMode
+    return mode in (M.NEWMV, M.NEW_NEWMV, M.NEAREST_NEWMV, M.NEW_NEARESTMV, M.NEAR_NEWMV, M.NEW_NEARMV)
+
+
+def is_inter_mode(mode: int) -> bool:
+    return mode >= int(InterMode.NEARESTMV)
+
+
+class RefFrame(enum.IntEnum):
+    NONE = -1
+    INTRA_FRAME = 0
+    LAST_FRAME = 1
+    LAST2_FRAME = 2
+    LAST3_FRAME = 3
+    GOLDEN_FRAME = 4
+    BWDREF_FRAME = 5
+    ALTREF2_FRAME = 6
+    ALTREF_FRAME = 7
+
+
+FWD_REFS = (RefFrame.LAST_FRAME, RefFrame.LAST2_FRAME, RefFrame.LAST3_FRAME, RefFrame.GOLDEN_FRAME)
+BWD_REFS = (RefFrame.BWDREF_FRAME, RefFrame.ALTREF2_FRAME, RefFrame.ALTREF_FRAME)
+
+
+class MvJoint(enum.IntEnum):
+    ZERO = 0
+    HNZVZ = 1  # col != 0, row == 0
+    HZVNZ = 2  # row != 0, col == 0
+    HNZVNZ = 3
+
+
+# block size -> intra y-mode cdf group (spec Size_Group)
+SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3], np.int32)
 UV_INTRA_MODES_CFL_NOT_ALLOWED = 13
 UV_INTRA_MODES_CFL_ALLOWED = 14  # + UV_CFL_PRED
 UV_CFL_PRED = 13

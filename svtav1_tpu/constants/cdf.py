@@ -98,6 +98,16 @@ class FrameContext:
         "wiener_restore": "default_wiener_restore_cdf",
         "sgrproj_restore": "default_sgrproj_restore_cdf",
         "switchable_restore": "default_switchable_restore_cdf",
+        # MV coding (NmvContext); component tables indexed [comp 0=row 1=col]
+        "nmv_joints": "default_nmv_joints",
+        "nmv_classes": "default_nmv_classes",
+        "nmv_class0_fp": "default_nmv_class0_fp",
+        "nmv_fp": "default_nmv_fp",
+        "nmv_sign": "default_nmv_sign",
+        "nmv_class0_hp": "default_nmv_class0_hp",
+        "nmv_hp": "default_nmv_hp",
+        "nmv_class0": "default_nmv_class0",
+        "nmv_bits": "default_nmv_bits",
     }
 
     # coeff tables selected by q_ctx (attr -> table name)

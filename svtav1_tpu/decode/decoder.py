@@ -1,13 +1,14 @@
 """Conformance-oracle decoder for the streams this encoder emits.
 
-Full spec-order parse of the OBU layer, sequence header, key-frame header,
-then TileCodec.decode for the tile payload. Mirrors the reference's e2e test
-strategy (test/e2e_test/RefDecoder + recon compare): every encoded stream
-must decode here with recon bit-identical to the encoder's own recon.
+Full spec-order parse of the OBU layer, sequence header, key/inter frame
+headers, DPB maintenance, then TileCodec.decode for the tile payload.
+Mirrors the reference's e2e test strategy (test/e2e_test/RefDecoder + recon
+compare): every encoded stream must decode here with recon bit-identical to
+the encoder's own recon.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -22,6 +23,8 @@ class SeqInfo:
     width: int
     height: int
     bd: int
+    enable_order_hint: bool = False
+    order_hint_bits: int = 7
 
 
 def parse_sequence_header(payload: bytes) -> SeqInfo:
@@ -44,9 +47,15 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     assert r.f(1) == 0  # use_128x128_superblock
     r.f(2)  # filter_intra, intra_edge_filter
     r.f(4)  # interintra, masked, warped, dual_filter
-    assert r.f(1) == 0  # enable_order_hint
+    enable_order_hint = bool(r.f(1))
+    order_hint_bits = 7
+    if enable_order_hint:
+        assert r.f(1) == 0  # enable_jnt_comp
+        assert r.f(1) == 0  # enable_ref_frame_mvs
     if r.f(1) == 0:  # seq_choose_screen_content_tools
         assert r.f(1) == 0
+    if enable_order_hint:
+        order_hint_bits = r.f(3) + 1
     assert r.f(1) == 0  # enable_superres
     assert r.f(1) == 0  # enable_cdef
     assert r.f(1) == 0  # enable_restoration
@@ -57,7 +66,8 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     r.f(2)  # chroma_sample_position
     assert r.f(1) == 0  # separate_uv_delta_q
     assert r.f(1) == 0  # film_grain
-    return SeqInfo(width=w, height=h, bd=10 if high_bd else 8)
+    return SeqInfo(width=w, height=h, bd=10 if high_bd else 8,
+                   enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits)
 
 
 @dataclass
@@ -67,17 +77,44 @@ class FrameInfo:
     header_bytes: int  # size of frame header portion (byte aligned)
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    frame_type: int = 0
+    order_hint: int = 0
+    refresh_frame_flags: int = 0xFF
+    ref_frame_idx: tuple = (0,) * 7
+    interp_filter: int = 0
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     r = BitReader(payload)
     assert r.f(1) == 0  # show_existing_frame
-    assert r.f(2) == 0  # KEY_FRAME
+    frame_type = r.f(2)
+    assert frame_type in (0, 1), "KEY/INTER only"
+    is_intra = frame_type == 0
     show_frame = r.f(1)
     assert show_frame == 1
+    if not (frame_type == 3 or (frame_type == 0 and show_frame)):
+        assert r.f(1) == 0  # error_resilient_mode
     disable_cdf_update = r.f(1)
     assert r.f(1) == 0  # frame_size_override
-    assert r.f(1) == 0  # render_and_frame_size_different
+    order_hint = r.f(seq.order_hint_bits) if seq.enable_order_hint else 0
+    if not is_intra:
+        assert r.f(3) == 7  # primary_ref_frame = PRIMARY_REF_NONE
+    refresh = 0xFF
+    if not (frame_type == 0 and show_frame):
+        refresh = r.f(8)
+    ref_frame_idx = (0,) * 7
+    interp_filter = 0
+    if is_intra:
+        assert r.f(1) == 0  # render_and_frame_size_different
+    else:
+        if seq.enable_order_hint:
+            assert r.f(1) == 0  # frame_refs_short_signaling
+        ref_frame_idx = tuple(r.f(3) for _ in range(7))
+        assert r.f(1) == 0  # render_and_frame_size_different
+        assert r.f(1) == 0  # allow_high_precision_mv
+        assert r.f(1) == 0  # is_filter_switchable
+        interp_filter = r.f(2)
+        assert r.f(1) == 0  # is_motion_mode_switchable
     if not disable_cdf_update:
         assert r.f(1) == 1  # disable_frame_end_update_cdf
     assert r.f(1) == 1  # uniform_tile_spacing
@@ -103,51 +140,98 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     r.f(3)  # sharpness
     assert r.f(1) == 0  # lf delta enabled
     assert r.f(1) == 0  # tx_mode_select -> LARGEST
+    if not is_intra:
+        assert r.f(1) == 0  # reference_select
     assert r.f(1) == 0  # reduced_tx_set
+    if not is_intra:
+        for _ in range(7):
+            assert r.f(1) == 0  # is_global
     if tcl or trl:
         assert r.f(1) == 0  # tile_start_and_end_present_flag
     r.byte_alignment()
     return FrameInfo(qindex=qindex, disable_cdf_update=bool(disable_cdf_update),
-                     header_bytes=r.pos // 8, tile_cols_log2=tcl, tile_rows_log2=trl)
+                     header_bytes=r.pos // 8, tile_cols_log2=tcl, tile_rows_log2=trl,
+                     frame_type=frame_type, order_hint=order_hint,
+                     refresh_frame_flags=refresh, ref_frame_idx=ref_frame_idx,
+                     interp_filter=interp_filter)
+
+
+@dataclass
+class Decoder:
+    """Stateful decoder: sequence header + 8-slot DPB across temporal units."""
+
+    seq: SeqInfo | None = None
+    dpb: list = field(default_factory=lambda: [None] * 8)
+
+    def decode_tu(self, data: bytes):
+        """Decode one TU -> (y, u, v, recon_planes) cropped to display size."""
+        pos = 0
+        out = None
+        while pos < len(data):
+            header = data[pos]
+            obu_type = (header >> 3) & 0xF
+            has_size = (header >> 1) & 1
+            assert (header & 0x80) == 0 and has_size
+            pos += 1
+            size, pos = read_leb128(data, pos)
+            payload = data[pos : pos + size]
+            pos += size
+            if obu_type == int(ObuType.OBU_SEQUENCE_HEADER):
+                self.seq = parse_sequence_header(payload)
+            elif obu_type == int(ObuType.OBU_FRAME):
+                out = self._decode_frame(payload)
+        return out
+
+    def _decode_frame(self, payload: bytes):
+        seq = self.seq
+        assert seq is not None
+        fi = parse_frame_header(payload, seq)
+        tile_data = payload[fi.header_bytes :]
+        is_intra = fi.frame_type == 0
+
+        # resolve DPB references for LAST..ALTREF
+        refs = None
+        ref_hints = [0] * 8
+        if not is_intra:
+            refs = {}
+            for ref in range(1, 8):
+                slot = fi.ref_frame_idx[ref - 1]
+                entry = self.dpb[slot]
+                assert entry is not None, f"ref slot {slot} empty"
+                refs[ref] = entry["planes"]
+                ref_hints[ref] = entry["order_hint"]
+
+        params = FrameParams(width=seq.width, height=seq.height, qindex=fi.qindex, bd=seq.bd,
+                             disable_cdf_update=fi.disable_cdf_update,
+                             tile_cols_log2=fi.tile_cols_log2, tile_rows_log2=fi.tile_rows_log2,
+                             frame_is_intra=is_intra, order_hint=fi.order_hint,
+                             order_hint_bits=seq.order_hint_bits,
+                             interp_filter=fi.interp_filter, ref_hints=tuple(ref_hints))
+        tiles = params.tiles()
+        aw, ah = params.aligned_width, params.aligned_height
+        recon = [np.zeros((ah, aw), np.int32), np.zeros((ah >> 1, aw >> 1), np.int32),
+                 np.zeros((ah >> 1, aw >> 1), np.int32)]
+        off = 0
+        for i, tile in enumerate(tiles):
+            if i < len(tiles) - 1:
+                tsz = int.from_bytes(tile_data[off : off + 4], "little") + 1
+                off += 4
+            else:
+                tsz = len(tile_data) - off
+            tc = TileCodec(params, FrameContext(fi.qindex), tile=tile, refs=refs)
+            tc.decode(tile_data[off : off + tsz], recon)
+            off += tsz
+
+        # DPB update (spec reference frame update process)
+        entry = {"planes": recon, "order_hint": fi.order_hint}
+        for slot in range(8):
+            if (fi.refresh_frame_flags >> slot) & 1:
+                self.dpb[slot] = entry
+
+        w, h = seq.width, seq.height
+        return (recon[0][:h, :w], recon[1][: h >> 1, : w >> 1], recon[2][: h >> 1, : w >> 1], recon)
 
 
 def decode_temporal_unit(data: bytes):
-    """Decode one TU -> (y, u, v) planes cropped to display size."""
-    pos = 0
-    seq = None
-    out = None
-    while pos < len(data):
-        header = data[pos]
-        obu_type = (header >> 3) & 0xF
-        has_size = (header >> 1) & 1
-        assert (header & 0x80) == 0 and has_size
-        pos += 1
-        size, pos = read_leb128(data, pos)
-        payload = data[pos : pos + size]
-        pos += size
-        if obu_type == int(ObuType.OBU_SEQUENCE_HEADER):
-            seq = parse_sequence_header(payload)
-        elif obu_type == int(ObuType.OBU_FRAME):
-            assert seq is not None
-            fi = parse_frame_header(payload, seq)
-            tile_data = payload[fi.header_bytes :]
-            params = FrameParams(width=seq.width, height=seq.height, qindex=fi.qindex, bd=seq.bd,
-                                 disable_cdf_update=fi.disable_cdf_update,
-                                 tile_cols_log2=fi.tile_cols_log2, tile_rows_log2=fi.tile_rows_log2)
-            tiles = params.tiles()
-            aw, ah = params.aligned_width, params.aligned_height
-            recon = [np.zeros((ah, aw), np.int32), np.zeros((ah >> 1, aw >> 1), np.int32),
-                     np.zeros((ah >> 1, aw >> 1), np.int32)]
-            off = 0
-            for i, tile in enumerate(tiles):
-                if i < len(tiles) - 1:
-                    tsz = int.from_bytes(tile_data[off : off + 4], "little") + 1
-                    off += 4
-                else:
-                    tsz = len(tile_data) - off
-                tc = TileCodec(params, FrameContext(fi.qindex), tile=tile)
-                tc.decode(tile_data[off : off + tsz], recon)
-                off += tsz
-            w, h = seq.width, seq.height
-            out = (recon[0][:h, :w], recon[1][: h >> 1, : w >> 1], recon[2][: h >> 1, : w >> 1], recon)
-    return out
+    """One-shot decode of a self-contained TU (key frame)."""
+    return Decoder().decode_tu(data)

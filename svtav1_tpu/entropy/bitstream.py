@@ -109,6 +109,8 @@ class SequenceConfig:
     enable_superres: bool = False
     enable_filter_intra: bool = False
     enable_intra_edge_filter: bool = False
+    enable_order_hint: bool = True
+    order_hint_bits: int = 7
 
 
 def sequence_header_obu(cfg: SequenceConfig) -> bytes:
@@ -137,9 +139,14 @@ def sequence_header_obu(cfg: SequenceConfig) -> bytes:
     w.f(0, 1)  # enable_masked_compound
     w.f(0, 1)  # enable_warped_motion
     w.f(0, 1)  # enable_dual_filter
-    w.f(0, 1)  # enable_order_hint
+    w.f(int(cfg.enable_order_hint), 1)
+    if cfg.enable_order_hint:
+        w.f(0, 1)  # enable_jnt_comp
+        w.f(0, 1)  # enable_ref_frame_mvs
     w.f(0, 1)  # seq_choose_screen_content_tools
     w.f(0, 1)  # seq_force_screen_content_tools = 0
+    if cfg.enable_order_hint:
+        w.f(cfg.order_hint_bits - 1, 3)
     w.f(int(cfg.enable_superres), 1)
     w.f(int(cfg.enable_cdef), 1)
     w.f(int(cfg.enable_restoration), 1)
@@ -163,29 +170,52 @@ class FrameConfig:
     error_resilient: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    # inter-frame fields (spec uncompressed_header)
+    frame_type: int = 0  # KEY_FRAME
+    order_hint: int = 0
+    refresh_frame_flags: int = 0xFF
+    ref_frame_idx: tuple = (0,) * 7  # DPB slot per LAST..ALTREF
+    interp_filter: int = 0  # REGULAR (non-switchable)
 
 
 def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
-    """Key-frame uncompressed header (not byte-aligned; caller decides
-    trailing_bits for OBU_FRAME_HEADER vs byte_alignment for OBU_FRAME)."""
+    """Uncompressed frame header for KEY and (single-ref profile) INTER
+    frames (not byte-aligned; caller decides trailing_bits for
+    OBU_FRAME_HEADER vs byte_alignment for OBU_FRAME)."""
     w = BitWriter()
+    is_intra = fr.frame_type in (0, 2)
     w.f(0, 1)  # show_existing_frame
-    w.f(0, 2)  # frame_type = KEY_FRAME
+    w.f(fr.frame_type, 2)
     w.f(int(fr.show_frame), 1)
     if not fr.show_frame:
         w.f(1, 1)  # showable_frame
+    if not (fr.frame_type == 3 or (fr.frame_type == 0 and fr.show_frame)):
         w.f(int(fr.error_resilient), 1)
-    # (shown KEY frames: error_resilient_mode implied 1, no bit —
-    #  reference entropy_coding.c:3294)
+    # (shown KEY frames: error_resilient_mode implied 1, no bit)
     w.f(int(fr.disable_cdf_update), 1)
     # allow_screen_content_tools = 0 (seq_force_screen_content_tools == 0)
     w.f(0, 1)  # frame_size_override_flag
-    # no order hint bits (enable_order_hint = 0)
-    # primary_ref_frame: intra -> PRIMARY_REF_NONE implied
-    # refresh_frame_flags: KEY shown -> implied allFrames
-    # frame_size(): override=0 -> max dims; superres disabled -> no bits
-    w.f(0, 1)  # render_and_frame_size_different
-    # allow_intrabc: requires allow_screen_content_tools -> absent
+    if seq.enable_order_hint:
+        w.f(fr.order_hint & ((1 << seq.order_hint_bits) - 1), seq.order_hint_bits)
+    if not is_intra and not fr.error_resilient:
+        w.f(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE (fresh CDFs per frame)
+    if not (fr.frame_type == 0 and fr.show_frame):
+        w.f(fr.refresh_frame_flags, 8)
+    if is_intra:
+        # frame_size(): override=0 -> max dims; superres disabled -> no bits
+        w.f(0, 1)  # render_and_frame_size_different
+        # allow_intrabc: requires allow_screen_content_tools -> absent
+    else:
+        if seq.enable_order_hint:
+            w.f(0, 1)  # frame_refs_short_signaling
+        for i in range(7):
+            w.f(fr.ref_frame_idx[i], 3)
+        w.f(0, 1)  # render_and_frame_size_different (frame_size + render_size)
+        w.f(0, 1)  # allow_high_precision_mv
+        w.f(0, 1)  # is_filter_switchable
+        w.f(fr.interp_filter, 2)
+        w.f(0, 1)  # is_motion_mode_switchable
+        # use_ref_frame_mvs: absent (seq enable_ref_frame_mvs = 0)
     if not fr.disable_cdf_update:
         w.f(1, 1)  # disable_frame_end_update_cdf = 1 (no frame-end adaptation)
     # tile_info() — uniform spacing; min log2 == 0 up to 4096-wide frames
@@ -216,9 +246,15 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
     w.f(0, 1)  # loop_filter_delta_enabled
     # cdef/lr absent (seq flags off)
     w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST
-    # frame_reference_mode / skip_mode: intra -> absent
+    if not is_intra:
+        w.f(0, 1)  # reference_select = 0 (SINGLE_REFERENCE)
+        # skip_mode_params: skipModeAllowed = 0 -> no bit
+        # allow_warped_motion: absent (seq enable_warped_motion = 0)
     w.f(0, 1)  # reduced_tx_set
-    # global motion / film grain absent
+    if not is_intra:
+        for _ in range(7):
+            w.f(0, 1)  # is_global (global_motion_params: identity per ref)
+    # film grain absent
     return w
 
 

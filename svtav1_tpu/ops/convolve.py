@@ -25,9 +25,22 @@ ROUND0 = 3
 ROUND1 = 11  # 2*FILTER_BITS - ROUND0
 
 # interp filter enum (spec): EIGHTTAP_REGULAR, EIGHTTAP_SMOOTH, EIGHTTAP_SHARP, BILINEAR
-REGULAR, SMOOTH, SHARP, BILINEAR = 0, 1, 2, 3
+# + the 4-tap variants selected for <=4-sample dimensions (spec Subpel_Filters rows 4/5)
+REGULAR, SMOOTH, SHARP, BILINEAR, REGULAR4, SMOOTH4 = 0, 1, 2, 3, 4, 5
 _FILTER_TABLE = {REGULAR: "sub_pel_filters_8", SMOOTH: "sub_pel_filters_8smooth",
-                 SHARP: "sub_pel_filters_8sharp", BILINEAR: "bilinear_filters"}
+                 SHARP: "sub_pel_filters_8sharp", BILINEAR: "bilinear_filters",
+                 REGULAR4: "sub_pel_filters_4", SMOOTH4: "sub_pel_filters_4smooth"}
+
+
+def filter_for_dim(which: int, dim: int) -> int:
+    """spec 7.11.3.4: dimensions <= 4 use the 4-tap filter variants."""
+    if dim > 4:
+        return which
+    if which in (REGULAR, SHARP):
+        return REGULAR4
+    if which == SMOOTH:
+        return SMOOTH4
+    return which
 
 
 @functools.lru_cache(maxsize=None)
@@ -42,17 +55,18 @@ def _round_pow2(x, n, xp):
 
 
 def convolve_2d_batch(patches, subpel_x: int, subpel_y: int, which: int = REGULAR,
-                      bd: int = 8, xp=np):
+                      bd: int = 8, xp=np, which_y: int | None = None):
     """Normative single-ref subpel interpolation.
 
     patches: (B, h + 7, w + 7) int32 source windows whose (3, 3) offset is
     the full-pel position (fo = taps/2 - 1 = 3). subpel_x/y in 1/16 units
-    (0..15). Returns (B, h, w) int32 predictions.
+    (0..15). `which` selects the horizontal filter (and vertical unless
+    which_y given). Returns (B, h, w) int32 predictions.
     """
     B, hp, wp = patches.shape
     h, w = hp - 7, wp - 7
     fx = filter_kernels(which)[subpel_x & 15]
-    fy = filter_kernels(which)[subpel_y & 15]
+    fy = filter_kernels(which if which_y is None else which_y)[subpel_y & 15]
     bits = 2 * FILTER_BITS - ROUND0 - ROUND1
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
 
@@ -81,8 +95,9 @@ def convolve_2d_scalar(plane: np.ndarray, x: int, y: int, w: int, h: int,
     ix, sx = fx >> 4, fx & 15
     iy, sy = fy >> 4, fy & 15
     H, W = plane.shape
-    # gather padded window with edge replication
+    # gather padded window with edge replication (spec clips sample coords)
     ys = np.clip(np.arange(iy - 3, iy + h + 4), 0, H - 1)
     xs = np.clip(np.arange(ix - 3, ix + w + 4), 0, W - 1)
     patch = plane[np.ix_(ys, xs)].astype(np.int32)
-    return convolve_2d_batch(patch[None], sx, sy, which, bd)[0]
+    return convolve_2d_batch(patch[None], sx, sy, filter_for_dim(which, w), bd,
+                             which_y=filter_for_dim(which, h))[0]

@@ -1,8 +1,10 @@
-"""Top-level encoder (round-1 profile: intra-only, CQP).
+"""Top-level encoder (round-1 profile: intra + low-delay-P inter, CQP).
 
 API shape mirrors the reference's library API (EbSvtAv1Enc.h:966-1076
 svt_av1_enc_init/_send_picture/_get_packet): construct with a config, feed
-frames, receive AV1 temporal units.
+frames, receive AV1 temporal units. GOP/DPB logic is the (simplified)
+analog of pd_process.c av1_generate_rps_info: key frame every `keyint`
+frames, inter frames reference the previous frame (LAST) from DPB slot 0.
 """
 from __future__ import annotations
 
@@ -11,6 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..codec.tile_codec import FrameParams, TileCodec
+from ..constants.av1 import RefFrame
 from ..constants.cdf import FrameContext
 from ..entropy.bitstream import FrameConfig, SequenceConfig, frame_obu, sequence_header_obu, temporal_delimiter_obu
 from . import intra_md
@@ -25,6 +28,7 @@ class EncoderConfig:
     mode_decision: str = "numpy"  # "numpy" (reference) or "jax" (device path)
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    keyint: int = 1  # key frame every N frames (1 = all-intra)
 
 
 def pad_to_aligned(plane: np.ndarray, aw: int, ah: int) -> np.ndarray:
@@ -45,28 +49,53 @@ class Encoder:
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, "round-1 profile: dims multiple of 8"
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd)
-        self.params = FrameParams(width=cfg.width, height=cfg.height, qindex=cfg.qindex, bd=cfg.bd,
-                                  tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2)
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.mode_decision != "jax":
             raise ValueError("multi-tile encoding requires the jax mode-decision backend")
-        self._wrote_seq_hdr = False
+        if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.keyint != 1:
+            raise ValueError("round-1 profile: inter frames are single-tile")
+        self.frame_idx = 0
+        self.dpb = [None] * 8  # slot -> {planes, order_hint}
+
+    def _params(self, is_intra: bool, order_hint: int, ref_hints) -> FrameParams:
+        cfg = self.cfg
+        return FrameParams(width=cfg.width, height=cfg.height, qindex=cfg.qindex, bd=cfg.bd,
+                           tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
+                           frame_is_intra=is_intra, order_hint=order_hint,
+                           ref_hints=tuple(ref_hints))
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> tuple[bytes, list]:
-        """Encode one frame as a key frame. Returns (temporal_unit_bytes,
-        recon_planes at aligned dims)."""
-        p = self.params
+        """Encode the next frame per the GOP structure. Returns
+        (temporal_unit_bytes, recon_planes at aligned dims)."""
+        cfg = self.cfg
+        is_key = cfg.keyint <= 1 or (self.frame_idx % cfg.keyint == 0)
+        order_hint = self.frame_idx & 0x7F
+        ref_hints = [0] * 8
+        refs = None
+        if not is_key:
+            entry = self.dpb[0]
+            assert entry is not None
+            refs = {int(RefFrame.LAST_FRAME): entry["planes"]}
+            for ref in range(1, 8):
+                ref_hints[ref] = entry["order_hint"]
+        p = self._params(is_key, order_hint, ref_hints)
+
         aw, ah = p.aligned_width, p.aligned_height
         src = [
             pad_to_aligned(np.asarray(y, np.int32), aw, ah),
             pad_to_aligned(np.asarray(u, np.int32), aw >> 1, ah >> 1),
             pad_to_aligned(np.asarray(v, np.int32), aw >> 1, ah >> 1),
         ]
-        if self.cfg.mode_decision == "jax":
-            from . import intra_device
+        if is_key:
+            if self.cfg.mode_decision == "jax":
+                from . import intra_device
 
-            plan, recon = intra_device.encode_intra_frame(src, p)
+                plan, recon = intra_device.encode_intra_frame(src, p)
+            else:
+                plan, recon = intra_md.encode_intra_frame(src, p)
         else:
-            plan, recon = intra_md.encode_intra_frame(src, p)
+            from . import inter_md
+
+            plan, recon = inter_md.encode_inter_frame(src, p, refs)
 
         payloads = []
         for tile in p.tiles():
@@ -75,8 +104,19 @@ class Encoder:
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
-                         tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2)
+                         tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
+                         frame_type=0 if is_key else 1, order_hint=order_hint,
+                         refresh_frame_flags=0xFF if is_key else 0x01,
+                         ref_frame_idx=(0,) * 7)
         tu = temporal_delimiter_obu()
-        tu += sequence_header_obu(self.seq)
+        if self.frame_idx == 0:
+            tu += sequence_header_obu(self.seq)
         tu += frame_obu(self.seq, fr, tile_payload)
+
+        # DPB update (low-delay: every frame lands in slot 0; key refreshes all)
+        entry = {"planes": recon, "order_hint": order_hint}
+        for slot in range(8):
+            if is_key or slot == 0:
+                self.dpb[slot] = entry
+        self.frame_idx += 1
         return tu, recon

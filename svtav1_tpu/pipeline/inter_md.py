@@ -1,0 +1,277 @@
+"""Inter (+intra) mode decision for non-key frames — encoder side.
+
+Sequential reference implementation (numpy): recursive partition RD over
+square blocks 8..64. Per block it evaluates the single-ref inter candidates
+(GLOBALMV / NEARESTMV / NEARMV from the normative MV stack, NEWMV from a
+full-pel + subpel motion search) against the intra modes, with closed-loop
+recon identical to the decoder's. Behavioral reference:
+product_coding_loop.c md_encode_block candidate classes and
+motion_estimation.c full-pel search (re-architected: fixed small candidate
+set, exhaustive windows instead of pruned searches).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codec import txb as txb_mod
+from ..codec.mvp import MiState, TileBounds, find_mv_stack
+from ..codec.tile_codec import (BlockDecision, FrameParams, Plan, chroma_tx_type, chroma_tx_type_inter,
+                                is_directional, max_uv_txsize)
+from ..constants.av1 import (BLOCK_W, MAX_TXSIZE_RECT, TX_H, TX_W, BlockSize, InterMode, Partition, PredMode,
+                             RefFrame, TxType)
+from ..ops import convolve as conv_ops
+from ..ops import quantize as quant_ops
+from ..ops import transforms as txfm_ops
+from .intra_md import BSIZE_OF, MODES, predict_block, rd_lambda
+
+SEARCH_RANGE = 12  # full-pel search radius around the MV predictor
+
+
+@dataclass
+class _Ctx:
+    params: FrameParams
+    src: list
+    recon: list
+    refs: dict  # ref_frame id -> [y, u, v] planes
+    plan: Plan
+    lam: float
+    mi: MiState
+    tile: TileBounds
+
+
+def _mc_pred(ctx: _Ctx, ref_frame: int, plane: int, px: int, py: int, psz: int, mv) -> np.ndarray:
+    refp = ctx.refs[ref_frame][plane]
+    mvy, mvx = int(mv[0]), int(mv[1])
+    if plane == 0:
+        mvy, mvx = mvy * 2, mvx * 2
+    return conv_ops.convolve_2d_scalar(refp, px, py, psz, psz, mvx, mvy,
+                                       which=ctx.params.interp_filter, bd=ctx.params.bd)
+
+
+def _sad(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(np.int64) - b).sum())
+
+
+def _fullpel_search(ctx: _Ctx, x: int, y: int, size: int, center_mv) -> tuple:
+    """Exhaustive full-pel SAD search in a window around center_mv (1/8 pel).
+    Returns best full-pel mv (1/8 units)."""
+    ref = ctx.refs[int(RefFrame.LAST_FRAME)][0]
+    srcb = ctx.src[0][y : y + size, x : x + size]
+    H, W = ref.shape
+    cy = y + (int(center_mv[0]) >> 3)
+    cx = x + (int(center_mv[1]) >> 3)
+    r = SEARCH_RANGE
+    y0, y1 = max(0, cy - r), min(H - size, cy + r)
+    x0, x1 = max(0, cx - r), min(W - size, cx + r)
+    if y1 < y0 or x1 < x0:
+        return (0, 0)
+    # sliding-window SAD via stride tricks over the clipped window
+    win = ref[y0 : y1 + size, x0 : x1 + size]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    views = sliding_window_view(win, (size, size))
+    sads = np.abs(views.astype(np.int32) - srcb.astype(np.int32)).sum(axis=(2, 3))
+    # bias toward the predictor: tiny mv-cost on the full-pel grid
+    dy = (np.arange(y0, y1 + 1) - cy)[:, None]
+    dx = (np.arange(x0, x1 + 1) - cx)[None, :]
+    cost = sads + (np.abs(dy) + np.abs(dx)) * 4
+    by, bx = np.unravel_index(np.argmin(cost), cost.shape)
+    return ((y0 + int(by) - y) * 8, (x0 + int(bx) - x) * 8)
+
+
+def _subpel_refine(ctx: _Ctx, x: int, y: int, size: int, mv) -> tuple:
+    """Two-stage (1/2 then 1/4 pel) 8-neighbor refinement by luma SAD."""
+    srcb = ctx.src[0][y : y + size, x : x + size]
+    best = (int(mv[0]), int(mv[1]))
+    best_sad = _sad(_mc_pred(ctx, int(RefFrame.LAST_FRAME), 0, x, y, size, best), srcb)
+    for step in (4, 2):  # 1/8-pel units: half-pel, quarter-pel
+        improved = True
+        while improved:
+            improved = False
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    if dy == 0 and dx == 0:
+                        continue
+                    cand = (best[0] + dy, best[1] + dx)
+                    s = _sad(_mc_pred(ctx, int(RefFrame.LAST_FRAME), 0, x, y, size, cand), srcb)
+                    if s < best_sad:
+                        best_sad, best = s, cand
+                        improved = True
+    return best
+
+
+def _code_unit(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, write: bool):
+    """Predict/transform/quantize one block for decision d; optionally commit.
+
+    Returns (sse, bits_estimate, levels, all_zero)."""
+    p = ctx.params
+    bsize = BSIZE_OF[size]
+    tx_y = int(MAX_TXSIZE_RECT[int(bsize)])
+    tx_uv = int(max_uv_txsize(int(bsize)))
+    total_sse = 0.0
+    total_bits = 16.0
+    levels_out = []
+    all_zero = True
+    planes_recon = []
+    eff_luma_tx = int(TxType.DCT_DCT)
+    for plane in range(3):
+        ss = 0 if plane == 0 else 1
+        px, py, psz = x >> ss, y >> ss, size >> ss
+        tx_size = tx_y if plane == 0 else tx_uv
+        if d.is_inter:
+            pred = _mc_pred(ctx, d.ref_frame, plane, px, py, psz, d.mv)
+            tx_type = int(d.tx_type) if plane == 0 else chroma_tx_type_inter(eff_luma_tx, tx_size)
+        else:
+            m = d.y_mode if plane == 0 else d.uv_mode
+            pred = predict_block(ctx.recon[plane], px, py, psz, psz, int(m), p, ss, int(bsize))
+            tx_type = int(d.tx_type) if plane == 0 else chroma_tx_type(d.uv_mode, tx_size)
+        target = ctx.src[plane][py : py + psz, px : px + psz]
+        resid = (target - pred).astype(np.int32)
+        coeff = txfm_ops.fwd_txfm2d_np(resid[None], tx_type, p.bd)[0]
+        lv_full = quant_ops.quantize_np(coeff, p.qindex, psz, psz, p.bd)
+        adj = txb_mod.adjusted_tx_size(tx_size)
+        lv = lv_full[: int(TX_H[adj]), : int(TX_W[adj])]
+        if plane == 0:
+            eff_luma_tx = int(d.tx_type) if np.any(lv != 0) else int(TxType.DCT_DCT)
+        dq = quant_ops.dequantize_np(lv_full, p.qindex, psz, psz, p.bd)
+        recon_blk = txfm_ops.inv_txfm2d_add_np(dq[None], pred[None], tx_type, p.bd)[0]
+        sse = float(((recon_blk - target).astype(np.float64) ** 2).sum())
+        nz = int(np.count_nonzero(lv))
+        mag = float(np.abs(lv).sum())
+        bits = 2.0 + nz * 3.0 + 2.0 * np.log2(1.0 + mag)
+        total_sse += sse
+        total_bits += bits
+        levels_out.append(lv.copy())
+        planes_recon.append(recon_blk)
+        if nz:
+            all_zero = False
+    if d.is_inter:
+        # mode-cost proxy: NEWMV pays mv-diff bits
+        if d.y_mode == int(InterMode.NEWMV):
+            total_bits += 6.0
+    if write:
+        for plane in range(3):
+            ss = 0 if plane == 0 else 1
+            px, py, psz = x >> ss, y >> ss, size >> ss
+            ctx.recon[plane][py : py + psz, px : px + psz] = planes_recon[plane]
+    return total_sse, total_bits, levels_out, all_zero
+
+
+def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int):
+    """Candidate (mode, mv, ref_mv_idx) list from the normative MV stack."""
+    mi_row, mi_col = y // 4, x // 4
+    bsize = int(BSIZE_OF[size])
+    stack = find_mv_stack(ctx.mi, ctx.tile, mi_row, mi_col, bsize, int(RefFrame.LAST_FRAME))
+    M = InterMode
+    cands = [(int(M.GLOBALMV), (0, 0), 0)]
+    nearest = (int(stack.mvs[0][0]), int(stack.mvs[0][1]))
+    cands.append((int(M.NEARESTMV), nearest, 0))
+    near = (int(stack.mvs[1][0]), int(stack.mvs[1][1]))
+    if near != nearest:
+        cands.append((int(M.NEARMV), near, 1))
+    # NEWMV: full-pel search centered on the class predictor + subpel refine
+    pred = stack.pred_mv(0)
+    fp = _fullpel_search(ctx, x, y, size, pred)
+    mv = _subpel_refine(ctx, x, y, size, fp)
+    # mv-diff bits proxy folds into _code_unit; NEWMV == pred is legal
+    cands.append((int(M.NEWMV), mv, 0))
+    return cands
+
+
+def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
+    """Evaluate inter + intra candidates open-loop; return (cost, decision)."""
+    best = None
+    for mode, mv, rmi in _inter_candidates(ctx, x, y, size):
+        d = BlockDecision(y_mode=mode, ref_frame=int(RefFrame.LAST_FRAME), mv=mv, ref_mv_idx=rmi)
+        sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
+        cost = sse + ctx.lam * bits
+        if best is None or cost < best[0]:
+            best = (cost, d)
+    for mode in MODES:
+        d = BlockDecision(y_mode=int(mode), uv_mode=int(mode))
+        sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
+        cost = sse + ctx.lam * (bits + 24.0)  # intra-in-inter signaling overhead
+        if best is None or cost < best[0]:
+            best = (cost, d)
+    return best
+
+
+def _commit_block(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision) -> float:
+    sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=True)
+    d.skip = int(zero)
+    d.levels_y = levels[0] if not zero else None
+    d.levels_u = levels[1] if not zero else None
+    d.levels_v = levels[2] if not zero else None
+    mi_row, mi_col = y // 4, x // 4
+    bsize = int(BSIZE_OF[size])
+    ctx.plan.partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
+    ctx.plan.blocks[(mi_row, mi_col, bsize)] = d
+    ctx.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
+                     (int(d.mv[0]), int(d.mv[1])))
+    return sse + ctx.lam * bits
+
+
+def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
+    p = ctx.params
+    mi_row, mi_col = y // 4, x // 4
+    bsize = BSIZE_OF[size]
+
+    fits = (x + size <= p.aligned_width) and (y + size <= p.aligned_height)
+    if not fits:
+        assert size > 8
+        half = size // 2
+        cost_split = 0.0
+        for dy in (0, half):
+            for dx in (0, half):
+                sx, sy = x + dx, y + dy
+                if sx // 4 >= p.mi_cols or sy // 4 >= p.mi_rows:
+                    continue
+                cost_split += _code_square(ctx, sx, sy, half)
+        ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_SPLIT)
+        return cost_split
+
+    snap_recon = [r.copy() for r in ctx.recon]
+    snap_mi = ctx.mi.snapshot()
+    cost_none, d = _best_for_block(ctx, x, y, size)
+    cost_none = _commit_block(ctx, x, y, size, d)
+
+    if size > 8:
+        recon_none = [r.copy() for r in ctx.recon]
+        mi_none = ctx.mi.snapshot()
+        for i, r in enumerate(ctx.recon):
+            r[:] = snap_recon[i]
+        ctx.mi.restore(snap_mi)
+        half = size // 2
+        cost_split = ctx.lam * 4.0
+        for dy in (0, half):
+            for dx in (0, half):
+                cost_split += _code_square(ctx, x + dx, y + dy, half)
+        if cost_split < cost_none:
+            ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_SPLIT)
+            return cost_split
+        for i, r in enumerate(ctx.recon):
+            r[:] = recon_none[i]
+        ctx.mi.restore(mi_none)
+        from .intra_md import _drop_subtree
+
+        _drop_subtree(ctx.plan, mi_row, mi_col, size)
+        ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_NONE)
+    return cost_none
+
+
+def encode_inter_frame(src_planes: list, params: FrameParams, refs: dict) -> tuple[Plan, list]:
+    """Mode decision for one inter (low-delay P) frame.
+
+    refs: ref_frame id -> [y, u, v] recon planes of the reference."""
+    p = params
+    recon = [np.zeros_like(pl) for pl in src_planes]
+    mi = MiState(p.mi_rows, p.mi_cols)
+    tile = TileBounds(0, p.mi_rows, 0, p.mi_cols)
+    ctx = _Ctx(params=p, src=src_planes, recon=recon, refs=refs, plan=Plan(),
+               lam=rd_lambda(p.qindex, p.bd), mi=mi, tile=tile)
+    for sb_y in range(0, p.aligned_height, 64):
+        for sb_x in range(0, p.aligned_width, 64):
+            _code_square(ctx, sb_x, sb_y, 64)
+    return ctx.plan, recon

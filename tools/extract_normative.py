@@ -158,6 +158,30 @@ def extract_tables(path: str, name_filter=None) -> dict:
     return out
 
 
+def extract_nmv_context(path: str) -> dict:
+    """Parse the default_nmv_context struct initializer (AV1 spec default MV
+    CDFs) into per-field arrays. Struct layout (NmvContext): joints_cdf, then
+    per component [v, h]: classes, class0_fp[2], fp, sign, class0_hp, hp,
+    class0, bits[10]."""
+    with open(path, "r", errors="replace") as f:
+        text = _strip_comments(f.read())
+    text = _expand_cdf_macros(text)
+    m = re.search(r"default_nmv_context\s*=\s*\{", text)
+    assert m, "default_nmv_context not found"
+    nested, _ = _parse_braces(text, text.index("{", m.end() - 1))
+    joints, comps = nested
+    out = {"default_nmv_joints": np.array(joints, np.int32)}
+    fields = ["classes", "class0_fp", "fp", "sign", "class0_hp", "hp", "class0", "bits"]
+    per = {f: [] for f in fields}
+    for comp in comps:
+        assert len(comp) == len(fields), len(comp)
+        for f, v in zip(fields, comp):
+            per[f].append(v)
+    for f in fields:
+        out[f"default_nmv_{f}"] = _to_array(per[f])
+    return out
+
+
 def extract_scan_orders(path: str) -> dict:
     """Parse av1_scan_orders[TX_SIZES_ALL][TX_TYPES] = {{ {scan, iscan, nb}, ...}}
     into an index map over the named scan tables."""
@@ -191,6 +215,7 @@ def main() -> None:
 
     # 1. Default CDF tables (AV1 spec ss. "Default CDF tables").
     cdfs = extract_tables(os.path.join(codec, "cabac_context_model.c"))
+    cdfs.update(extract_nmv_context(os.path.join(codec, "cabac_context_model.c")))
     np.savez_compressed(os.path.join(args.out, "default_cdfs.npz"), **{k: v.astype(np.int32) for k, v in cdfs.items()})
     print(f"default_cdfs.npz: {len(cdfs)} tables")
 
