@@ -45,8 +45,14 @@ class MiState:
         self.ref1 = np.full((mi_rows, mi_cols), int(RefFrame.NONE), np.int32)
         self.mv0 = np.zeros((mi_rows, mi_cols, 2), np.int32)  # (row, col) 1/8 pel
         self.mv1 = np.zeros((mi_rows, mi_cols, 2), np.int32)
+        self.skip = np.zeros((mi_rows, mi_cols), np.int32)
+        # mi offset of each unit within its block (loop-filter edge detection)
+        self.off_x = np.zeros((mi_rows, mi_cols), np.int32)
+        self.off_y = np.zeros((mi_rows, mi_cols), np.int32)
 
-    def set_block(self, mi_row, mi_col, bsize, mode, ref0, ref1, mv0, mv1=(0, 0)):
+    _FIELDS = ("bsize", "mode", "ref0", "ref1", "mv0", "mv1", "skip", "off_x", "off_y")
+
+    def set_block(self, mi_row, mi_col, bsize, mode, ref0, ref1, mv0, mv1=(0, 0), skip=0):
         h4 = int(BLOCK_H[bsize]) // 4
         w4 = int(BLOCK_W[bsize]) // 4
         r, c = mi_row, mi_col
@@ -56,9 +62,12 @@ class MiState:
         self.ref1[r : r + h4, c : c + w4] = ref1
         self.mv0[r : r + h4, c : c + w4] = mv0
         self.mv1[r : r + h4, c : c + w4] = mv1
+        self.skip[r : r + h4, c : c + w4] = skip
+        self.off_x[r : r + h4, c : c + w4] = np.arange(w4)[None, :]
+        self.off_y[r : r + h4, c : c + w4] = np.arange(h4)[:, None]
 
     def snapshot(self) -> dict:
-        return {k: getattr(self, k).copy() for k in ("bsize", "mode", "ref0", "ref1", "mv0", "mv1")}
+        return {k: getattr(self, k).copy() for k in self._FIELDS}
 
     def restore(self, snap: dict) -> None:
         for k, v in snap.items():

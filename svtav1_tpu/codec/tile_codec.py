@@ -154,6 +154,8 @@ class FrameParams:
     allow_high_precision_mv: bool = False
     interp_filter: int = 0  # REGULAR (frame-level, non-switchable)
     ref_hints: tuple = (0,) * 8  # order hints per ref-frame id 1..7 (idx 0 unused)
+    lf_levels: tuple = (0, 0, 0, 0)  # loop filter levels (y_v, y_h, u, v)
+    lf_sharpness: int = 0
 
     def sign_bias(self):
         """RefFrameSignBias per ref id (spec: ref hint after current frame)."""
@@ -281,7 +283,7 @@ class TileCodec:
     Decode: `decode(data) -> recon planes` (the conformance path).
     """
 
-    def __init__(self, params: FrameParams, fc: FrameContext, tile=None, refs=None):
+    def __init__(self, params: FrameParams, fc: FrameContext, tile=None, refs=None, mi=None):
         self.p = params
         self.fc = fc
         # tile bounds in SB units (defaults: whole frame)
@@ -299,8 +301,10 @@ class TileCodec:
         self.above_ctx = [np.zeros(mc, np.int32), np.zeros((mc + 1) >> 1, np.int32), np.zeros((mc + 1) >> 1, np.int32)]
         self.left_ctx = [np.zeros(mr, np.int32), np.zeros((mr + 1) >> 1, np.int32), np.zeros((mr + 1) >> 1, np.int32)]
         self.update = not params.disable_cdf_update
-        # inter-frame state: per-mi mode info + refs for decoder-side MC
-        self.mi = MiState(mr, mc)
+        # inter-frame state: per-mi mode info + refs for decoder-side MC.
+        # `mi` may be a frame-shared MiState (decoder: loop filter needs the
+        # whole-frame grid across tiles)
+        self.mi = mi if mi is not None else MiState(mr, mc)
         self.tile_bounds = TileBounds(self.mi_row0, self.mi_row1, self.mi_col0, self.mi_col1)
         self.refs = refs  # dict ref_frame_id -> [y, u, v] recon planes
         self.sbias = params.sign_bias()
@@ -524,7 +528,7 @@ class TileCodec:
         self.mode_valid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = True
         self.skip_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.skip
         self.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
-                          (int(d.mv[0]), int(d.mv[1])))
+                          (int(d.mv[0]), int(d.mv[1])), skip=d.skip)
 
         # --- residual
         if d.skip:

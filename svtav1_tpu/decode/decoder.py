@@ -82,6 +82,8 @@ class FrameInfo:
     refresh_frame_flags: int = 0xFF
     ref_frame_idx: tuple = (0,) * 7
     interp_filter: int = 0
+    lf_levels: tuple = (0, 0, 0, 0)
+    lf_sharpness: int = 0
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
@@ -136,8 +138,11 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     assert r.f(1) == 0  # segmentation_enabled
     if qindex > 0:
         assert r.f(1) == 0  # delta_q_present
-    assert r.f(6) == 0 and r.f(6) == 0  # lf levels
-    r.f(3)  # sharpness
+    lf0, lf1 = r.f(6), r.f(6)
+    lfu = lfv = 0
+    if lf0 or lf1:
+        lfu, lfv = r.f(6), r.f(6)
+    lf_sharpness = r.f(3)
     assert r.f(1) == 0  # lf delta enabled
     assert r.f(1) == 0  # tx_mode_select -> LARGEST
     if not is_intra:
@@ -153,7 +158,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                      header_bytes=r.pos // 8, tile_cols_log2=tcl, tile_rows_log2=trl,
                      frame_type=frame_type, order_hint=order_hint,
                      refresh_frame_flags=refresh, ref_frame_idx=ref_frame_idx,
-                     interp_filter=interp_filter)
+                     interp_filter=interp_filter, lf_levels=(lf0, lf1, lfu, lfv),
+                     lf_sharpness=lf_sharpness)
 
 
 @dataclass
@@ -206,11 +212,15 @@ class Decoder:
                              tile_cols_log2=fi.tile_cols_log2, tile_rows_log2=fi.tile_rows_log2,
                              frame_is_intra=is_intra, order_hint=fi.order_hint,
                              order_hint_bits=seq.order_hint_bits,
-                             interp_filter=fi.interp_filter, ref_hints=tuple(ref_hints))
+                             interp_filter=fi.interp_filter, ref_hints=tuple(ref_hints),
+                             lf_levels=fi.lf_levels, lf_sharpness=fi.lf_sharpness)
         tiles = params.tiles()
         aw, ah = params.aligned_width, params.aligned_height
         recon = [np.zeros((ah, aw), np.int32), np.zeros((ah >> 1, aw >> 1), np.int32),
                  np.zeros((ah >> 1, aw >> 1), np.int32)]
+        from ..codec.mvp import MiState
+
+        mi = MiState(params.mi_rows, params.mi_cols)
         off = 0
         for i, tile in enumerate(tiles):
             if i < len(tiles) - 1:
@@ -218,9 +228,15 @@ class Decoder:
                 off += 4
             else:
                 tsz = len(tile_data) - off
-            tc = TileCodec(params, FrameContext(fi.qindex), tile=tile, refs=refs)
+            tc = TileCodec(params, FrameContext(fi.qindex), tile=tile, refs=refs, mi=mi)
             tc.decode(tile_data[off : off + tsz], recon)
             off += tsz
+
+        if any(fi.lf_levels):
+            from ..filters import dlf
+
+            dlf.loop_filter_frame(recon, mi, fi.qindex, seq.bd, is_intra,
+                                  levels=fi.lf_levels, sharpness=fi.lf_sharpness)
 
         # DPB update (spec reference frame update process)
         entry = {"planes": recon, "order_hint": fi.order_hint}

@@ -176,6 +176,8 @@ class FrameConfig:
     refresh_frame_flags: int = 0xFF
     ref_frame_idx: tuple = (0,) * 7  # DPB slot per LAST..ALTREF
     interp_filter: int = 0  # REGULAR (non-switchable)
+    lf_levels: tuple = (0, 0, 0, 0)
+    lf_sharpness: int = 0
 
 
 def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
@@ -239,10 +241,12 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
     if fr.qindex > 0:
         w.f(0, 1)  # delta_q_present
     # loop_filter_params (CodedLossless false)
-    w.f(0, 6)  # loop_filter_level[0]
-    w.f(0, 6)  # loop_filter_level[1]
-    # levels 0 -> no chroma levels coded
-    w.f(0, 3)  # loop_filter_sharpness
+    w.f(fr.lf_levels[0], 6)  # loop_filter_level[0]
+    w.f(fr.lf_levels[1], 6)  # loop_filter_level[1]
+    if fr.lf_levels[0] or fr.lf_levels[1]:
+        w.f(fr.lf_levels[2], 6)  # loop_filter_level_u
+        w.f(fr.lf_levels[3], 6)  # loop_filter_level_v
+    w.f(fr.lf_sharpness, 3)  # loop_filter_sharpness
     w.f(0, 1)  # loop_filter_delta_enabled
     # cdef/lr absent (seq flags off)
     w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST

@@ -29,6 +29,19 @@ class EncoderConfig:
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
     keyint: int = 1  # key frame every N frames (1 = all-intra)
+    enable_dlf: bool = True  # in-loop deblocking (by-q levels)
+
+
+def mi_from_plan(plan, params: FrameParams):
+    """Build the frame-wide mi grid from MD decisions (loop filter input)."""
+    from ..codec.mvp import MiState
+
+    plan.materialize()
+    mi = MiState(params.mi_rows, params.mi_cols)
+    for (r, c, bsize), d in plan.blocks.items():
+        mi.set_block(r, c, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
+                     (int(d.mv[0]), int(d.mv[1])), skip=d.skip)
+    return mi
 
 
 def pad_to_aligned(plane: np.ndarray, aw: int, ah: int) -> np.ndarray:
@@ -58,10 +71,15 @@ class Encoder:
 
     def _params(self, is_intra: bool, order_hint: int, ref_hints) -> FrameParams:
         cfg = self.cfg
+        lf_levels = (0, 0, 0, 0)
+        if cfg.enable_dlf:
+            from ..filters import dlf
+
+            lf_levels = dlf.pick_filter_levels(cfg.qindex, cfg.bd, is_intra, cfg.height)
         return FrameParams(width=cfg.width, height=cfg.height, qindex=cfg.qindex, bd=cfg.bd,
                            tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
                            frame_is_intra=is_intra, order_hint=order_hint,
-                           ref_hints=tuple(ref_hints))
+                           ref_hints=tuple(ref_hints), lf_levels=lf_levels)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> tuple[bytes, list]:
         """Encode the next frame per the GOP structure. Returns
@@ -103,11 +121,19 @@ class Encoder:
             payloads.append(tc.encode(plan))
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
+        # in-loop deblocking on the encoder's recon (decoder does the same)
+        if any(p.lf_levels):
+            from ..filters import dlf
+
+            dlf.loop_filter_frame(recon, mi_from_plan(plan, p), p.qindex, p.bd,
+                                  is_key, levels=p.lf_levels, sharpness=p.lf_sharpness)
+
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
                          tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
                          frame_type=0 if is_key else 1, order_hint=order_hint,
                          refresh_frame_flags=0xFF if is_key else 0x01,
-                         ref_frame_idx=(0,) * 7)
+                         ref_frame_idx=(0,) * 7,
+                         lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness)
         tu = temporal_delimiter_obu()
         if self.frame_idx == 0:
             tu += sequence_header_obu(self.seq)

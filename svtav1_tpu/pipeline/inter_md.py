@@ -209,7 +209,7 @@ def _commit_block(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision) -> flo
     ctx.plan.partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
     ctx.plan.blocks[(mi_row, mi_col, bsize)] = d
     ctx.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
-                     (int(d.mv[0]), int(d.mv[1])))
+                     (int(d.mv[0]), int(d.mv[1])), skip=d.skip)
     return sse + ctx.lam * bits
 
 
