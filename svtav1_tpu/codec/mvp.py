@@ -63,8 +63,11 @@ class MiState:
         self.mv0[r : r + h4, c : c + w4] = mv0
         self.mv1[r : r + h4, c : c + w4] = mv1
         self.skip[r : r + h4, c : c + w4] = skip
-        self.off_x[r : r + h4, c : c + w4] = np.arange(w4)[None, :]
-        self.off_y[r : r + h4, c : c + w4] = np.arange(h4)[:, None]
+        # numpy slices clip at the grid edge; match the ramp extents to that
+        wc = min(w4, self.mi_cols - c)
+        hc = min(h4, self.mi_rows - r)
+        self.off_x[r : r + h4, c : c + w4] = np.arange(wc)[None, :]
+        self.off_y[r : r + h4, c : c + w4] = np.arange(hc)[:, None]
 
     def snapshot(self) -> dict:
         return {k: getattr(self, k).copy() for k in self._FIELDS}

@@ -25,6 +25,7 @@ class SeqInfo:
     bd: int
     enable_order_hint: bool = False
     order_hint_bits: int = 7
+    enable_cdef: bool = False
 
 
 def parse_sequence_header(payload: bytes) -> SeqInfo:
@@ -57,7 +58,7 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     if enable_order_hint:
         order_hint_bits = r.f(3) + 1
     assert r.f(1) == 0  # enable_superres
-    assert r.f(1) == 0  # enable_cdef
+    enable_cdef = bool(r.f(1))
     assert r.f(1) == 0  # enable_restoration
     high_bd = r.f(1)
     assert r.f(1) == 0  # mono_chrome
@@ -67,7 +68,8 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     assert r.f(1) == 0  # separate_uv_delta_q
     assert r.f(1) == 0  # film_grain
     return SeqInfo(width=w, height=h, bd=10 if high_bd else 8,
-                   enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits)
+                   enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits,
+                   enable_cdef=enable_cdef)
 
 
 @dataclass
@@ -84,6 +86,9 @@ class FrameInfo:
     interp_filter: int = 0
     lf_levels: tuple = (0, 0, 0, 0)
     lf_sharpness: int = 0
+    cdef_damping: int = 3
+    cdef_y: tuple = ((0, 0),)
+    cdef_uv: tuple = ((0, 0),)
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
@@ -144,6 +149,19 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
         lfu, lfv = r.f(6), r.f(6)
     lf_sharpness = r.f(3)
     assert r.f(1) == 0  # lf delta enabled
+    cdef_damping, cdef_y, cdef_uv = 3, ((0, 0),), ((0, 0),)
+    if seq.enable_cdef:
+        cdef_damping = r.f(2) + 3
+        cdef_bits = r.f(2)
+        ys, uvs = [], []
+        for _ in range(1 << cdef_bits):
+            yp = r.f(4)
+            ysec = r.f(2)
+            up = r.f(4)
+            usec = r.f(2)
+            ys.append((yp, ysec + (ysec == 3)))
+            uvs.append((up, usec + (usec == 3)))
+        cdef_y, cdef_uv = tuple(ys), tuple(uvs)
     assert r.f(1) == 0  # tx_mode_select -> LARGEST
     if not is_intra:
         assert r.f(1) == 0  # reference_select
@@ -159,7 +177,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                      frame_type=frame_type, order_hint=order_hint,
                      refresh_frame_flags=refresh, ref_frame_idx=ref_frame_idx,
                      interp_filter=interp_filter, lf_levels=(lf0, lf1, lfu, lfv),
-                     lf_sharpness=lf_sharpness)
+                     lf_sharpness=lf_sharpness, cdef_damping=cdef_damping,
+                     cdef_y=cdef_y, cdef_uv=cdef_uv)
 
 
 @dataclass
@@ -237,6 +256,11 @@ class Decoder:
 
             dlf.loop_filter_frame(recon, mi, fi.qindex, seq.bd, is_intra,
                                   levels=fi.lf_levels, sharpness=fi.lf_sharpness)
+        if self.seq.enable_cdef and (any(fi.cdef_y[0]) or any(fi.cdef_uv[0])):
+            from ..filters import cdef as cdef_mod
+
+            cdef_mod.cdef_frame(recon, mi, fi.cdef_y[0][0], fi.cdef_y[0][1],
+                                fi.cdef_uv[0][0], fi.cdef_uv[0][1], fi.cdef_damping, bd=seq.bd)
 
         # DPB update (spec reference frame update process)
         entry = {"planes": recon, "order_hint": fi.order_hint}

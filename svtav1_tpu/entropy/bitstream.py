@@ -178,6 +178,10 @@ class FrameConfig:
     interp_filter: int = 0  # REGULAR (non-switchable)
     lf_levels: tuple = (0, 0, 0, 0)
     lf_sharpness: int = 0
+    # CDEF (coded only when seq enable_cdef): one strength set (cdef_bits=0)
+    cdef_damping: int = 3
+    cdef_y: tuple = ((0, 0),)  # (pri, sec) pairs; len == 1 << cdef_bits
+    cdef_uv: tuple = ((0, 0),)
 
 
 def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
@@ -248,7 +252,17 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
         w.f(fr.lf_levels[3], 6)  # loop_filter_level_v
     w.f(fr.lf_sharpness, 3)  # loop_filter_sharpness
     w.f(0, 1)  # loop_filter_delta_enabled
-    # cdef/lr absent (seq flags off)
+    if seq.enable_cdef:
+        # cdef_params (spec 5.9.19); cdef_bits = log2(len(strength sets))
+        cdef_bits = max(len(fr.cdef_y) - 1, 0).bit_length()
+        w.f(fr.cdef_damping - 3, 2)
+        w.f(cdef_bits, 2)
+        for (ypri, ysec), (upri, usec) in zip(fr.cdef_y, fr.cdef_uv):
+            w.f(ypri, 4)
+            w.f(min(ysec, 3), 2)
+            w.f(upri, 4)
+            w.f(min(usec, 3), 2)
+    # lr absent (seq enable_restoration off)
     w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST
     if not is_intra:
         w.f(0, 1)  # reference_select = 0 (SINGLE_REFERENCE)

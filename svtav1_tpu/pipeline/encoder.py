@@ -30,6 +30,7 @@ class EncoderConfig:
     tile_rows_log2: int = 0
     keyint: int = 1  # key frame every N frames (1 = all-intra)
     enable_dlf: bool = True  # in-loop deblocking (by-q levels)
+    enable_cdef: bool = True  # CDEF (frame-wide searched strength set)
 
 
 def mi_from_plan(plan, params: FrameParams):
@@ -61,7 +62,8 @@ class Encoder:
     def __init__(self, cfg: EncoderConfig):
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, "round-1 profile: dims multiple of 8"
         self.cfg = cfg
-        self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd)
+        self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
+                                  enable_cdef=cfg.enable_cdef)
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.mode_decision != "jax":
             raise ValueError("multi-tile encoding requires the jax mode-decision backend")
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.keyint != 1:
@@ -121,19 +123,32 @@ class Encoder:
             payloads.append(tc.encode(plan))
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
-        # in-loop deblocking on the encoder's recon (decoder does the same)
+        # in-loop filters on the encoder's recon (decoder does the same)
+        frame_mi = None
+        if any(p.lf_levels) or cfg.enable_cdef:
+            frame_mi = mi_from_plan(plan, p)
         if any(p.lf_levels):
             from ..filters import dlf
 
-            dlf.loop_filter_frame(recon, mi_from_plan(plan, p), p.qindex, p.bd,
+            dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd,
                                   is_key, levels=p.lf_levels, sharpness=p.lf_sharpness)
+        cdef_y, cdef_uv, cdef_damping = ((0, 0),), ((0, 0),), 3
+        if cfg.enable_cdef:
+            from ..filters import cdef as cdef_mod
+
+            ypri, ysec, upri, usec, cdef_damping = cdef_mod.search_strengths(
+                recon, src, frame_mi, p.qindex, p.bd)
+            cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
+            if ypri or ysec or upri or usec:
+                cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec, cdef_damping, bd=p.bd)
 
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
                          tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
                          frame_type=0 if is_key else 1, order_hint=order_hint,
                          refresh_frame_flags=0xFF if is_key else 0x01,
                          ref_frame_idx=(0,) * 7,
-                         lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness)
+                         lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
+                         cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv)
         tu = temporal_delimiter_obu()
         if self.frame_idx == 0:
             tu += sequence_header_obu(self.seq)
