@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--recon", default=None, help="write decoder-checked recon .y4m")
     ap.add_argument("--md", default="numpy", choices=["numpy", "jax"], help="mode decision backend")
     ap.add_argument("--keyint", type=int, default=1, help="key frame interval (1 = all-intra)")
+    ap.add_argument("--minigop", type=int, default=1, choices=[1, 2, 4],
+                    help="mini-GoP size (1 = low-delay, >1 = hierarchical-B)")
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
     args = ap.parse_args(argv)
 
@@ -40,32 +42,48 @@ def main(argv=None) -> int:
         print("no frames read", file=sys.stderr)
         return 1
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
-                                keyint=args.keyint))
+                                keyint=args.keyint, minigop=args.minigop))
     dec = Decoder()
     tus = []
     recons = []
     t0 = time.time()
     total_psnr = 0.0
-    for i, (y, u, v) in enumerate(frames):
-        tu, recon = enc.encode_frame(y, u, v)
-        tus.append(tu)
-        if args.verify or args.recon:
-            dy, du, dv, drecon = dec.decode_tu(tu)
+    n_shown = 0
+
+    def handle(pkt):
+        nonlocal total_psnr, n_shown
+        tus.append(pkt.tu)
+        if not (args.verify or args.recon):
+            label = f"coded {pkt.disp_idx}" if pkt.disp_idx is not None else f"show {pkt.shown_disp_idx}"
+            print(f"{label}: {len(pkt.tu)} bytes")
+            return
+        dy, du, dv, drecon = dec.decode_tu(pkt.tu)
+        if pkt.recon is not None:
             for pl in range(3):
-                assert np.array_equal(recon[pl], drecon[pl]), f"frame {i} plane {pl} enc/dec recon mismatch"
+                assert np.array_equal(pkt.recon[pl], drecon[pl]), \
+                    f"frame {pkt.disp_idx} plane {pl} enc/dec recon mismatch"
+        if dy is not None:
+            assert pkt.shown_disp_idx == n_shown
+            y = frames[n_shown][0]
             recons.append((dy.astype(np.uint8), du.astype(np.uint8), dv.astype(np.uint8)))
             mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
             psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
             total_psnr += psnr
-            print(f"frame {i}: {len(tu)} bytes, Y-PSNR {psnr:.2f} dB")
-        else:
-            print(f"frame {i}: {len(tu)} bytes")
+            n_shown += 1
+            print(f"frame {n_shown - 1}: {len(pkt.tu)} bytes, Y-PSNR {psnr:.2f} dB")
+
+    for (y, u, v) in frames:
+        for pkt in enc.send_frame(y, u, v):
+            handle(pkt)
+    for pkt in enc.flush():
+        handle(pkt)
     dt = time.time() - t0
     write_ivf(args.output, tus, w, h, fps)
     if args.recon:
         write_y4m(args.recon, recons, w, h, fps)
     kb = sum(len(t) for t in tus) / 1000.0
-    print(f"encoded {len(tus)} frames {w}x{h} in {dt:.2f}s ({len(tus)/dt:.2f} fps), {kb:.1f} kB", end="")
+    nf = len(frames)
+    print(f"encoded {nf} frames ({len(tus)} TUs) {w}x{h} in {dt:.2f}s ({nf/dt:.2f} fps), {kb:.1f} kB", end="")
     if args.verify or args.recon:
         print(f", avg Y-PSNR {total_psnr/len(frames):.2f} dB", end="")
     print()

@@ -80,6 +80,7 @@ class FrameInfo:
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
     frame_type: int = 0
+    show_frame: bool = True
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
     ref_frame_idx: tuple = (0,) * 7
@@ -98,7 +99,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     assert frame_type in (0, 1), "KEY/INTER only"
     is_intra = frame_type == 0
     show_frame = r.f(1)
-    assert show_frame == 1
+    if not show_frame:
+        assert r.f(1) == 1  # showable_frame
     if not (frame_type == 3 or (frame_type == 0 and show_frame)):
         assert r.f(1) == 0  # error_resilient_mode
     disable_cdf_update = r.f(1)
@@ -174,7 +176,7 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     r.byte_alignment()
     return FrameInfo(qindex=qindex, disable_cdf_update=bool(disable_cdf_update),
                      header_bytes=r.pos // 8, tile_cols_log2=tcl, tile_rows_log2=trl,
-                     frame_type=frame_type, order_hint=order_hint,
+                     frame_type=frame_type, show_frame=bool(show_frame), order_hint=order_hint,
                      refresh_frame_flags=refresh, ref_frame_idx=ref_frame_idx,
                      interp_filter=interp_filter, lf_levels=(lf0, lf1, lfu, lfv),
                      lf_sharpness=lf_sharpness, cdef_damping=cdef_damping,
@@ -189,9 +191,13 @@ class Decoder:
     dpb: list = field(default_factory=lambda: [None] * 8)
 
     def decode_tu(self, data: bytes):
-        """Decode one TU -> (y, u, v, recon_planes) cropped to display size."""
+        """Decode one TU -> (y, u, v, recon_planes).
+
+        (y, u, v) is the frame DISPLAYED by this TU (None for hidden frames);
+        recon_planes is the recon of the frame DECODED by this TU (None for
+        show_existing_frame TUs)."""
         pos = 0
-        out = None
+        out = (None, None, None, None)
         while pos < len(data):
             header = data[pos]
             obu_type = (header >> 3) & 0xF
@@ -205,6 +211,18 @@ class Decoder:
                 self.seq = parse_sequence_header(payload)
             elif obu_type == int(ObuType.OBU_FRAME):
                 out = self._decode_frame(payload)
+            elif obu_type == int(ObuType.OBU_FRAME_HEADER):
+                r = BitReader(payload)
+                if r.f(1) == 1:  # show_existing_frame
+                    slot = r.f(3)
+                    entry = self.dpb[slot]
+                    assert entry is not None
+                    w, h = self.seq.width, self.seq.height
+                    rec = entry["planes"]
+                    out = (rec[0][:h, :w], rec[1][: h >> 1, : w >> 1],
+                           rec[2][: h >> 1, : w >> 1], None)
+                else:
+                    raise NotImplementedError("standalone frame headers unsupported")
         return out
 
     def _decode_frame(self, payload: bytes):
@@ -269,6 +287,8 @@ class Decoder:
                 self.dpb[slot] = entry
 
         w, h = seq.width, seq.height
+        if not fi.show_frame:
+            return (None, None, None, recon)
         return (recon[0][:h, :w], recon[1][: h >> 1, : w >> 1], recon[2][: h >> 1, : w >> 1], recon)
 
 

@@ -296,5 +296,15 @@ def frame_obu(seq: SequenceConfig, fr: FrameConfig, tile_payloads) -> bytes:
     return obu(ObuType.OBU_FRAME, bytes(body))
 
 
+def show_existing_frame_obu(map_idx: int) -> bytes:
+    """Frame header OBU that displays an already-decoded DPB frame
+    (spec 5.9.2 show_existing_frame; non-key frames: header ends there)."""
+    w = BitWriter()
+    w.f(1, 1)  # show_existing_frame
+    w.f(map_idx, 3)  # frame_to_show_map_idx
+    w.trailing_bits()
+    return obu(ObuType.OBU_FRAME_HEADER, w.bytes())
+
+
 def temporal_delimiter_obu() -> bytes:
     return obu(ObuType.OBU_TEMPORAL_DELIMITER, b"")

@@ -1,10 +1,12 @@
-"""Top-level encoder (round-1 profile: intra + low-delay-P inter, CQP).
+"""Top-level encoder: intra + inter (low-delay P or hierarchical-B), CQP
+with per-layer qindex offsets.
 
 API shape mirrors the reference's library API (EbSvtAv1Enc.h:966-1076
-svt_av1_enc_init/_send_picture/_get_packet): construct with a config, feed
-frames, receive AV1 temporal units. GOP/DPB logic is the (simplified)
-analog of pd_process.c av1_generate_rps_info: key frame every `keyint`
-frames, inter frames reference the previous frame (LAST) from DPB slot 0.
+svt_av1_enc_send_picture / _get_packet): `send_frame` buffers display-order
+frames and returns the packets that become ready (coding order), `flush`
+drains the tail. GOP/DPB logic is the simplified analog of pd_process.c
+(set_mini_gop_structure / av1_generate_rps_info): dyadic mini-GoPs, hidden
+base frames, show_existing_frame at display time.
 """
 from __future__ import annotations
 
@@ -15,22 +17,34 @@ import numpy as np
 from ..codec.tile_codec import FrameParams, TileCodec
 from ..constants.av1 import RefFrame
 from ..constants.cdf import FrameContext
-from ..entropy.bitstream import FrameConfig, SequenceConfig, frame_obu, sequence_header_obu, temporal_delimiter_obu
-from . import intra_md
+from ..entropy.bitstream import (FrameConfig, SequenceConfig, frame_obu, sequence_header_obu,
+                                 show_existing_frame_obu, temporal_delimiter_obu)
+from . import gop, intra_md
 
 
 @dataclass
 class EncoderConfig:
     width: int
     height: int
-    qindex: int = 120  # base_q_idx (CQP)
+    qindex: int = 120  # base_q_idx (CQP, layer offsets applied)
     bd: int = 8
     mode_decision: str = "numpy"  # "numpy" (reference) or "jax" (device path)
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
     keyint: int = 1  # key frame every N frames (1 = all-intra)
+    minigop: int = 1  # 1 = low-delay; 2/4/8 = hierarchical-B mini-GoPs
     enable_dlf: bool = True  # in-loop deblocking (by-q levels)
     enable_cdef: bool = True  # CDEF (frame-wide searched strength set)
+
+
+@dataclass
+class Packet:
+    """One temporal unit out of the encoder (coding order)."""
+
+    tu: bytes
+    disp_idx: int | None = None  # display idx of the frame coded in this TU
+    recon: list | None = None  # encoder recon (aligned planes; None for SE)
+    shown_disp_idx: int | None = None  # display idx output by this TU
 
 
 def mi_from_plan(plan, params: FrameParams):
@@ -61,52 +75,133 @@ def pad_to_aligned(plane: np.ndarray, aw: int, ah: int) -> np.ndarray:
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, "round-1 profile: dims multiple of 8"
+        assert cfg.minigop in (1, 2, 4)  # 8 needs a smarter DPB slot policy
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
                                   enable_cdef=cfg.enable_cdef)
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.mode_decision != "jax":
             raise ValueError("multi-tile encoding requires the jax mode-decision backend")
-        if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.keyint != 1:
+        if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and (cfg.keyint != 1):
             raise ValueError("round-1 profile: inter frames are single-tile")
-        self.frame_idx = 0
-        self.dpb = [None] * 8  # slot -> {planes, order_hint}
+        self.next_disp = 0  # next display index expected from the caller
+        self.anchor = -1  # display idx of the last coded anchor
+        self.pending: list = []  # buffered (disp_idx, src_planes)
+        self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
+        self._wrote_seq = False
 
-    def _params(self, is_intra: bool, order_hint: int, ref_hints) -> FrameParams:
+    # ------------------------------------------------------------------- API
+
+    def send_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> list:
+        """Feed one display-order frame; returns ready packets."""
         cfg = self.cfg
+        d = self.next_disp
+        self.next_disp += 1
+        src = self._pad(y, u, v)
+        packets = []
+        is_key = cfg.keyint <= 1 or (d % cfg.keyint == 0)
+        if is_key:
+            packets += self._drain_pending()
+            packets.append(self._encode_one(d, src, True, True, 0, None, None))
+            self.anchor = d
+            return packets
+        self.pending.append((d, src))
+        if len(self.pending) == cfg.minigop:
+            packets += self._code_minigop(self.pending)
+            self.pending = []
+        return packets
+
+    def flush(self) -> list:
+        return self._drain_pending()
+
+    def encode_frame(self, y, u, v):
+        """Synchronous helper for low-delay configs (minigop == 1):
+        returns (tu_bytes, recon_planes) for this display frame."""
+        assert self.cfg.minigop == 1
+        pkts = self.send_frame(y, u, v)
+        assert len(pkts) == 1
+        return pkts[0].tu, pkts[0].recon
+
+    # ------------------------------------------------------------- scheduling
+
+    def _drain_pending(self) -> list:
+        packets = []
+        while self.pending:
+            size = 1
+            while size * 2 <= len(self.pending) and size * 2 <= self.cfg.minigop:
+                size *= 2
+            packets += self._code_minigop(self.pending[:size])
+            self.pending = self.pending[size:]
+        return packets
+
+    def _code_minigop(self, frames: list) -> list:
+        srcs = {d: s for d, s in frames}
+        base = self.anchor
+        sched = gop.schedule_minigop(base, len(frames))
+        packets = []
+        for f in sched:
+            pkt = self._encode_one(f.disp_idx, srcs[f.disp_idx], False, f.show, f.layer,
+                                   f.past_idx, f.future_idx)
+            packets.append(pkt)
+            for se in f.show_existing:
+                packets.append(self._show_existing(se))
+        self.anchor = frames[-1][0]
+        # drop DPB entries older than the new anchor (refs no longer needed)
+        for k in [k for k in self.dpb if k < self.anchor]:
+            del self.dpb[k]
+        return packets
+
+    # --------------------------------------------------------------- encoding
+
+    def _pad(self, y, u, v):
+        p = FrameParams(width=self.cfg.width, height=self.cfg.height, qindex=self.cfg.qindex,
+                        bd=self.cfg.bd)
+        aw, ah = p.aligned_width, p.aligned_height
+        return [pad_to_aligned(np.asarray(y, np.int32), aw, ah),
+                pad_to_aligned(np.asarray(u, np.int32), aw >> 1, ah >> 1),
+                pad_to_aligned(np.asarray(v, np.int32), aw >> 1, ah >> 1)]
+
+    def _frame_qindex(self, is_key: bool, layer: int) -> int:
+        q = self.cfg.qindex
+        if self.cfg.minigop > 1 or self.cfg.keyint > 1:
+            q += gop.KEY_Q_OFFSET if is_key else gop.LAYER_Q_OFFSET[min(layer, 2)]
+        return max(1, min(255, q))
+
+    def _show_existing(self, disp_idx: int) -> Packet:
+        slot = self.dpb[disp_idx]["slot"]
+        tu = temporal_delimiter_obu() + show_existing_frame_obu(slot)
+        return Packet(tu=tu, shown_disp_idx=disp_idx)
+
+    def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
+                    past_idx, future_idx) -> Packet:
+        cfg = self.cfg
+        order_hint = disp_idx & 0x7F
+        qindex = self._frame_qindex(is_key, layer)
+        ref_hints = [0] * 8
+        refs = None
+        ref_slot = [0] * 7
+        if not is_key:
+            past = self.dpb[past_idx]
+            fut = self.dpb[future_idx] if future_idx is not None else None
+            refs = {int(RefFrame.LAST_FRAME): past["planes"]}
+            if fut is not None:
+                refs[int(RefFrame.ALTREF_FRAME)] = fut["planes"]
+            for ref in range(1, 8):
+                ent = fut if (ref >= int(RefFrame.BWDREF_FRAME) and fut is not None) else past
+                ref_hints[ref] = ent["order_hint"]
+                ref_slot[ref - 1] = ent["slot"]
+
         lf_levels = (0, 0, 0, 0)
         if cfg.enable_dlf:
             from ..filters import dlf
 
-            lf_levels = dlf.pick_filter_levels(cfg.qindex, cfg.bd, is_intra, cfg.height)
-        return FrameParams(width=cfg.width, height=cfg.height, qindex=cfg.qindex, bd=cfg.bd,
-                           tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
-                           frame_is_intra=is_intra, order_hint=order_hint,
-                           ref_hints=tuple(ref_hints), lf_levels=lf_levels)
+            lf_levels = dlf.pick_filter_levels(qindex, cfg.bd, is_key, cfg.height)
+        p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
+                        tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
+                        frame_is_intra=is_key, order_hint=order_hint,
+                        ref_hints=tuple(ref_hints), lf_levels=lf_levels)
 
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> tuple[bytes, list]:
-        """Encode the next frame per the GOP structure. Returns
-        (temporal_unit_bytes, recon_planes at aligned dims)."""
-        cfg = self.cfg
-        is_key = cfg.keyint <= 1 or (self.frame_idx % cfg.keyint == 0)
-        order_hint = self.frame_idx & 0x7F
-        ref_hints = [0] * 8
-        refs = None
-        if not is_key:
-            entry = self.dpb[0]
-            assert entry is not None
-            refs = {int(RefFrame.LAST_FRAME): entry["planes"]}
-            for ref in range(1, 8):
-                ref_hints[ref] = entry["order_hint"]
-        p = self._params(is_key, order_hint, ref_hints)
-
-        aw, ah = p.aligned_width, p.aligned_height
-        src = [
-            pad_to_aligned(np.asarray(y, np.int32), aw, ah),
-            pad_to_aligned(np.asarray(u, np.int32), aw >> 1, ah >> 1),
-            pad_to_aligned(np.asarray(v, np.int32), aw >> 1, ah >> 1),
-        ]
         if is_key:
-            if self.cfg.mode_decision == "jax":
+            if cfg.mode_decision == "jax":
                 from . import intra_device
 
                 plan, recon = intra_device.encode_intra_frame(src, p)
@@ -130,8 +225,8 @@ class Encoder:
         if any(p.lf_levels):
             from ..filters import dlf
 
-            dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd,
-                                  is_key, levels=p.lf_levels, sharpness=p.lf_sharpness)
+            dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd, is_key,
+                                  levels=p.lf_levels, sharpness=p.lf_sharpness)
         cdef_y, cdef_uv, cdef_damping = ((0, 0),), ((0, 0),), 3
         if cfg.enable_cdef:
             from ..filters import cdef as cdef_mod
@@ -142,22 +237,21 @@ class Encoder:
             if ypri or ysec or upri or usec:
                 cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec, cdef_damping, bd=p.bd)
 
+        slot = disp_idx % 8
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
+                         show_frame=show,
                          tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
                          frame_type=0 if is_key else 1, order_hint=order_hint,
-                         refresh_frame_flags=0xFF if is_key else 0x01,
-                         ref_frame_idx=(0,) * 7,
+                         refresh_frame_flags=0xFF if is_key else (1 << slot),
+                         ref_frame_idx=tuple(ref_slot),
                          lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
                          cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv)
         tu = temporal_delimiter_obu()
-        if self.frame_idx == 0:
+        if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)
+            self._wrote_seq = True
         tu += frame_obu(self.seq, fr, tile_payload)
 
-        # DPB update (low-delay: every frame lands in slot 0; key refreshes all)
-        entry = {"planes": recon, "order_hint": order_hint}
-        for slot in range(8):
-            if is_key or slot == 0:
-                self.dpb[slot] = entry
-        self.frame_idx += 1
-        return tu, recon
+        self.dpb[disp_idx] = {"planes": recon, "order_hint": order_hint, "slot": slot}
+        return Packet(tu=tu, disp_idx=disp_idx, recon=recon,
+                      shown_disp_idx=disp_idx if show else None)

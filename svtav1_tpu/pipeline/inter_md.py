@@ -39,6 +39,7 @@ class _Ctx:
     lam: float
     mi: MiState
     tile: TileBounds
+    sbias: object = None  # RefFrameSignBias (must match the tile walk's)
 
 
 def _mc_pred(ctx: _Ctx, ref_frame: int, plane: int, px: int, py: int, psz: int, mv) -> np.ndarray:
@@ -54,10 +55,10 @@ def _sad(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.abs(a.astype(np.int64) - b).sum())
 
 
-def _fullpel_search(ctx: _Ctx, x: int, y: int, size: int, center_mv) -> tuple:
+def _fullpel_search(ctx: _Ctx, x: int, y: int, size: int, center_mv, ref_frame: int) -> tuple:
     """Exhaustive full-pel SAD search in a window around center_mv (1/8 pel).
     Returns best full-pel mv (1/8 units)."""
-    ref = ctx.refs[int(RefFrame.LAST_FRAME)][0]
+    ref = ctx.refs[ref_frame][0]
     srcb = ctx.src[0][y : y + size, x : x + size]
     H, W = ref.shape
     cy = y + (int(center_mv[0]) >> 3)
@@ -81,11 +82,11 @@ def _fullpel_search(ctx: _Ctx, x: int, y: int, size: int, center_mv) -> tuple:
     return ((y0 + int(by) - y) * 8, (x0 + int(bx) - x) * 8)
 
 
-def _subpel_refine(ctx: _Ctx, x: int, y: int, size: int, mv) -> tuple:
+def _subpel_refine(ctx: _Ctx, x: int, y: int, size: int, mv, ref_frame: int) -> tuple:
     """Two-stage (1/2 then 1/4 pel) 8-neighbor refinement by luma SAD."""
     srcb = ctx.src[0][y : y + size, x : x + size]
     best = (int(mv[0]), int(mv[1]))
-    best_sad = _sad(_mc_pred(ctx, int(RefFrame.LAST_FRAME), 0, x, y, size, best), srcb)
+    best_sad = _sad(_mc_pred(ctx, ref_frame, 0, x, y, size, best), srcb)
     for step in (4, 2):  # 1/8-pel units: half-pel, quarter-pel
         improved = True
         while improved:
@@ -95,7 +96,7 @@ def _subpel_refine(ctx: _Ctx, x: int, y: int, size: int, mv) -> tuple:
                     if dy == 0 and dx == 0:
                         continue
                     cand = (best[0] + dy, best[1] + dx)
-                    s = _sad(_mc_pred(ctx, int(RefFrame.LAST_FRAME), 0, x, y, size, cand), srcb)
+                    s = _sad(_mc_pred(ctx, ref_frame, 0, x, y, size, cand), srcb)
                     if s < best_sad:
                         best_sad, best = s, cand
                         improved = True
@@ -159,11 +160,11 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, write: bo
     return total_sse, total_bits, levels_out, all_zero
 
 
-def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int):
+def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int, ref_frame: int):
     """Candidate (mode, mv, ref_mv_idx) list from the normative MV stack."""
     mi_row, mi_col = y // 4, x // 4
     bsize = int(BSIZE_OF[size])
-    stack = find_mv_stack(ctx.mi, ctx.tile, mi_row, mi_col, bsize, int(RefFrame.LAST_FRAME))
+    stack = find_mv_stack(ctx.mi, ctx.tile, mi_row, mi_col, bsize, ref_frame, ctx.sbias)
     M = InterMode
     cands = [(int(M.GLOBALMV), (0, 0), 0)]
     nearest = (int(stack.mvs[0][0]), int(stack.mvs[0][1]))
@@ -173,8 +174,8 @@ def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int):
         cands.append((int(M.NEARMV), near, 1))
     # NEWMV: full-pel search centered on the class predictor + subpel refine
     pred = stack.pred_mv(0)
-    fp = _fullpel_search(ctx, x, y, size, pred)
-    mv = _subpel_refine(ctx, x, y, size, fp)
+    fp = _fullpel_search(ctx, x, y, size, pred, ref_frame)
+    mv = _subpel_refine(ctx, x, y, size, fp, ref_frame)
     # mv-diff bits proxy folds into _code_unit; NEWMV == pred is legal
     cands.append((int(M.NEWMV), mv, 0))
     return cands
@@ -183,12 +184,13 @@ def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int):
 def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
     """Evaluate inter + intra candidates open-loop; return (cost, decision)."""
     best = None
-    for mode, mv, rmi in _inter_candidates(ctx, x, y, size):
-        d = BlockDecision(y_mode=mode, ref_frame=int(RefFrame.LAST_FRAME), mv=mv, ref_mv_idx=rmi)
-        sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
-        cost = sse + ctx.lam * bits
-        if best is None or cost < best[0]:
-            best = (cost, d)
+    for ref_frame in ctx.refs:
+        for mode, mv, rmi in _inter_candidates(ctx, x, y, size, ref_frame):
+            d = BlockDecision(y_mode=mode, ref_frame=ref_frame, mv=mv, ref_mv_idx=rmi)
+            sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
+            cost = sse + ctx.lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, d)
     for mode in MODES:
         d = BlockDecision(y_mode=int(mode), uv_mode=int(mode))
         sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
@@ -270,7 +272,7 @@ def encode_inter_frame(src_planes: list, params: FrameParams, refs: dict) -> tup
     mi = MiState(p.mi_rows, p.mi_cols)
     tile = TileBounds(0, p.mi_rows, 0, p.mi_cols)
     ctx = _Ctx(params=p, src=src_planes, recon=recon, refs=refs, plan=Plan(),
-               lam=rd_lambda(p.qindex, p.bd), mi=mi, tile=tile)
+               lam=rd_lambda(p.qindex, p.bd), mi=mi, tile=tile, sbias=p.sign_bias())
     for sb_y in range(0, p.aligned_height, 64):
         for sb_x in range(0, p.aligned_width, 64):
             _code_square(ctx, sb_x, sb_y, 64)
