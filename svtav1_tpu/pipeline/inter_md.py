@@ -181,20 +181,38 @@ def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int, ref_frame: int):
     return cands
 
 
+def _fast_cost(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision) -> float:
+    """Stage-0 cost: luma-only prediction SAD + mode-bits proxy (analog of
+    product_coding_loop.c md_stage_0 fast cost)."""
+    p = ctx.params
+    if d.is_inter:
+        pred = _mc_pred(ctx, d.ref_frame, 0, x, y, size, d.mv)
+        bits = 12.0 if d.y_mode == int(InterMode.NEWMV) else 6.0
+    else:
+        pred = predict_block(ctx.recon[0], x, y, size, size, int(d.y_mode), p, 0,
+                             int(BSIZE_OF[size]))
+        bits = 30.0  # intra-in-inter signaling overhead
+    sad = _sad(pred, ctx.src[0][y : y + size, x : x + size])
+    return sad + np.sqrt(max(ctx.lam, 1.0)) * bits
+
+
+FULL_RD_CANDIDATES = 3  # stage-1 finalist count
+
+
 def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
-    """Evaluate inter + intra candidates open-loop; return (cost, decision)."""
-    best = None
+    """Two-stage candidate funnel (md_stage_0 fast cost -> full RD on the
+    finalists; reference product_coding_loop.c md_encode_block)."""
+    cands = []
     for ref_frame in ctx.refs:
         for mode, mv, rmi in _inter_candidates(ctx, x, y, size, ref_frame):
-            d = BlockDecision(y_mode=mode, ref_frame=ref_frame, mv=mv, ref_mv_idx=rmi)
-            sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
-            cost = sse + ctx.lam * bits
-            if best is None or cost < best[0]:
-                best = (cost, d)
+            cands.append(BlockDecision(y_mode=mode, ref_frame=ref_frame, mv=mv, ref_mv_idx=rmi))
     for mode in MODES:
-        d = BlockDecision(y_mode=int(mode), uv_mode=int(mode))
+        cands.append(BlockDecision(y_mode=int(mode), uv_mode=int(mode)))
+    scored = sorted(cands, key=lambda d: _fast_cost(ctx, x, y, size, d))
+    best = None
+    for d in scored[:FULL_RD_CANDIDATES]:
         sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
-        cost = sse + ctx.lam * (bits + 24.0)  # intra-in-inter signaling overhead
+        cost = sse + ctx.lam * (bits + (24.0 if not d.is_inter else 0.0))
         if best is None or cost < best[0]:
             best = (cost, d)
     return best
@@ -238,6 +256,12 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
     snap_mi = ctx.mi.snapshot()
     cost_none, d = _best_for_block(ctx, x, y, size)
     cost_none = _commit_block(ctx, x, y, size, d)
+
+    # all-zero inter block at this size: deeper partitions cannot beat it
+    # (classic skip-based depth pruning, enc_mode_config.c depth refinement)
+    if d.is_inter and d.skip:
+        ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_NONE)
+        return cost_none
 
     if size > 8:
         recon_none = [r.copy() for r in ctx.recon]

@@ -113,13 +113,22 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
 
 
 def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
-    """Try modes open-loop (without committing recon), return best decision."""
-    best = None
+    """Two-stage mode search: luma-SAD ranking, full RD on the finalists
+    (md_stage_0 fast cost -> md_stage_3 full loop)."""
+    p = ctx.params
+    target = ctx.src[0][y : y + size, x : x + size]
+    scored = []
     for mode in MODES:
-        sse, bits, levels, zero = _code_unit(ctx, x, y, size, int(mode), int(mode), write=False)
+        pred = predict_block(ctx.recon[0], x, y, size, size, int(mode), p, 0, int(BSIZE_OF[size]))
+        sad = float(np.abs(pred.astype(np.int64) - target).sum())
+        scored.append((sad, int(mode)))
+    scored.sort()
+    best = None
+    for _, mode in scored[:3]:
+        sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=False)
         cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
-            best = (cost, int(mode), levels, zero)
+            best = (cost, mode, levels, zero)
     return best
 
 
