@@ -1,0 +1,68 @@
+"""Rate estimation: exact CDF-based bit costs for mode decision.
+
+Instead of the reference's precomputed per-symbol LUTs
+(md_rate_estimation.c svt_aom_estimate_coefficients_rate), we run the real
+symbol writers against a `BitCounter` — a duck-typed range-coder stand-in
+that accumulates -log2(p) per symbol. This reuses write_coeffs_txb_body /
+MvCoder verbatim, so estimated bits track the true coder by construction
+(up to CDF adaptation drift, which MD ignores just like the reference's
+per-SB snapshot approximation, enc_dec_process.c:3330).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants.av1 import TX_H, TX_W
+from . import txb as txb_mod
+
+# cost in bits for a symbol of probability p/32768, p = 1..32768
+_COST = np.zeros(32769, np.float32)
+_COST[1:] = -np.log2(np.arange(1, 32769, dtype=np.float64) / 32768.0)
+
+
+class BitCounter:
+    """Range-coder stand-in: accumulates information content in bits."""
+
+    __slots__ = ("bits",)
+
+    def __init__(self) -> None:
+        self.bits = 0.0
+
+    def encode_symbol_n(self, symbol: int, icdf, nsyms: int) -> None:
+        prev = 32768 if symbol == 0 else int(icdf[symbol - 1])
+        p = prev - int(icdf[symbol])
+        self.bits += float(_COST[max(p, 1)])
+
+    def encode_bool_q15(self, bit: int, f: int) -> None:
+        p = (32768 - f) if bit else f
+        self.bits += float(_COST[max(p, 1)])
+
+
+def txb_bits(fc, levels: np.ndarray, tx_size: int, tx_type: int, plane_type: int,
+             txb_skip_ctx: int = 0, dc_sign_ctx: int = 0) -> float:
+    """Bits to code one transform block (txb_skip + eob + levels + signs)."""
+    bc = BitCounter()
+    txs_ctx = txb_mod.get_txsize_entropy_ctx(tx_size)
+    eob_zero = not np.any(levels != 0)
+    bc.encode_symbol_n(int(eob_zero), fc["txb_skip"][txs_ctx][txb_skip_ctx], 2)
+    if not eob_zero:
+        adj = txb_mod.adjusted_tx_size(tx_size)
+        lv = levels[: int(TX_H[adj]), : int(TX_W[adj])]
+        txb_mod.write_coeffs_txb_body(bc, fc, np.ascontiguousarray(lv), tx_size, tx_type,
+                                      plane_type, dc_sign_ctx, update=False)
+    return bc.bits
+
+
+def mv_bits(fc, mv, pred, allow_hp: bool = False) -> float:
+    """Bits for a NEWMV difference via the real MV coder."""
+    from .mv import MvCoder
+
+    bc = BitCounter()
+    MvCoder(fc, update=False, allow_hp=allow_hp).write_mv(bc, mv, pred)
+    return bc.bits
+
+
+def symbol_bits(fc_table, symbol: int, nsyms: int) -> float:
+    bc = BitCounter()
+    bc.encode_symbol_n(symbol, fc_table, nsyms)
+    return bc.bits

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..codec import rate as rate_mod
 from ..codec import txb as txb_mod
 from ..codec.mvp import MiState, TileBounds, find_mv_stack
 from ..codec.tile_codec import (BlockDecision, FrameParams, Plan, chroma_tx_type, chroma_tx_type_inter,
@@ -40,6 +41,7 @@ class _Ctx:
     mi: MiState
     tile: TileBounds
     sbias: object = None  # RefFrameSignBias (must match the tile walk's)
+    fc: object = None  # FrameContext (default CDFs) for rate estimation
 
 
 def _mc_pred(ctx: _Ctx, ref_frame: int, plane: int, px: int, py: int, psz: int, mv) -> np.ndarray:
@@ -106,13 +108,14 @@ def _subpel_refine(ctx: _Ctx, x: int, y: int, size: int, mv, ref_frame: int) -> 
 def _code_unit(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, write: bool):
     """Predict/transform/quantize one block for decision d; optionally commit.
 
-    Returns (sse, bits_estimate, levels, all_zero)."""
+    Returns (sse, bits_estimate, levels, all_zero). Bits are real CDF-based
+    counts from the txb writer plus the candidate's mode bits."""
     p = ctx.params
     bsize = BSIZE_OF[size]
     tx_y = int(MAX_TXSIZE_RECT[int(bsize)])
     tx_uv = int(max_uv_txsize(int(bsize)))
     total_sse = 0.0
-    total_bits = 16.0
+    txb_bits_sum = 0.0
     levels_out = []
     all_zero = True
     planes_recon = []
@@ -139,19 +142,16 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, write: bo
         dq = quant_ops.dequantize_np(lv_full, p.qindex, psz, psz, p.bd)
         recon_blk = txfm_ops.inv_txfm2d_add_np(dq[None], pred[None], tx_type, p.bd)[0]
         sse = float(((recon_blk - target).astype(np.float64) ** 2).sum())
-        nz = int(np.count_nonzero(lv))
-        mag = float(np.abs(lv).sum())
-        bits = 2.0 + nz * 3.0 + 2.0 * np.log2(1.0 + mag)
+        txb_bits_sum += rate_mod.txb_bits(ctx.fc, lv, tx_size, tx_type, int(plane > 0),
+                                          0 if plane == 0 else 7, 0)
         total_sse += sse
-        total_bits += bits
         levels_out.append(lv.copy())
         planes_recon.append(recon_blk)
-        if nz:
+        if np.any(lv != 0):
             all_zero = False
-    if d.is_inter:
-        # mode-cost proxy: NEWMV pays mv-diff bits
-        if d.y_mode == int(InterMode.NEWMV):
-            total_bits += 6.0
+    mode_bits = getattr(d, "_mode_bits", 8.0)
+    # skip=1 replaces all txb syntax with a single skip flag
+    total_bits = mode_bits + 1.0 + (0.0 if all_zero else txb_bits_sum)
     if write:
         for plane in range(3):
             ss = 0 if plane == 0 else 1
@@ -161,23 +161,34 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, write: bo
 
 
 def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int, ref_frame: int):
-    """Candidate (mode, mv, ref_mv_idx) list from the normative MV stack."""
+    """Candidate (mode, mv, ref_mv_idx, mode_bits) list from the MV stack."""
     mi_row, mi_col = y // 4, x // 4
     bsize = int(BSIZE_OF[size])
     stack = find_mv_stack(ctx.mi, ctx.tile, mi_row, mi_col, bsize, ref_frame, ctx.sbias)
+    fc = ctx.fc
     M = InterMode
-    cands = [(int(M.GLOBALMV), (0, 0), 0)]
+    sb = rate_mod.symbol_bits
+    ref_bits = 2.5  # single-ref tree ballpark (ctx-dependent)
+    b_new = sb(fc["newmv"][stack.new_mv_ctx], 0, 2)
+    b_not_new = sb(fc["newmv"][stack.new_mv_ctx], 1, 2)
+    b_glob = b_not_new + sb(fc["zeromv"][stack.zero_mv_ctx], 0, 2)
+    b_not_glob = b_not_new + sb(fc["zeromv"][stack.zero_mv_ctx], 1, 2)
+    b_nearest = b_not_glob + sb(fc["refmv"][stack.ref_mv_ctx], 0, 2)
+    b_near = b_not_glob + sb(fc["refmv"][stack.ref_mv_ctx], 1, 2) + (1.0 if stack.count > 2 else 0.0)
+
+    cands = [(int(M.GLOBALMV), (0, 0), 0, ref_bits + b_glob)]
     nearest = (int(stack.mvs[0][0]), int(stack.mvs[0][1]))
-    cands.append((int(M.NEARESTMV), nearest, 0))
+    cands.append((int(M.NEARESTMV), nearest, 0, ref_bits + b_nearest))
     near = (int(stack.mvs[1][0]), int(stack.mvs[1][1]))
     if near != nearest:
-        cands.append((int(M.NEARMV), near, 1))
+        cands.append((int(M.NEARMV), near, 1, ref_bits + b_near))
     # NEWMV: full-pel search centered on the class predictor + subpel refine
     pred = stack.pred_mv(0)
     fp = _fullpel_search(ctx, x, y, size, pred, ref_frame)
     mv = _subpel_refine(ctx, x, y, size, fp, ref_frame)
-    # mv-diff bits proxy folds into _code_unit; NEWMV == pred is legal
-    cands.append((int(M.NEWMV), mv, 0))
+    drl_bits = 1.0 if stack.count > 1 else 0.0
+    cands.append((int(M.NEWMV), mv, 0,
+                  ref_bits + b_new + drl_bits + rate_mod.mv_bits(fc, mv, pred)))
     return cands
 
 
@@ -187,13 +198,11 @@ def _fast_cost(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision) -> float:
     p = ctx.params
     if d.is_inter:
         pred = _mc_pred(ctx, d.ref_frame, 0, x, y, size, d.mv)
-        bits = 12.0 if d.y_mode == int(InterMode.NEWMV) else 6.0
     else:
         pred = predict_block(ctx.recon[0], x, y, size, size, int(d.y_mode), p, 0,
                              int(BSIZE_OF[size]))
-        bits = 30.0  # intra-in-inter signaling overhead
     sad = _sad(pred, ctx.src[0][y : y + size, x : x + size])
-    return sad + np.sqrt(max(ctx.lam, 1.0)) * bits
+    return sad + np.sqrt(max(ctx.lam, 1.0)) * getattr(d, "_mode_bits", 8.0)
 
 
 FULL_RD_CANDIDATES = 3  # stage-1 finalist count
@@ -202,17 +211,26 @@ FULL_RD_CANDIDATES = 3  # stage-1 finalist count
 def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
     """Two-stage candidate funnel (md_stage_0 fast cost -> full RD on the
     finalists; reference product_coding_loop.c md_encode_block)."""
+    fc = ctx.fc
     cands = []
     for ref_frame in ctx.refs:
-        for mode, mv, rmi in _inter_candidates(ctx, x, y, size, ref_frame):
-            cands.append(BlockDecision(y_mode=mode, ref_frame=ref_frame, mv=mv, ref_mv_idx=rmi))
+        for mode, mv, rmi, mode_bits in _inter_candidates(ctx, x, y, size, ref_frame):
+            d = BlockDecision(y_mode=mode, ref_frame=ref_frame, mv=mv, ref_mv_idx=rmi)
+            d._mode_bits = 1.0 + mode_bits  # + is_inter flag
+            cands.append(d)
+    bsize = int(BSIZE_OF[size])
+    from ..constants.av1 import SIZE_GROUP
+
     for mode in MODES:
-        cands.append(BlockDecision(y_mode=int(mode), uv_mode=int(mode)))
+        d = BlockDecision(y_mode=int(mode), uv_mode=int(mode))
+        d._mode_bits = (1.0 + rate_mod.symbol_bits(fc["y_mode"][int(SIZE_GROUP[bsize])], int(mode), 13)
+                        + 2.5)  # + is_inter flag + uv mode ballpark
+        cands.append(d)
     scored = sorted(cands, key=lambda d: _fast_cost(ctx, x, y, size, d))
     best = None
     for d in scored[:FULL_RD_CANDIDATES]:
         sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
-        cost = sse + ctx.lam * (bits + (24.0 if not d.is_inter else 0.0))
+        cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
             best = (cost, d)
     return best
@@ -295,8 +313,11 @@ def encode_inter_frame(src_planes: list, params: FrameParams, refs: dict) -> tup
     recon = [np.zeros_like(pl) for pl in src_planes]
     mi = MiState(p.mi_rows, p.mi_cols)
     tile = TileBounds(0, p.mi_rows, 0, p.mi_cols)
+    from ..constants.cdf import FrameContext
+
     ctx = _Ctx(params=p, src=src_planes, recon=recon, refs=refs, plan=Plan(),
-               lam=rd_lambda(p.qindex, p.bd), mi=mi, tile=tile, sbias=p.sign_bias())
+               lam=rd_lambda(p.qindex, p.bd), mi=mi, tile=tile, sbias=p.sign_bias(),
+               fc=FrameContext(p.qindex))
     for sb_y in range(0, p.aligned_height, 64):
         for sb_x in range(0, p.aligned_width, 64):
             _code_square(ctx, sb_x, sb_y, 64)

@@ -65,6 +65,7 @@ class _Ctx:
     recon: list  # planes being built
     plan: Plan
     lam: float
+    fc: object = None  # FrameContext (default CDFs) for rate estimation
 
 
 def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, write: bool):
@@ -99,13 +100,18 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
         dq = quant_ops.dequantize_np(lv_full, p.qindex, psz, psz, p.bd)
         recon_blk = txfm_ops.inv_txfm2d_add_np(dq[None], pred[None], tx_type, p.bd)[0]
         sse = float(((recon_blk - target).astype(np.float64) ** 2).sum())
-        nz = int(np.count_nonzero(lv))
-        mag = float(np.abs(lv).sum())
-        bits = 2.0 + nz * 3.0 + 2.0 * np.log2(1.0 + mag)  # crude; real rate est later
+        if ctx.fc is not None:
+            from ..codec import rate as rate_mod
+
+            bits = rate_mod.txb_bits(ctx.fc, lv, tx_size, tx_type, int(plane > 0),
+                                     0 if plane == 0 else 7, 0)
+        else:
+            nz = int(np.count_nonzero(lv))
+            bits = 2.0 + nz * 3.0 + 2.0 * np.log2(1.0 + float(np.abs(lv).sum()))
         total_sse += sse
         total_bits += bits
         levels_out.append(lv.copy())
-        if nz:
+        if np.any(lv != 0):
             all_zero = False
         if write:
             rec[py : py + psz, px : px + psz] = recon_blk
@@ -210,7 +216,10 @@ def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, lis
     Returns (plan, recon_planes)."""
     p = params
     recon = [np.zeros_like(pl) for pl in src_planes]
-    ctx = _Ctx(params=p, src=src_planes, recon=recon, plan=Plan(), lam=rd_lambda(p.qindex, p.bd))
+    from ..constants.cdf import FrameContext
+
+    ctx = _Ctx(params=p, src=src_planes, recon=recon, plan=Plan(), lam=rd_lambda(p.qindex, p.bd),
+               fc=FrameContext(p.qindex))
     for sb_y in range(0, p.aligned_height, 64):
         for sb_x in range(0, p.aligned_width, 64):
             _code_square(ctx, sb_x, sb_y, 64)
