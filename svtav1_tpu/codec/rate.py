@@ -20,8 +20,15 @@ _COST = np.zeros(32769, np.float32)
 _COST[1:] = -np.log2(np.arange(1, 32769, dtype=np.float64) / 32768.0)
 
 
+EC_PROB_SHIFT = 6
+EC_MIN_PROB = 4
+
+
 class BitCounter:
-    """Range-coder stand-in: accumulates information content in bits."""
+    """Range-coder stand-in: accumulates information content in bits using
+    the od_ec coder's EFFECTIVE probabilities (probabilities are used at
+    reduced precision with a per-symbol minimum slice — entropy computed
+    from the nominal CDF underestimates real cost by ~5%)."""
 
     __slots__ = ("bits",)
 
@@ -29,13 +36,21 @@ class BitCounter:
         self.bits = 0.0
 
     def encode_symbol_n(self, symbol: int, icdf, nsyms: int) -> None:
-        prev = 32768 if symbol == 0 else int(icdf[symbol - 1])
-        p = prev - int(icdf[symbol])
-        self.bits += float(_COST[max(p, 1)])
+        N = nsyms - 1
+        fh = int(icdf[symbol]) if symbol < N else 0
+        if symbol > 0:
+            fl = int(icdf[symbol - 1])
+            p = (((fl >> EC_PROB_SHIFT) - (fh >> EC_PROB_SHIFT)) << EC_PROB_SHIFT) + EC_MIN_PROB
+        else:
+            p = 32768 - ((fh >> EC_PROB_SHIFT) << EC_PROB_SHIFT) - EC_MIN_PROB * N
+        self.bits += float(_COST[min(max(p, 1), 32768)])
 
     def encode_bool_q15(self, bit: int, f: int) -> None:
-        p = (32768 - f) if bit else f
-        self.bits += float(_COST[max(p, 1)])
+        if bit:
+            p = ((f >> EC_PROB_SHIFT) << EC_PROB_SHIFT) + EC_MIN_PROB
+        else:
+            p = 32768 - ((f >> EC_PROB_SHIFT) << EC_PROB_SHIFT) - EC_MIN_PROB
+        self.bits += float(_COST[min(max(p, 1), 32768)])
 
 
 def txb_bits(fc, levels: np.ndarray, tx_size: int, tx_type: int, plane_type: int,

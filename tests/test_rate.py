@@ -31,8 +31,9 @@ def test_bitcounter_matches_coder_on_txbs():
         txb_mod.write_coeffs_txb_body(enc, fc_real, lv, int(TxSize.TX_16X16),
                                       int(TxType.DCT_DCT), 0, 0, update=False)
     real_bits = len(enc.done()) * 8
-    # estimator is exact per symbol; total differs only by coder flush slack
-    assert abs(est_bits - real_bits) < 64, (est_bits, real_bits)
+    # estimator mirrors the coder's reduced-precision probabilities; the
+    # residual is the state-dependent (r >> 8) truncation, ~1% + flush slack
+    assert abs(est_bits - real_bits) < 0.02 * real_bits + 64, (est_bits, real_bits)
 
 
 def test_mv_bits_reasonable():
@@ -41,7 +42,7 @@ def test_mv_bits_reasonable():
     big = rate.mv_bits(fc, (512, -512), (0, 0))
     zero = rate.mv_bits(fc, (0, 0), (0, 0))
     assert zero < small < big
-    assert zero < 2.0  # joint=ZERO only
+    assert zero < 4.0  # joint=ZERO only (default p = 1/8 -> ~3 bits)
 
 
 def test_symbol_bits_distribution():
