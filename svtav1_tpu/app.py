@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--keyint", type=int, default=1, help="key frame interval (1 = all-intra)")
     ap.add_argument("--minigop", type=int, default=1, choices=[1, 2, 4],
                     help="mini-GoP size (1 = low-delay, >1 = hierarchical-B)")
+    ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr"], help="rate control mode")
+    ap.add_argument("--tbr", type=float, default=0.0, help="CBR target bitrate (kbit/s)")
+    ap.add_argument("--scd", action="store_true", help="scene change detection (adaptive keys)")
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
     args = ap.parse_args(argv)
 
@@ -42,7 +45,9 @@ def main(argv=None) -> int:
         print("no frames read", file=sys.stderr)
         return 1
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
-                                keyint=args.keyint, minigop=args.minigop))
+                                keyint=args.keyint, minigop=args.minigop,
+                                rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),
+                                scene_cut=args.scd))
     dec = Decoder()
     tus = []
     recons = []

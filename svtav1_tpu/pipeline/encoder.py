@@ -35,6 +35,10 @@ class EncoderConfig:
     minigop: int = 1  # 1 = low-delay; 2/4/8 = hierarchical-B mini-GoPs
     enable_dlf: bool = True  # in-loop deblocking (by-q levels)
     enable_cdef: bool = True  # CDEF (frame-wide searched strength set)
+    rc_mode: str = "cqp"  # "cqp" | "cbr"
+    target_kbps: float = 0.0  # CBR target (kbit/s)
+    fps: float = 30.0
+    scene_cut: bool = False  # adaptive key frames on scene changes
 
 
 @dataclass
@@ -88,6 +92,13 @@ class Encoder:
         self.pending: list = []  # buffered (disp_idx, src_planes)
         self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
         self._wrote_seq = False
+        from . import rc
+
+        self.rc = None
+        if cfg.rc_mode == "cbr":
+            assert cfg.target_kbps > 0, "cbr needs target_kbps"
+            self.rc = rc.CbrController(cfg.target_kbps * 1000.0, cfg.fps, cfg.qindex)
+        self.scene = rc.SceneDetector() if cfg.scene_cut else None
 
     # ------------------------------------------------------------------- API
 
@@ -99,6 +110,8 @@ class Encoder:
         src = self._pad(y, u, v)
         packets = []
         is_key = cfg.keyint <= 1 or (d % cfg.keyint == 0)
+        if self.scene is not None and self.scene.is_cut(src[0]) and d > 0:
+            is_key = True
         if is_key:
             packets += self._drain_pending()
             packets.append(self._encode_one(d, src, True, True, 0, None, None))
@@ -161,6 +174,8 @@ class Encoder:
                 pad_to_aligned(np.asarray(v, np.int32), aw >> 1, ah >> 1)]
 
     def _frame_qindex(self, is_key: bool, layer: int) -> int:
+        if self.rc is not None:
+            return self.rc.frame_qindex(is_key, layer)
         q = self.cfg.qindex
         if self.cfg.minigop > 1 or self.cfg.keyint > 1:
             q += gop.KEY_Q_OFFSET if is_key else gop.LAYER_Q_OFFSET[min(layer, 2)]
@@ -253,5 +268,7 @@ class Encoder:
         tu += frame_obu(self.seq, fr, tile_payload)
 
         self.dpb[disp_idx] = {"planes": recon, "order_hint": order_hint, "slot": slot}
+        if self.rc is not None:
+            self.rc.update(len(tu) * 8.0)
         return Packet(tu=tu, disp_idx=disp_idx, recon=recon,
                       shown_disp_idx=disp_idx if show else None)
