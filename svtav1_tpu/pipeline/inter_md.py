@@ -18,7 +18,8 @@ import numpy as np
 from ..codec import rate as rate_mod
 from ..codec import txb as txb_mod
 from ..codec.mvp import MiState, TileBounds, find_mv_stack
-from ..codec.tile_codec import (BlockDecision, FrameParams, Plan, chroma_tx_type, chroma_tx_type_inter,
+from ..codec.tile_codec import (AV1_EXT_TX_USED, BlockDecision, FrameParams, Plan, chroma_tx_type,
+                                chroma_tx_type_inter, ext_tx_set_type_inter, ext_tx_set_type_intra,
                                 is_directional, max_uv_txsize)
 from ..constants.av1 import (BLOCK_W, MAX_TXSIZE_RECT, TX_H, TX_W, BlockSize, InterMode, Partition, PredMode,
                              RefFrame, TxType)
@@ -233,7 +234,31 @@ def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
         cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
             best = (cost, d)
+    # luma tx-type search on the winner (Appendix-TX-Search analog)
+    import dataclasses
+
+    d = best[1]
+    for tx_type in tx_type_candidates(size, d.is_inter):
+        d2 = dataclasses.replace(d, tx_type=tx_type)
+        d2._mode_bits = getattr(d, "_mode_bits", 8.0)
+        sse, bits, levels, zero = _code_unit(ctx, x, y, size, d2, write=False)
+        cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
+        if cost < best[0]:
+            best = (cost, d2)
     return best
+
+
+def tx_type_candidates(size: int, is_inter: bool):
+    """Non-DCT luma tx types allowed for this (square) block size."""
+    from ..constants.av1 import MAX_TXSIZE_RECT
+
+    tx_size = int(MAX_TXSIZE_RECT[int(BSIZE_OF[size])])
+    set_type = ext_tx_set_type_inter(tx_size) if is_inter else ext_tx_set_type_intra(tx_size)
+    out = []
+    for t in (int(TxType.ADST_ADST), int(TxType.ADST_DCT), int(TxType.DCT_ADST)):
+        if AV1_EXT_TX_USED[set_type][t]:
+            out.append(t)
+    return out
 
 
 def _commit_block(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision) -> float:

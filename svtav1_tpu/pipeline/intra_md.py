@@ -68,7 +68,8 @@ class _Ctx:
     fc: object = None  # FrameContext (default CDFs) for rate estimation
 
 
-def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, write: bool):
+def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, write: bool,
+               tx_type_y: int = int(TxType.DCT_DCT)):
     """Predict/transform/quantize one block; if write, commit recon + plan.
 
     Returns (sse, bits_estimate, levels_per_plane, all_zero)."""
@@ -85,7 +86,7 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
         px, py, psz = x >> ss, y >> ss, size >> ss
         tx_size = tx_y if plane == 0 else tx_uv
         m = mode if plane == 0 else uv_mode
-        tx_type = int(TxType.DCT_DCT) if plane == 0 else chroma_tx_type(uv_mode, tx_size)
+        tx_type = int(tx_type_y) if plane == 0 else chroma_tx_type(uv_mode, tx_size)
         rec = ctx.recon[plane]
         srcp = ctx.src[plane]
         pred = predict_block(rec, px, py, psz, psz, int(m), p, ss, int(bsize))
@@ -134,7 +135,16 @@ def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
         sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=False)
         cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
-            best = (cost, mode, levels, zero)
+            best = (cost, mode, levels, zero, int(TxType.DCT_DCT))
+    # luma tx-type search on the winning mode
+    from .inter_md import tx_type_candidates
+
+    mode = best[1]
+    for tx in tx_type_candidates(size, is_inter=False):
+        sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=False, tx_type_y=tx)
+        cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
+        if cost < best[0]:
+            best = (cost, mode, levels, zero, tx)
     return best
 
 
@@ -162,9 +172,9 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
     # candidate NONE on a snapshot
     snap = [r.copy() for r in ctx.recon]
     best = _best_mode_for_block(ctx, x, y, size)
-    cost_none, mode, levels, zero = best
+    cost_none, mode, levels, zero, tx_y = best
     # commit NONE tentatively
-    sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=True)
+    sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=True, tx_type_y=tx_y)
     cost_none = sse + ctx.lam * bits
 
     if size > 8:
@@ -191,7 +201,7 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
 
     ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_NONE)
     ctx.plan.blocks[(mi_row, mi_col, int(bsize))] = BlockDecision(
-        y_mode=mode, uv_mode=mode, skip=int(zero), tx_type=int(TxType.DCT_DCT),
+        y_mode=mode, uv_mode=mode, skip=int(zero), tx_type=int(tx_y),
         levels_y=levels[0] if not zero else None,
         levels_u=levels[1] if not zero else None,
         levels_v=levels[2] if not zero else None,
