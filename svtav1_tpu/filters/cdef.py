@@ -101,11 +101,11 @@ def adjust_strength(strength: int, var: np.ndarray) -> np.ndarray:
 
 def _constrain(diff, strength, damping):
     """strength/damping may be per-unit arrays broadcast over samples."""
-    s = np.asarray(strength, np.int32)
-    shift = np.maximum(0, damping - _msb(s)).astype(np.int32)
+    s = np.asarray(strength, np.int16)
+    shift = np.maximum(0, damping - _msb(s)).astype(np.int16)
     ad = np.abs(diff)
-    mag = np.minimum(ad, np.maximum(0, s - (ad >> shift)))
-    return np.sign(diff) * np.where(s > 0, mag, 0)
+    mag = np.minimum(ad, np.maximum(0, s - (ad >> shift)).astype(diff.dtype))
+    return np.where(diff < 0, -mag, mag) * (s > 0)
 
 
 def _gather_taps(plane: np.ndarray, ys: np.ndarray, xs: np.ndarray, bh: int, bw: int,
@@ -116,7 +116,8 @@ def _gather_taps(plane: np.ndarray, ys: np.ndarray, xs: np.ndarray, bh: int, bw:
     out-of-frame samples carry CDEF_VERY_LARGE."""
     H, W = plane.shape
     B = 2
-    P = np.full((H + 2 * B, W + 2 * B), CDEF_VERY_LARGE, np.int32)
+    # int16 is safe for 8/10-bit samples and CDEF_VERY_LARGE (0x7F7F)
+    P = np.full((H + 2 * B, W + 2 * B), CDEF_VERY_LARGE, np.int16)
     P[B : B + H, B : B + W] = plane
     ii = np.arange(bh)[None, :, None]
     jj = np.arange(bw)[None, None, :]
@@ -139,22 +140,22 @@ def _gather_taps(plane: np.ndarray, ys: np.ndarray, xs: np.ndarray, bh: int, bw:
 def _apply_taps(x0, ptaps, staps, pri: np.ndarray, sec: int, pri_damping: int,
                 sec_damping: int, coeff_shift: int = 0) -> np.ndarray:
     """Constrained weighted sum + min/max clip (svt_cdef_filter_block_c)."""
-    pri_arr = np.asarray(pri, np.int32).reshape(-1, 1, 1)
-    taps_sel = (pri_arr[:, 0, 0] >> coeff_shift) & 1
-    sum_ = np.zeros_like(x0)
+    pri_arr = np.asarray(pri, np.int16).reshape(-1, 1, 1)
+    taps_sel = (np.asarray(pri, np.int64).reshape(-1) >> coeff_shift) & 1
+    sum_ = np.zeros(x0.shape, np.int16)
     mx = x0.copy()
     mn = x0.copy()
     for k in range(2):
-        ptap = PRI_TAPS[taps_sel, k][:, None, None]
-        stap = int(SEC_TAPS[0, k])
+        ptap = PRI_TAPS[taps_sel, k].astype(np.int16)[:, None, None]
+        stap = np.int16(SEC_TAPS[0, k])
         for p in ptaps[2 * k : 2 * k + 2]:
             sum_ += ptap * _constrain(p - x0, pri_arr, pri_damping)
-            mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
-            mn = np.minimum(mn, p)
+            np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p), out=mx)
+            np.minimum(mn, p, out=mn)
         for s in staps[4 * k : 4 * k + 4]:
-            sum_ += stap * _constrain(s - x0, sec, sec_damping)
-            mx = np.maximum(mx, np.where(s == CDEF_VERY_LARGE, mx, s))
-            mn = np.minimum(mn, s)
+            sum_ += stap * _constrain(s - x0, np.int16(sec), sec_damping)
+            np.maximum(mx, np.where(s == CDEF_VERY_LARGE, mx, s), out=mx)
+            np.minimum(mn, s, out=mn)
     y = x0 + ((8 + sum_ - (sum_ < 0)) >> 4)
     return np.clip(y, mn, mx)
 

@@ -80,9 +80,10 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
     # per-sample-row filter length map
     flen_s = np.repeat(flen, 4, axis=0)[:H]  # (H, K)
     cols = (np.arange(K) + 1) * 4  # edge columns
-    # gather p6..p0,q0..q6 as (H, K) planes; clip indices (masks gate validity)
+    # gather p6..p0,q0..q6 as (H, K) planes; clip indices (masks gate
+    # validity). int16: max weighted sum is 16*1023 (10-bit) < 32767.
     def col(off):
-        return plane[:, np.clip(cols + off, 0, W - 1)].astype(np.int32)
+        return plane[:, np.clip(cols + off, 0, W - 1)].astype(np.int16)
 
     p = [col(-1 - i) for i in range(7)]  # p0..p6
     q = [col(i) for i in range(7)]  # q0..q6
