@@ -37,15 +37,18 @@ def main(argv=None) -> int:
     if not 0 <= args.qindex <= 255:
         ap.error(f"--qindex must be in [0, 255], got {args.qindex}")
     try:
-        frames, w, h, fps = read_y4m(args.input, args.frames)
+        frames, w, h, fps, bd = read_y4m(args.input, args.frames)
     except (OSError, ValueError) as e:
         print(f"error reading {args.input}: {e}", file=sys.stderr)
         return 1
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
+    if bd > 8 and args.md == "jax":
+        print("10-bit uses the numpy mode-decision path", file=sys.stderr)
+        args.md = "numpy"
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
-                                keyint=args.keyint, minigop=args.minigop,
+                                keyint=args.keyint, minigop=args.minigop, bd=bd,
                                 rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),
                                 scene_cut=args.scd))
     dec = Decoder()
@@ -70,9 +73,11 @@ def main(argv=None) -> int:
         if dy is not None:
             assert pkt.shown_disp_idx == n_shown
             y = frames[n_shown][0]
-            recons.append((dy.astype(np.uint8), du.astype(np.uint8), dv.astype(np.uint8)))
+            dt = np.uint8 if bd == 8 else np.uint16
+            recons.append((dy.astype(dt), du.astype(dt), dv.astype(dt)))
+            peak = (1 << bd) - 1
             mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
-            psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+            psnr = 10 * np.log10(peak ** 2 / max(mse, 1e-9))
             total_psnr += psnr
             n_shown += 1
             print(f"frame {n_shown - 1}: {len(pkt.tu)} bytes, Y-PSNR {psnr:.2f} dB")
@@ -85,7 +90,7 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     write_ivf(args.output, tus, w, h, fps)
     if args.recon:
-        write_y4m(args.recon, recons, w, h, fps)
+        write_y4m(args.recon, recons, w, h, fps, bd=bd)
     kb = sum(len(t) for t in tus) / 1000.0
     nf = len(frames)
     print(f"encoded {nf} frames ({len(tus)} TUs) {w}x{h} in {dt:.2f}s ({nf/dt:.2f} fps), {kb:.1f} kB", end="")

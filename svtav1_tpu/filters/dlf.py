@@ -66,17 +66,25 @@ def _uv_tx_w(bsize_arr: np.ndarray) -> np.ndarray:
     return np.clip(w >> 1, 4, 32)
 
 
-def _clip8(v, lo=-128, hi=127):
-    return np.clip(v, lo, hi)
-
-
-def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: int, thr: int) -> None:
+def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: int, thr: int,
+                           bd: int = 8) -> None:
     """Filter vertical edges in place. flen: (plane_mi_rows, n_edge_cols)
-    filter lengths {0,4,6,8,14} for edge columns x = 4*(k+1)."""
+    filter lengths {0,4,6,8,14} for edge columns x = 4*(k+1).
+
+    bd > 8: thresholds and the narrow-filter clamps scale by << (bd-8)
+    (deblocking_common.c highbd_filter4 / highbd_*_mask)."""
     H, W = plane.shape
     K = flen.shape[1]
     if K == 0 or not np.any(flen):
         return
+    sh = bd - 8
+    lim, blim, thr = lim << sh, blim << sh, thr << sh
+    half = 128 << sh
+    fthr = 1 << sh  # flat threshold
+
+    def _clip8(v):
+        return np.clip(v, -half, half - 1)
+
     # per-sample-row filter length map
     flen_s = np.repeat(flen, 4, axis=0)[:H]  # (H, K)
     cols = (np.arange(K) + 1) * 4  # edge columns
@@ -92,18 +100,18 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
 
     # --- shared narrow filter (filter4) on (p1,p0,q0,q1); returns deltas
     def narrow(mask):
-        ps1, ps0 = p[1] - 128, p[0] - 128
-        qs0, qs1 = q[0] - 128, q[1] - 128
+        ps1, ps0 = p[1] - half, p[0] - half
+        qs0, qs1 = q[0] - half, q[1] - half
         hev = (np.abs(p[1] - p[0]) > thr) | (np.abs(q[1] - q[0]) > thr)
         f = _clip8(ps1 - qs1) * hev
         f = _clip8(f + 3 * (qs0 - ps0)) * mask
         f1 = _clip8(f + 4) >> 3
         f2 = _clip8(f + 3) >> 3
-        oq0 = _clip8(qs0 - f1) + 128
-        op0 = _clip8(ps0 + f2) + 128
+        oq0 = _clip8(qs0 - f1) + half
+        op0 = _clip8(ps0 + f2) + half
         t = ((f1 + 1) >> 1) * (~hev)
-        oq1 = _clip8(qs1 - t) + 128
-        op1 = _clip8(ps1 + t) + 128
+        oq1 = _clip8(qs1 - t) + half
+        op1 = _clip8(ps1 + t) + half
         return op1, op0, oq0, oq1
 
     def fmask2():
@@ -116,10 +124,10 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
     def fmask_full():
         return (fmask3() & (np.abs(p[3] - p[2]) <= lim) & (np.abs(q[3] - q[2]) <= lim))
 
-    def flat_n(n):  # flat over p[n-1]..p0/q0..q[n-1] vs thresh 1
-        m = (np.abs(p[1] - p[0]) <= 1) & (np.abs(q[1] - q[0]) <= 1)
+    def flat_n(n):  # flat over p[n-1]..p0/q0..q[n-1] vs thresh 1 << (bd-8)
+        m = (np.abs(p[1] - p[0]) <= fthr) & (np.abs(q[1] - q[0]) <= fthr)
         for i in range(2, n):
-            m &= (np.abs(p[i] - p[0]) <= 1) & (np.abs(q[i] - q[0]) <= 1)
+            m &= (np.abs(p[i] - p[0]) <= fthr) & (np.abs(q[i] - q[0]) <= fthr)
         return m
 
     r2 = lambda x, n: (x + (1 << (n - 1))) >> n
@@ -173,9 +181,9 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
     if np.any(sel14):
         mask = fmask_full() & sel14
         flat = flat_n(4) & mask
-        flat2 = ((np.abs(p[6] - p[0]) <= 1) & (np.abs(p[5] - p[0]) <= 1) & (np.abs(p[4] - p[0]) <= 1) &
-                 (np.abs(q[4] - q[0]) <= 1) & (np.abs(q[5] - q[0]) <= 1) & (np.abs(q[6] - q[0]) <= 1) &
-                 (np.abs(p[1] - p[0]) <= 1) & (np.abs(q[1] - q[0]) <= 1)) & flat
+        flat2 = ((np.abs(p[6] - p[0]) <= fthr) & (np.abs(p[5] - p[0]) <= fthr) & (np.abs(p[4] - p[0]) <= fthr) &
+                 (np.abs(q[4] - q[0]) <= fthr) & (np.abs(q[5] - q[0]) <= fthr) & (np.abs(q[6] - q[0]) <= fthr) &
+                 (np.abs(p[1] - p[0]) <= fthr) & (np.abs(q[1] - q[0]) <= fthr)) & flat
         op1, op0, oq0, oq1 = narrow(mask & ~flat)
         l8 = {}
         l8[-3] = r2(p[3] * 3 + p[2] * 2 + p[1] + p[0] + q[0], 3)
@@ -310,11 +318,11 @@ def loop_filter_frame(planes: list, mi: MiState, qindex: int, bd: int,
         if lvl_v:
             lim, blim, thr = _limits(lvl_v, sharpness)
             flen = _edge_maps_vertical(mi, plane, pw, ph, lvl_v)
-            _filter_vertical_edges(pl, flen, lim, blim, thr)
+            _filter_vertical_edges(pl, flen, lim, blim, thr, bd)
         if lvl_h:
             lim, blim, thr = _limits(lvl_h, sharpness)
             plT = np.ascontiguousarray(pl.T)
             flen = _edge_maps_vertical(miT, plane, ph, pw, lvl_h)
-            _filter_vertical_edges(plT, flen, lim, blim, thr)
+            _filter_vertical_edges(plT, flen, lim, blim, thr, bd)
             pl[:] = plT.T
     return levels

@@ -216,11 +216,11 @@ class Encoder:
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels)
 
         if is_key:
-            if cfg.mode_decision == "jax":
+            if cfg.mode_decision == "jax" and cfg.bd == 8:
                 from . import intra_device
 
                 plan, recon = intra_device.encode_intra_frame(src, p)
-            else:
+            else:  # 10-bit uses the numpy reference path (device twin: r2)
                 plan, recon = intra_md.encode_intra_frame(src, p)
         else:
             from . import inter_md
