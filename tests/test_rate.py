@@ -36,6 +36,32 @@ def test_bitcounter_matches_coder_on_txbs():
     assert abs(est_bits - real_bits) < 0.02 * real_bits + 64, (est_bits, real_bits)
 
 
+def test_fast_estimator_matches_exact():
+    """Vectorized txb_bits vs the writer-driven BitCounter path."""
+    from svtav1_tpu.codec import txb as txb_mod
+    from svtav1_tpu.constants.av1 import TX_H, TX_W
+
+    fc = FrameContext(100)
+    rng = np.random.default_rng(3)
+    for _ in range(120):
+        ts = int(rng.choice([int(TxSize.TX_4X4), int(TxSize.TX_8X8), int(TxSize.TX_16X16),
+                             int(TxSize.TX_32X32), int(TxSize.TX_8X16), int(TxSize.TX_16X8)]))
+        adj = txb_mod.adjusted_tx_size(ts)
+        h, w = int(TX_H[adj]), int(TX_W[adj])
+        lv = np.zeros((h, w), np.int32)
+        n = int(rng.integers(0, max(2, h * w // 3)))
+        if n:
+            lv.reshape(-1)[rng.integers(0, h * w, n)] = rng.integers(-60, 61, n)
+        tt = int(rng.choice([int(TxType.DCT_DCT), int(TxType.ADST_ADST), 10, 13]))
+        pt = int(rng.integers(0, 2))
+        tctx = int(rng.integers(0, 3)) + (7 if pt else 0)
+        dctx = int(rng.integers(0, 3))
+        fast = rate.txb_bits(fc, lv, ts, tt, pt, tctx, dctx)
+        exact = rate.txb_bits_exact(fc, lv, ts, tt, pt, tctx, dctx)
+        # raw sign/golomb bits counted as exactly 1.0 in the fast path
+        assert abs(fast - exact) < 0.5, (fast, exact, ts, tt)
+
+
 def test_mv_bits_reasonable():
     fc = FrameContext(100)
     small = rate.mv_bits(fc, (2, 0), (0, 0))
