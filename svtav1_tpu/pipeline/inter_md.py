@@ -158,7 +158,7 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, write: bo
             ss = 0 if plane == 0 else 1
             px, py, psz = x >> ss, y >> ss, size >> ss
             ctx.recon[plane][py : py + psz, px : px + psz] = planes_recon[plane]
-    return total_sse, total_bits, levels_out, all_zero
+    return total_sse, total_bits, levels_out, all_zero, planes_recon
 
 
 def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int, ref_frame: int):
@@ -230,10 +230,10 @@ def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
     scored = sorted(cands, key=lambda d: _fast_cost(ctx, x, y, size, d))
     best = None
     for d in scored[:FULL_RD_CANDIDATES]:
-        sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=False)
+        sse, bits, levels, zero, recon_blks = _code_unit(ctx, x, y, size, d, write=False)
         cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
-            best = (cost, d)
+            best = (cost, d, (sse, bits, levels, zero, recon_blks))
     # luma tx-type search on the winner (Appendix-TX-Search analog)
     import dataclasses
 
@@ -241,10 +241,10 @@ def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
     for tx_type in tx_type_candidates(size, d.is_inter):
         d2 = dataclasses.replace(d, tx_type=tx_type)
         d2._mode_bits = getattr(d, "_mode_bits", 8.0)
-        sse, bits, levels, zero = _code_unit(ctx, x, y, size, d2, write=False)
+        sse, bits, levels, zero, recon_blks = _code_unit(ctx, x, y, size, d2, write=False)
         cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
         if cost < best[0]:
-            best = (cost, d2)
+            best = (cost, d2, (sse, bits, levels, zero, recon_blks))
     return best
 
 
@@ -261,8 +261,16 @@ def tx_type_candidates(size: int, is_inter: bool):
     return out
 
 
-def _commit_block(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision) -> float:
-    sse, bits, levels, zero = _code_unit(ctx, x, y, size, d, write=True)
+def _commit_block(ctx: _Ctx, x: int, y: int, size: int, d: BlockDecision, cached=None) -> float:
+    if cached is not None:
+        # re-use the open-loop evaluation (recon state is unchanged)
+        sse, bits, levels, zero, recon_blks = cached
+        for plane in range(3):
+            ss = 0 if plane == 0 else 1
+            px, py, psz = x >> ss, y >> ss, size >> ss
+            ctx.recon[plane][py : py + psz, px : px + psz] = recon_blks[plane]
+    else:
+        sse, bits, levels, zero, _ = _code_unit(ctx, x, y, size, d, write=True)
     d.skip = int(zero)
     d.levels_y = levels[0] if not zero else None
     d.levels_u = levels[1] if not zero else None
@@ -297,8 +305,8 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
 
     snap_recon = [r.copy() for r in ctx.recon]
     snap_mi = ctx.mi.snapshot()
-    cost_none, d = _best_for_block(ctx, x, y, size)
-    cost_none = _commit_block(ctx, x, y, size, d)
+    cost_none, d, cached = _best_for_block(ctx, x, y, size)
+    cost_none = _commit_block(ctx, x, y, size, d, cached)
 
     # all-zero inter block at this size: deeper partitions cannot beat it
     # (classic skip-based depth pruning, enc_mode_config.c depth refinement)
