@@ -81,6 +81,7 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
     total_bits = 16.0  # mode signaling ballpark
     levels_out = []
     all_zero = True
+    planes_recon = []
     for plane in range(3):
         ss = 0 if plane == 0 else 1
         px, py, psz = x >> ss, y >> ss, size >> ss
@@ -114,9 +115,10 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
         levels_out.append(lv.copy())
         if np.any(lv != 0):
             all_zero = False
+        planes_recon.append(recon_blk)
         if write:
             rec[py : py + psz, px : px + psz] = recon_blk
-    return total_sse, total_bits, levels_out, all_zero
+    return total_sse, total_bits, levels_out, all_zero, planes_recon
 
 
 def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
@@ -132,19 +134,19 @@ def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
     scored.sort()
     best = None
     for _, mode in scored[:3]:
-        sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=False)
+        sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False)
         cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
-            best = (cost, mode, levels, zero, int(TxType.DCT_DCT))
+            best = (cost, mode, levels, zero, int(TxType.DCT_DCT), rb)
     # luma tx-type search on the winning mode
     from .inter_md import tx_type_candidates
 
     mode = best[1]
     for tx in tx_type_candidates(size, is_inter=False):
-        sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=False, tx_type_y=tx)
+        sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False, tx_type_y=tx)
         cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
         if cost < best[0]:
-            best = (cost, mode, levels, zero, tx)
+            best = (cost, mode, levels, zero, tx, rb)
     return best
 
 
@@ -172,10 +174,12 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
     # candidate NONE on a snapshot
     snap = [r.copy() for r in ctx.recon]
     best = _best_mode_for_block(ctx, x, y, size)
-    cost_none, mode, levels, zero, tx_y = best
-    # commit NONE tentatively
-    sse, bits, levels, zero = _code_unit(ctx, x, y, size, mode, mode, write=True, tx_type_y=tx_y)
-    cost_none = sse + ctx.lam * bits
+    cost_none, mode, levels, zero, tx_y, recon_blks = best
+    # commit NONE from the cached open-loop evaluation
+    for plane in range(3):
+        ss = 0 if plane == 0 else 1
+        px, py, psz = x >> ss, y >> ss, size >> ss
+        ctx.recon[plane][py : py + psz, px : px + psz] = recon_blks[plane]
 
     if size > 8:
         recon_none = [r.copy() for r in ctx.recon]
