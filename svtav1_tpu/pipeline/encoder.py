@@ -78,7 +78,9 @@ def pad_to_aligned(plane: np.ndarray, aw: int, ah: int) -> np.ndarray:
 
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
-        assert cfg.width % 8 == 0 and cfg.height % 8 == 0, "round-1 profile: dims multiple of 8"
+        # 4:2:0 needs even dims; sources are padded to the mi-aligned size
+        # (always a multiple of 8) and cropped at display per the spec
+        assert cfg.width % 2 == 0 and cfg.height % 2 == 0, "4:2:0 requires even dims"
         assert cfg.minigop in (1, 2, 4)  # 8 needs a smarter DPB slot policy
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
