@@ -74,6 +74,11 @@ AV1_EXT_TX_USED = np.array(
      [1] * 16],
     np.int32,
 )
+# filter-intra mode -> intra dir used for tx-type CDF indexing (spec
+# Filter_Intra_Mode_To_Intra_Dir)
+FI_MODE_TO_DIR = np.array([int(PredMode.DC_PRED), int(PredMode.V_PRED), int(PredMode.H_PRED),
+                           int(PredMode.D157_PRED), int(PredMode.DC_PRED)], np.int32)
+
 # intra mode -> default transform type (spec Mode_To_Txfm, common_utils.h:67)
 MODE_TO_TXFM = np.array(
     [int(TxType.DCT_DCT), int(TxType.ADST_DCT), int(TxType.DCT_ADST), int(TxType.DCT_DCT),
@@ -156,6 +161,7 @@ class FrameParams:
     ref_hints: tuple = (0,) * 8  # order hints per ref-frame id 1..7 (idx 0 unused)
     lf_levels: tuple = (0, 0, 0, 0)  # loop filter levels (y_v, y_h, u, v)
     lf_sharpness: int = 0
+    enable_filter_intra: bool = False  # seq-level flag (adds block syntax)
 
     def sign_bias(self):
         """RefFrameSignBias per ref id (spec: ref hint after current frame)."""
@@ -232,6 +238,9 @@ class BlockDecision:
     ref_frame: int = int(RefFrame.INTRA_FRAME)  # 0 = intra block
     mv: tuple = (0, 0)  # (row, col) 1/8 pel
     ref_mv_idx: int = 0
+    # filter-intra (recursive intra; DC-mode blocks <= 32x32)
+    use_filter_intra: int = 0
+    filter_intra_mode: int = 0
 
     @property
     def is_inter(self) -> bool:
@@ -392,7 +401,7 @@ class TileCodec:
 
     def encode(self, plan: Plan, use_native: bool = True) -> bytes:
         enc = None
-        if use_native and self.p.frame_is_intra:
+        if use_native and self.p.frame_is_intra and not self.p.enable_filter_intra:
             from ..entropy import native
 
             if native.available():
@@ -595,6 +604,18 @@ class TileCodec:
                 else:
                     d.angle_delta_uv = self._sym_r(dec, adcdf, 7) - 3
 
+        # filter_intra_mode_info (spec 5.11.8): DC blocks <= 32x32
+        if (self.p.enable_filter_intra and d.y_mode == int(PredMode.DC_PRED)
+                and int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32):
+            if enc is not None:
+                self._sym_w(enc, fc["filter_intra"][bsize], d.use_filter_intra, 2)
+                if d.use_filter_intra:
+                    self._sym_w(enc, fc["filter_intra_mode"], d.filter_intra_mode, 5)
+            else:
+                d.use_filter_intra = self._sym_r(dec, fc["filter_intra"][bsize], 2)
+                if d.use_filter_intra:
+                    d.filter_intra_mode = self._sym_r(dec, fc["filter_intra_mode"], 5)
+
     # -------------------------------------------------------------- inter info
 
     def _intra_inter_ctx(self, mi_row, mi_col):
@@ -778,7 +799,8 @@ class TileCodec:
                 if d.is_inter:
                     self._sym_w(enc, fc["inter_ext_tx"][eset][sqr], sym, nsym)
                 else:
-                    self._sym_w(enc, fc["intra_ext_tx"][eset][sqr][d.y_mode], sym, nsym)
+                    idir = int(FI_MODE_TO_DIR[d.filter_intra_mode]) if d.use_filter_intra else d.y_mode
+                    self._sym_w(enc, fc["intra_ext_tx"][eset][sqr][idir], sym, nsym)
             tx_type = d.tx_type
         else:
             tx_type = self._chroma_tx_type(d, tx_size)
@@ -801,7 +823,8 @@ class TileCodec:
                 if d.is_inter:
                     sym = self._sym_r(dec, fc["inter_ext_tx"][eset][sqr], nsym)
                 else:
-                    sym = self._sym_r(dec, fc["intra_ext_tx"][eset][sqr][d.y_mode], nsym)
+                    idir = int(FI_MODE_TO_DIR[d.filter_intra_mode]) if d.use_filter_intra else d.y_mode
+                    sym = self._sym_r(dec, fc["intra_ext_tx"][eset][sqr][idir], nsym)
                 d.tx_type = int(AV1_EXT_TX_INV[set_type][sym])
             self._eff_luma_tx = int(d.tx_type)
             tx_type = d.tx_type
@@ -840,6 +863,12 @@ class TileCodec:
                     mvy, mvx = mvy * 2, mvx * 2  # 1/8 luma pel -> 1/16 units
                 pred = conv_ops.convolve_2d_scalar(refp, px, py, pw, ph, mvx, mvy,
                                                    which=p.interp_filter, bd=p.bd)
+            elif plane == 0 and d.use_filter_intra:
+                ha = py > ((self.mi_row0 * 4) >> ss)
+                hl = px > ((self.mi_col0 * 4) >> ss)
+                above, left, topleft = intra_ops.build_edges(rec, px, py, pw, ph, p.bd, ha, hl)
+                pred = intra_ops.filter_intra_pred(above, left, int(topleft),
+                                                   d.filter_intra_mode, pw, ph, p.bd)
             else:
                 ha = py > ((self.mi_row0 * 4) >> ss)
                 hl = px > ((self.mi_col0 * 4) >> ss)

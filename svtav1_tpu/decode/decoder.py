@@ -26,6 +26,7 @@ class SeqInfo:
     enable_order_hint: bool = False
     order_hint_bits: int = 7
     enable_cdef: bool = False
+    enable_filter_intra: bool = False
 
 
 def parse_sequence_header(payload: bytes) -> SeqInfo:
@@ -46,7 +47,8 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     h = r.f(hbits) + 1
     assert r.f(1) == 0  # frame_id_numbers
     assert r.f(1) == 0  # use_128x128_superblock
-    r.f(2)  # filter_intra, intra_edge_filter
+    enable_filter_intra = bool(r.f(1))
+    r.f(1)  # intra_edge_filter
     r.f(4)  # interintra, masked, warped, dual_filter
     enable_order_hint = bool(r.f(1))
     order_hint_bits = 7
@@ -69,7 +71,7 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     assert r.f(1) == 0  # film_grain
     return SeqInfo(width=w, height=h, bd=10 if high_bd else 8,
                    enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits,
-                   enable_cdef=enable_cdef)
+                   enable_cdef=enable_cdef, enable_filter_intra=enable_filter_intra)
 
 
 @dataclass
@@ -250,7 +252,8 @@ class Decoder:
                              frame_is_intra=is_intra, order_hint=fi.order_hint,
                              order_hint_bits=seq.order_hint_bits,
                              interp_filter=fi.interp_filter, ref_hints=tuple(ref_hints),
-                             lf_levels=fi.lf_levels, lf_sharpness=fi.lf_sharpness)
+                             lf_levels=fi.lf_levels, lf_sharpness=fi.lf_sharpness,
+                             enable_filter_intra=seq.enable_filter_intra)
         tiles = params.tiles()
         aw, ah = params.aligned_width, params.aligned_height
         recon = [np.zeros((ah, aw), np.int32), np.zeros((ah >> 1, aw >> 1), np.int32),

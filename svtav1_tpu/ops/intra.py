@@ -341,3 +341,42 @@ def build_edges_ext(recon, x: int, y: int, w: int, h: int, bd: int,
     else:
         topleft = np.int32(base)
     return above, left, topleft
+
+
+# ---------------------------------------------------------------- filter intra
+
+FILTER_INTRA_MODES = 5
+_FI_DATA = _os.path.join(_os.path.dirname(__file__), "..", "constants", "data", "filter_intra.npz")
+
+
+@functools.lru_cache(maxsize=None)
+def filter_intra_taps() -> np.ndarray:
+    """(5, 8, 8) int32 taps (AV1 spec Intra_Filter_Taps; reference
+    C_DEFAULT/filterintra_c.c eb_av1_filter_intra_taps)."""
+    with np.load(_FI_DATA) as z:
+        return z["taps"].astype(np.int32)
+
+
+def filter_intra_pred(above: np.ndarray, left: np.ndarray, topleft: int, mode: int,
+                      w: int, h: int, bd: int = 8) -> np.ndarray:
+    """Recursive filter-intra predictor (spec 7.11.2.3; reference
+    svt_aom_highbd_filter_intra_predictor intra_prediction.c:2474):
+    4x2 sub-blocks predicted from 7 neighbors with per-mode taps."""
+    assert w <= 32 and h <= 32
+    taps = filter_intra_taps()[mode]
+    buf = np.zeros((h + 1, w + 1), np.int64)
+    buf[0, 0] = topleft
+    buf[0, 1 : w + 1] = above[:w]
+    buf[1 : h + 1, 0] = left[:h]
+    hi = (1 << bd) - 1
+    for r in range(1, h + 1, 2):
+        for c in range(1, w + 1, 4):
+            p = np.array([buf[r - 1, c - 1], buf[r - 1, c], buf[r - 1, c + 1], buf[r - 1, c + 2],
+                          buf[r - 1, c + 3], buf[r, c - 1], buf[r + 1, c - 1], 0], np.int64)
+            s = taps @ p  # (8,)
+            # ROUND_POWER_OF_TWO_SIGNED(x, 4)
+            v = np.sign(s) * ((np.abs(s) + 8) >> 4)
+            v = np.clip(v, 0, hi)
+            for k in range(8):
+                buf[r + (k >> 2), c + (k & 3)] = v[k]
+    return buf[1 : h + 1, 1 : w + 1].astype(np.int32)

@@ -35,6 +35,7 @@ class EncoderConfig:
     minigop: int = 1  # 1 = low-delay; 2/4/8 = hierarchical-B mini-GoPs
     enable_dlf: bool = True  # in-loop deblocking (by-q levels)
     enable_cdef: bool = True  # CDEF (frame-wide searched strength set)
+    enable_filter_intra: bool = False  # recursive filter-intra (numpy MD path)
     rc_mode: str = "cqp"  # "cqp" | "cbr"
     target_kbps: float = 0.0  # CBR target (kbit/s)
     fps: float = 30.0
@@ -84,7 +85,10 @@ class Encoder:
         assert cfg.minigop in (1, 2, 4)  # 8 needs a smarter DPB slot policy
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
-                                  enable_cdef=cfg.enable_cdef)
+                                  enable_cdef=cfg.enable_cdef,
+                                  enable_filter_intra=cfg.enable_filter_intra)
+        if cfg.enable_filter_intra and cfg.mode_decision == "jax":
+            raise ValueError("filter-intra uses the numpy mode-decision path")
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.mode_decision != "jax":
             raise ValueError("multi-tile encoding requires the jax mode-decision backend")
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and (cfg.keyint != 1):
@@ -215,7 +219,8 @@ class Encoder:
         p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
                         tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
                         frame_is_intra=is_key, order_hint=order_hint,
-                        ref_hints=tuple(ref_hints), lf_levels=lf_levels)
+                        ref_hints=tuple(ref_hints), lf_levels=lf_levels,
+                        enable_filter_intra=cfg.enable_filter_intra)
 
         if is_key:
             if cfg.mode_decision == "jax" and cfg.bd == 8:

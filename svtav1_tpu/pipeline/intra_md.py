@@ -69,7 +69,7 @@ class _Ctx:
 
 
 def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, write: bool,
-               tx_type_y: int = int(TxType.DCT_DCT)):
+               tx_type_y: int = int(TxType.DCT_DCT), fi_mode=None):
     """Predict/transform/quantize one block; if write, commit recon + plan.
 
     Returns (sse, bits_estimate, levels_per_plane, all_zero)."""
@@ -90,7 +90,11 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
         tx_type = int(tx_type_y) if plane == 0 else chroma_tx_type(uv_mode, tx_size)
         rec = ctx.recon[plane]
         srcp = ctx.src[plane]
-        pred = predict_block(rec, px, py, psz, psz, int(m), p, ss, int(bsize))
+        if plane == 0 and fi_mode is not None:
+            above, left, tl = intra_ops.build_edges(rec, px, py, psz, psz, p.bd, py > 0, px > 0)
+            pred = intra_ops.filter_intra_pred(above, left, int(tl), fi_mode, psz, psz, p.bd)
+        else:
+            pred = predict_block(rec, px, py, psz, psz, int(m), p, ss, int(bsize))
         target = srcp[py : py + psz, px : px + psz]
         resid = (target - pred).astype(np.int32)
         coeff = txfm_ops.fwd_txfm2d_np(resid[None], tx_type, p.bd)[0]
@@ -131,22 +135,33 @@ def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
         pred = predict_block(ctx.recon[0], x, y, size, size, int(mode), p, 0, int(BSIZE_OF[size]))
         sad = float(np.abs(pred.astype(np.int64) - target).sum())
         scored.append((sad, int(mode)))
-    scored.sort()
+    # filter-intra candidates join the stage-0 ranking (DC blocks <= 32)
+    dcm = int(PredMode.DC_PRED)
+    if ctx.params.enable_filter_intra and size <= 32:
+        for k in range(intra_ops.FILTER_INTRA_MODES):
+            above, left, tl = intra_ops.build_edges(ctx.recon[0], x, y, size, size,
+                                                    p.bd, y > 0, x > 0)
+            pred = intra_ops.filter_intra_pred(above, left, int(tl), k, size, size, p.bd)
+            sad = float(np.abs(pred.astype(np.int64) - target).sum())
+            scored.append((sad, dcm, k))
+    scored = [(s[0], s[1], s[2] if len(s) > 2 else None) for s in scored]
+    scored.sort(key=lambda t: t[0])
     best = None
-    for _, mode in scored[:3]:
-        sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False)
+    for _, mode, fi in scored[:3]:
+        sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False, fi_mode=fi)
         cost = sse + ctx.lam * bits
         if best is None or cost < best[0]:
-            best = (cost, mode, levels, zero, int(TxType.DCT_DCT), rb)
+            best = (cost, mode, levels, zero, int(TxType.DCT_DCT), rb, fi)
     # luma tx-type search on the winning mode
     from .inter_md import tx_type_candidates
 
     mode = best[1]
-    for tx in tx_type_candidates(size, is_inter=False):
-        sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False, tx_type_y=tx)
-        cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
-        if cost < best[0]:
-            best = (cost, mode, levels, zero, tx, rb)
+    if best[6] is None:  # tx-type search skipped for filter-intra winners
+        for tx in tx_type_candidates(size, is_inter=False):
+            sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False, tx_type_y=tx)
+            cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
+            if cost < best[0]:
+                best = (cost, mode, levels, zero, tx, rb, None)
     return best
 
 
@@ -174,7 +189,7 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
     # candidate NONE on a snapshot
     snap = [r.copy() for r in ctx.recon]
     best = _best_mode_for_block(ctx, x, y, size)
-    cost_none, mode, levels, zero, tx_y, recon_blks = best
+    cost_none, mode, levels, zero, tx_y, recon_blks, fi = best
     # commit NONE from the cached open-loop evaluation
     for plane in range(3):
         ss = 0 if plane == 0 else 1
@@ -206,6 +221,7 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
     ctx.plan.partitions[(mi_row, mi_col, int(bsize))] = int(Partition.PARTITION_NONE)
     ctx.plan.blocks[(mi_row, mi_col, int(bsize))] = BlockDecision(
         y_mode=mode, uv_mode=mode, skip=int(zero), tx_type=int(tx_y),
+        use_filter_intra=int(fi is not None), filter_intra_mode=fi if fi is not None else 0,
         levels_y=levels[0] if not zero else None,
         levels_u=levels[1] if not zero else None,
         levels_v=levels[2] if not zero else None,

@@ -234,6 +234,16 @@ def main() -> None:
         name_filter=lambda n: re.match(r"^(default_scan|mrow_scan|mcol_scan|av1_default_iscan|av1_mrow_iscan|av1_mcol_iscan)_", n)
         and not n.endswith("_neighbors"),
     )
+    # 3b. Filter-intra taps (AV1 spec 7.11.2.3 Intra_Filter_Taps).
+    fi = extract_tables(
+        os.path.join(args.ref, "Source", "Lib", "C_DEFAULT", "filterintra_c.c"),
+        name_filter=lambda n: "filter_intra_taps" in n,
+    )
+    assert len(fi) == 1, sorted(fi)
+    np.savez_compressed(os.path.join(args.out, "filter_intra.npz"),
+                        taps=list(fi.values())[0].astype(np.int32))
+    print("filter_intra.npz: taps", list(fi.values())[0].shape)
+
     order = extract_scan_orders(os.path.join(codec, "coefficients.h"))
     scan_names = np.array([[r[0], r[1]] for r in order["rows"]])
     np.savez_compressed(os.path.join(args.out, "scans.npz"), __order_names__=scan_names,
