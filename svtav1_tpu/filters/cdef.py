@@ -267,3 +267,87 @@ def search_strengths(recon: list, src: list, mi: MiState, qindex: int, bd: int =
     if uv_sec == 3:
         uv_sec = 4
     return (y_pri, y_sec, uv_pri, uv_sec, damping)
+
+
+# ------------------------------------------------------------- device twin
+
+_JAX_CACHE: dict = {}
+
+
+def _apply_taps_jax_fn():
+    """Build (once) a jitted CDEF unit-filter: gathers + constrain algebra on
+    device, bit-exact integer twin of _apply_taps/_gather_taps."""
+    import jax
+    import jax.numpy as jnp
+
+    def kernel(P, ys, xs, dirs, pri, sec, taps_sel, pri_damping, sec_damping, bh, bw):
+        B = 2
+        ii = jnp.arange(bh)[None, :, None]
+        jj = jnp.arange(bw)[None, None, :]
+        Y = ys[:, None, None] + ii + B
+        X = xs[:, None, None] + jj + B
+        x0 = P[Y, X]
+        d0 = jnp.asarray(CDEF_DIRS)[dirs]
+        d_p2 = jnp.asarray(CDEF_DIRS)[(dirs + 2) & 7]
+        d_m2 = jnp.asarray(CDEF_DIRS)[(dirs - 2) & 7]
+        pri_b = pri[:, None, None]
+        sec_b = jnp.asarray(sec, jnp.int32)
+
+        def msb(v):
+            return jnp.where(v > 0, jnp.floor(jnp.log2(jnp.maximum(v, 1))).astype(jnp.int32), 0)
+
+        def constrain(diff, s, damping):
+            shift = jnp.maximum(0, damping - msb(s))
+            ad = jnp.abs(diff)
+            mag = jnp.minimum(ad, jnp.maximum(0, s - (ad >> shift)))
+            return jnp.sign(diff) * jnp.where(s > 0, mag, 0)
+
+        sum_ = jnp.zeros_like(x0)
+        mx = x0
+        mn = x0
+        for k in range(2):
+            ptap = jnp.asarray(PRI_TAPS)[taps_sel, k][:, None, None]
+            stap = int(SEC_TAPS[0, k])
+            for sgn in (1, -1):
+                p = P[Y + sgn * d0[:, k, 0][:, None, None], X + sgn * d0[:, k, 1][:, None, None]]
+                sum_ = sum_ + ptap * constrain(p - x0, pri_b, pri_damping)
+                mx = jnp.maximum(mx, jnp.where(p == CDEF_VERY_LARGE, mx, p))
+                mn = jnp.minimum(mn, p)
+            for dt in (d_p2, d_m2):
+                for sgn in (1, -1):
+                    s = P[Y + sgn * dt[:, k, 0][:, None, None], X + sgn * dt[:, k, 1][:, None, None]]
+                    sum_ = sum_ + stap * constrain(s - x0, sec_b, sec_damping)
+                    mx = jnp.maximum(mx, jnp.where(s == CDEF_VERY_LARGE, mx, s))
+                    mn = jnp.minimum(mn, s)
+        y = x0 + ((8 + sum_ - (sum_ < 0)) >> 4)
+        return jnp.clip(y, mn, mx)
+
+    return jax.jit(kernel, static_argnames=("pri_damping", "sec_damping", "bh", "bw"))
+
+
+def _filter_units_jax(plane, ys, xs, bh, bw, pri, sec, dirs, pri_damping, sec_damping,
+                      coeff_shift=0):
+    """Device path for _filter_units (same results)."""
+    import jax.numpy as jnp
+
+    if "kernel" not in _JAX_CACHE:
+        _JAX_CACHE["kernel"] = _apply_taps_jax_fn()
+    H, W = plane.shape
+    B = 2
+    P = np.full((H + 2 * B, W + 2 * B), CDEF_VERY_LARGE, np.int32)
+    P[B : B + H, B : B + W] = plane
+    # pad the unit count to a bucket so jit shapes are reused; dummies have
+    # strength 0 and are dropped after gather
+    N = len(ys)
+    cap = 1 << max(8, (N - 1).bit_length())
+    pad = cap - N
+    ysp = np.concatenate([ys, np.zeros(pad, np.int64)])
+    xsp = np.concatenate([xs, np.zeros(pad, np.int64)])
+    dirsp = np.concatenate([dirs, np.zeros(pad, np.int64)])
+    prip = np.concatenate([np.asarray(pri, np.int64), np.zeros(pad, np.int64)])
+    taps_sel = (prip >> coeff_shift) & 1
+    out = _JAX_CACHE["kernel"](jnp.asarray(P), jnp.asarray(ysp, jnp.int32), jnp.asarray(xsp, jnp.int32),
+                               jnp.asarray(dirsp, jnp.int32), jnp.asarray(prip, jnp.int32),
+                               int(sec), jnp.asarray(taps_sel, jnp.int32),
+                               int(pri_damping), int(sec_damping), int(bh), int(bw))
+    return np.asarray(out)[:N]
