@@ -75,12 +75,13 @@ def main(argv=None) -> int:
             y = frames[n_shown][0]
             dt = np.uint8 if bd == 8 else np.uint16
             recons.append((dy.astype(dt), du.astype(dt), dv.astype(dt)))
-            peak = (1 << bd) - 1
-            mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
-            psnr = 10 * np.log10(peak ** 2 / max(mse, 1e-9))
+            from .utils import metrics
+
+            psnr = metrics.psnr(y, dy, bd)
+            sv = metrics.ssim(y, dy, bd)
             total_psnr += psnr
             n_shown += 1
-            print(f"frame {n_shown - 1}: {len(pkt.tu)} bytes, Y-PSNR {psnr:.2f} dB")
+            print(f"frame {n_shown - 1}: {len(pkt.tu)} bytes, Y-PSNR {psnr:.2f} dB, SSIM {sv:.4f}")
 
     for (y, u, v) in frames:
         for pkt in enc.send_frame(y, u, v):
