@@ -71,11 +71,15 @@ def _fullpel_search(ctx: _Ctx, x: int, y: int, size: int, center_mv, ref_frame: 
     x0, x1 = max(0, cx - r), min(W - size, cx + r)
     if y1 < y0 or x1 < x0:
         return (0, 0)
-    # sliding-window SAD via stride tricks over the clipped window
+    # sliding-window SAD via stride tricks over the clipped window; large
+    # blocks use 2x-decimated SADs (reference sub-sampled SAD speed feature)
     win = ref[y0 : y1 + size, x0 : x1 + size]
     from numpy.lib.stride_tricks import sliding_window_view
 
     views = sliding_window_view(win, (size, size))
+    if size >= 32:
+        views = views[:, :, ::2, ::2]
+        srcb = srcb[::2, ::2]
     sads = np.abs(views.astype(np.int32) - srcb.astype(np.int32)).sum(axis=(2, 3))
     # bias toward the predictor: tiny mv-cost on the full-pel grid
     dy = (np.arange(y0, y1 + 1) - cy)[:, None]
