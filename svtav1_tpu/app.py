@@ -34,8 +34,10 @@ def main(argv=None) -> int:
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
     args = ap.parse_args(argv)
 
-    if not 0 <= args.qindex <= 255:
-        ap.error(f"--qindex must be in [0, 255], got {args.qindex}")
+    if not 1 <= args.qindex <= 255:
+        # qindex 0 is CodedLossless: the spec then omits lf/cdef/tx_mode
+        # syntax (5.9.11/5.9.14/5.9.19) which this writer emits unconditionally
+        ap.error(f"--qindex must be in [1, 255], got {args.qindex}")
     try:
         frames, w, h, fps, bd = read_y4m(args.input, args.frames)
     except (OSError, ValueError) as e:

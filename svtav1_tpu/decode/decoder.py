@@ -283,7 +283,12 @@ class Decoder:
             cdef_mod.cdef_frame(recon, mi, fi.cdef_y[0][0], fi.cdef_y[0][1],
                                 fi.cdef_uv[0][0], fi.cdef_uv[0][1], fi.cdef_damping, bd=seq.bd)
 
-        # DPB update (spec reference frame update process)
+        # DPB update (spec reference frame update process). Re-pad the
+        # alignment margin from the display edge so MC never reads decoded
+        # padding (mirrors the encoder; see replicate_display_edges).
+        from ..pipeline.encoder import replicate_display_edges
+
+        replicate_display_edges(recon, seq.width, seq.height)
         entry = {"planes": recon, "order_hint": fi.order_hint}
         for slot in range(8):
             if (fi.refresh_frame_flags >> slot) & 1:

@@ -258,10 +258,13 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
         w.f(fr.cdef_damping - 3, 2)
         w.f(cdef_bits, 2)
         for (ypri, ysec), (upri, usec) in zip(fr.cdef_y, fr.cdef_uv):
+            # sec strength 3 is uncodable (decoder maps coded 3 -> 4, spec
+            # 5.9.19 cdef_sec_damping); 4 codes as 3. Reject 3 outright.
+            assert ysec != 3 and usec != 3, "cdef sec strength 3 is not codable"
             w.f(ypri, 4)
-            w.f(min(ysec, 3), 2)
+            w.f(3 if ysec == 4 else ysec, 2)
             w.f(upri, 4)
-            w.f(min(usec, 3), 2)
+            w.f(3 if usec == 4 else usec, 2)
     # lr absent (seq enable_restoration off)
     w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST
     if not is_intra:

@@ -22,6 +22,16 @@ def _int_range(lo, hi):
     return parse
 
 
+def _choice(*allowed):
+    def parse(v):
+        x = int(v)
+        if x not in allowed:
+            raise ParamError(f"value {x} not one of {allowed}")
+        return x
+
+    return parse
+
+
 def _bool(v):
     if str(v).lower() in ("1", "true", "yes", "on"):
         return True
@@ -43,9 +53,9 @@ def _choice(*opts):
 _PARAMS = {
     "width": ("width", _int_range(8, 16384)),
     "height": ("height", _int_range(8, 8704)),
-    "qp": ("qindex", _int_range(0, 255)),
-    "crf": ("qindex", _int_range(0, 255)),  # CQP profile: crf maps to qindex
-    "input-depth": ("bd", _int_range(8, 10)),
+    "qp": ("qindex", _int_range(1, 255)),  # 0 would be CodedLossless (unsupported syntax)
+    "crf": ("qindex", _int_range(1, 255)),  # CQP profile: crf maps to qindex
+    "input-depth": ("bd", _choice(8, 10)),
     "keyint": ("keyint", _int_range(1, 1 << 16)),
     "hierarchical-levels": ("minigop", lambda v: 1 << _int_range(0, 2)(v)),
     "tile-columns": ("tile_cols_log2", _int_range(0, 4)),

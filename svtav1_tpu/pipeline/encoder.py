@@ -64,6 +64,24 @@ def mi_from_plan(plan, params: FrameParams):
     return mi
 
 
+def replicate_display_edges(planes: list, width: int, height: int) -> None:
+    """Overwrite each plane's mi-alignment padding with replicated display-edge
+    pixels, in place. Run after in-loop filters, before a frame enters the DPB.
+
+    Spec 7.11.3.4 clamps MC reference coordinates at the *display* dims
+    (RefUpscaledWidth-1 / FrameHeight-1); the reference achieves the same by
+    re-padding the recon from the display edge before it is used as a
+    reference (pic_analysis_process.c
+    svt_aom_pad_picture_to_multiple_of_min_blk_size_dimensions). Without this
+    MC would read decoded alignment padding for non-multiple-of-8 dims."""
+    dims = [(height, width), (height >> 1, width >> 1), (height >> 1, width >> 1)]
+    for plane, (h, w) in zip(planes, dims):
+        if w < plane.shape[1]:
+            plane[:, w:] = plane[:, w - 1 : w]
+        if h < plane.shape[0]:
+            plane[h:, :] = plane[h - 1 : h, :]
+
+
 def pad_to_aligned(plane: np.ndarray, aw: int, ah: int) -> np.ndarray:
     """Replicate-pad a plane to aligned dims (reference
     pic_analysis_process.c pad_picture_to_multiple_of_min_blk_size)."""
@@ -259,6 +277,7 @@ class Encoder:
             if ypri or ysec or upri or usec:
                 cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec, cdef_damping, bd=p.bd)
 
+        replicate_display_edges(recon, cfg.width, cfg.height)
         slot = disp_idx % 8
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
                          show_frame=show,
