@@ -61,6 +61,7 @@ def make_txb_bits_fn(fc, tx_size: int, tx_type: int, plane_type: int,
     levels: (..., h, w) int32 (adjusted-size quantized levels, signed).
     Returns (...,) float32 bits. Trace inside jit; constants fold in.
     """
+    import jax
     import jax.numpy as jnp
 
     tx_class = int(TX_TYPE_CLASS[tx_type])
@@ -108,6 +109,21 @@ def make_txb_bits_fn(fc, tx_size: int, tx_type: int, plane_type: int,
     else:
         br_grp = np.where(rows == 0, 7, 14).astype(np.int32) + np.zeros((h, w), np.int32)
 
+    def lut_sum(lut2d, idx_a, idx_b, weight):
+        """sum_pos weight * lut2d[idx_a, idx_b] via a fused one-hot matmul —
+        TPU gathers from tiny tables lower to slow paths; an iota-compare
+        one-hot fused into a dot runs on the MXU (measured ~7x faster)."""
+        la, lb = lut2d.shape
+        flat_idx = idx_a * lb + idx_b
+        oh = jax.nn.one_hot(flat_idx, la * lb, dtype=jnp.float32)
+        return jnp.einsum("...pk,...p->...k", oh, weight.astype(jnp.float32)) @ \
+            jnp.asarray(lut2d.reshape(-1), jnp.float32)
+
+    def lut_pick(lut1d, idx):
+        """lut1d[idx] for per-block scalars via one-hot dot (exact, f32)."""
+        oh = jax.nn.one_hot(idx, len(lut1d), dtype=jnp.float32)
+        return oh @ jnp.asarray(lut1d, jnp.float32)
+
     def fn(levels):
         lv = levels.astype(jnp.int32)
         absl = jnp.abs(lv)
@@ -135,18 +151,18 @@ def make_txb_bits_fn(fc, tx_size: int, tx_type: int, plane_type: int,
             bctx = bctx.at[..., 0].set(0)  # (tx_class | pos) == 0 -> ctx 0
 
         sym = jnp.minimum(aflat, 3)
-        base_cost = jnp.asarray(base_lut)[bctx, sym]  # (..., n)
         is_eob_pos = iscan[None] == (eob[..., None] - 1)
         before_eob = iscan[None] < (eob[..., None] - 1)
-        bits = jnp.sum(base_cost * before_eob, axis=-1)
+        bits = lut_sum(base_lut, bctx, sym, before_eob)
 
         # the eob-position symbol uses the base_eob table
         sym_eob = jnp.sum(jnp.where(is_eob_pos, sym, 0), axis=-1)
-        ectx = jnp.asarray(ectx_lut)[jnp.maximum(eob - 1, 0)]
-        bits = bits + jnp.asarray(base_eob_lut)[ectx, jnp.maximum(sym_eob - 1, 0)]
+        ectx = lut_pick(ectx_lut.astype(np.float32), jnp.maximum(eob - 1, 0)).astype(jnp.int32)
+        bits = bits + lut_pick(base_eob_lut.reshape(-1),
+                               ectx * 3 + jnp.maximum(sym_eob - 1, 0))
 
         # eob token
-        bits = bits + jnp.asarray(eob_cost)[eob]
+        bits = bits + lut_pick(eob_cost, eob)
 
         # br rounds (levels > 2) + golomb (levels > 14)
         magb = P[..., 0:h, 1 : w + 1] + P[..., 1 : h + 1, 0:w]
@@ -160,8 +176,7 @@ def make_txb_bits_fn(fc, tx_size: int, tx_type: int, plane_type: int,
         brctx = brctx.reshape(batch + (n,))
         brctx = brctx.at[..., 0].add(-br_grp.reshape(-1)[0])  # pos 0: no group offset
         big = aflat > 2
-        br_bits = jnp.asarray(br_lut)[brctx, jnp.clip(aflat - 3, 0, 12)]
-        bits = bits + jnp.sum(br_bits * big, axis=-1)
+        bits = bits + lut_sum(br_lut, brctx, jnp.clip(aflat - 3, 0, 12), big)
         gx = jnp.maximum(aflat - 14, 1).astype(jnp.float32)
         glens = jnp.floor(jnp.log2(gx)) + 1.0
         bits = bits + jnp.sum((2.0 * glens - 1.0) * (aflat > 14), axis=-1)
@@ -169,7 +184,7 @@ def make_txb_bits_fn(fc, tx_size: int, tx_type: int, plane_type: int,
         # signs
         nnz = jnp.sum(nz, axis=-1).astype(jnp.float32)
         dc = flat[..., 0]
-        dc_cost = jnp.asarray(dc_sign_lut)[(dc < 0).astype(jnp.int32)]
+        dc_cost = jnp.where(dc < 0, float(dc_sign_lut[1]), float(dc_sign_lut[0]))
         bits = bits + jnp.where(dc != 0, dc_cost + (nnz - 1.0), nnz)
 
         # all-zero txb: just the skip flag

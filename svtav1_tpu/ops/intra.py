@@ -244,6 +244,30 @@ def dr_tables(angle: int, w: int, h: int):
     return np.where(use_above, 0, 1).astype(np.int32), base.astype(np.int32), shift.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _dr_matrix(angle: int, w: int, h: int) -> np.ndarray:
+    """Directional prediction as one constant matrix: pred = E @ M where
+    E = [topleft, above_ext (w+h), left_ext (h+w)] per batch row and
+    M (1+2(w+h), w*h) float32 carries the two-tap 5-bit interpolation
+    weights. TPU-first form: gathers from tiny per-lane edge vectors lower
+    to slow paths, while an MXU matmul with a static (sparse) matrix is
+    fast — and exact, since every product/sum stays below 2^24."""
+    src_sel, base, shift = dr_tables(angle, w, h)
+    e = w + h
+    M = np.zeros((1 + 2 * e, w * h), np.float32)
+    pos = np.arange(w * h)
+    for sel_val, off in ((0, 0), (1, e)):
+        m = (src_sel.reshape(-1) == sel_val)
+        bi = base.reshape(-1) + 1  # slot 0 = topleft
+        bs = shift.reshape(-1)
+        i0 = np.where(bi == 0, 0, bi + off)
+        i1 = np.minimum(bi + 1, e) + off
+        i1 = np.where(bi + 1 == 0, 0, i1)
+        np.add.at(M, (i0[m], pos[m]), (32 - bs[m]).astype(np.float32))
+        np.add.at(M, (i1[m], pos[m]), bs[m].astype(np.float32))
+    return M
+
+
 def dr_pred(above_ext, left_ext, topleft, angle: int, w: int, h: int, xp=np):
     """Directional prediction for a batch.
 
@@ -251,6 +275,11 @@ def dr_pred(above_ext, left_ext, topleft, angle: int, w: int, h: int, xp=np):
     per availability); left_ext: (B, h + w); topleft (B,).
     """
     B = above_ext.shape[0]
+    if xp is not np:  # device path: one MXU matmul against a static matrix
+        E = xp.concatenate([topleft[:, None], above_ext, left_ext], axis=1)
+        M = xp.asarray(_dr_matrix(angle, w, h))
+        val = (E.astype(xp.float32) @ M).astype(xp.int32)
+        return ((val + 16) >> 5).reshape(B, h, w)
     src_sel, base, shift = dr_tables(angle, w, h)
     # prepend topleft so index -1 maps to slot 0
     a = xp.concatenate([topleft[:, None], above_ext], axis=1)  # (B, 1+w+h)

@@ -163,6 +163,63 @@ def fwd_txfm2d_j(resid, tx_type: int, bd: int = 8):
     return x
 
 
+def _sel_kinds(x, v_adst, name_d: str, name_a: str, n: int, cos_bit: int,
+               inverse: bool, clamp_range):
+    """Apply DCT and (if available) ADST 1-D networks, selecting per lane.
+
+    TPU-first: computing both kinds once and where-selecting costs 2 passes
+    for the whole 4-combo DCT/ADST family, vs 8 for evaluating each 2-D type
+    separately (the commit wavefront is latency-bound, so op count is the
+    budget)."""
+    from ..constants.av1 import Tx1D
+
+    xd = txfm1d_j(x, Tx1D.DCT, n, cos_bit, inverse, clamp_range)
+    if n > 16:  # no ADST above 16 points
+        return xd
+    xa = txfm1d_j(x, Tx1D.ADST, n, cos_bit, inverse, clamp_range)
+    sel = v_adst.reshape(v_adst.shape + (1,) * (x.ndim - v_adst.ndim))
+    return jnp.where(sel, xa, xd)
+
+
+def fwd_txfm2d_sel_j(resid, v_adst, h_adst, bd: int = 8):
+    """Forward transform of square blocks with per-lane DCT/ADST kind
+    selection (the 2-D types DCT_DCT / ADST_ADST / ADST_DCT / DCT_ADST; no
+    flips). resid (..., n, n) int32; v_adst/h_adst boolean (...)."""
+    n = resid.shape[-1]
+    s0, s1, s2 = T.FWD_SHIFTS[(n, n)]
+    wi = int(math.log2(n)) - 2
+    cb_col, cb_row = T.FWD_COS_BIT_COL[wi][wi], T.FWD_COS_BIT_ROW[wi][wi]
+    x = jnp.swapaxes(resid.astype(jnp.int32), -1, -2)
+    x = _apply_shift_j(x, -s0)
+    x = _sel_kinds(x, v_adst, "fdct", "fadst", n, cb_col, False, None)
+    x = _apply_shift_j(x, -s1)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _sel_kinds(x, h_adst, "fdct", "fadst", n, cb_row, False, None)
+    x = _apply_shift_j(x, -s2)
+    if n == 64:
+        x = x.at[..., :, 32:].set(0)
+        x = x.at[..., 32:, :].set(0)
+    return x
+
+
+def inv_txfm2d_add_sel_j(coeff, pred, v_adst, h_adst, bd: int = 8):
+    """Inverse + add of square blocks with per-lane DCT/ADST selection.
+    Bit-exact with inv_txfm2d_add_j for the four 2-D types."""
+    n = coeff.shape[-1]
+    sh_row, sh_col = T.INV_SHIFTS[(n, n)]
+    opt_range_row = 16 if bd == 8 else 18
+    x = _clamp_bits_j(coeff.astype(jnp.int32), bd + 8)
+    x = _sel_kinds(x, h_adst, "idct", "iadst", n, T.INV_COS_BIT, True, opt_range_row)
+    if sh_row:
+        x = _round_shift_j(x, sh_row)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _clamp_bits_j(x, max(bd + 6, 16))
+    x = _sel_kinds(x, v_adst, "idct", "iadst", n, T.INV_COS_BIT, True, 16)
+    x = _round_shift_j(x, sh_col)
+    x = jnp.swapaxes(x, -1, -2)
+    return jnp.clip(pred + x, 0, (1 << bd) - 1).astype(jnp.int32)
+
+
 def _apply_shift_j(x, bit: int):
     if bit > 0:
         return _round_shift_j(x, bit)

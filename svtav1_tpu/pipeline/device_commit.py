@@ -1,0 +1,388 @@
+"""Device (JAX) commit pass: conformant reconstruction of the decided plan.
+
+The decide pass (device_decide.py) chose modes/partitions open-loop; this
+pass produces the final quantized coefficients + recon that the decoder will
+bit-exactly reproduce. Intra prediction needs final neighbor recon, which is
+the one true sequential dependence in AV1 — re-expressed TPU-style:
+
+- one `lax.fori_loop` over mi8 anti-diagonal waves (w = r8 + c8 + n8 - 1,
+  8-px units). Scheduling at that wave index is dependency-safe for any
+  legal quadtree (the above-row/left-col/topleft providers of a block always
+  complete at strictly smaller waves — see proof sketch in NOTES below);
+- all blocks of a wave are batched, bucketed by size (static shapes; host
+  builds per-size schedules sorted by wave, so device reads are contiguous
+  `dynamic_slice`s and output writes are contiguous `dynamic_update_slice`s
+  — no large scatters);
+- neighbor pixels live in *frontier maps*, not the recon plane:
+  `bottom_rows[r8, x]` = recon row (r8+1)*8-1, `right_cols[c8, y]` = recon
+  col (c8+1)*8-1. Each (band, pixel) cell has a unique writer, so reads are
+  race-free and the big recon plane never round-trips through the loop.
+
+The reference's analog is the EncDec segment wavefront
+(enc_dec_process.c:3270, enc_dec_segments.h dependency maps) fused with the
+final conformant encode pass (coding_loop.c:1682 svt_aom_encode_decode).
+
+NOTES (wave-safety): for an above-row provider A of block B, A's bottom row
+is exactly B.top-1 (blocks are disjoint), so w(A) = A.bottom + A.left <=
+(B.top - 1) + (B.left + B.n - 1) = w(B) - 1; symmetrically for left-col
+providers; same-column frontier writers are ordered bottom-last because a
+lower block's (bottom + left) exceeds an upper one's by at least 1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.tile_codec import (BlockDecision, FrameParams, Plan, chroma_tx_type,
+                                chroma_tx_type_inter, max_uv_txsize)
+from ..constants.av1 import MAX_TXSIZE_RECT, PredMode, RefFrame, TxType
+from ..ops import quantize as quant_ops
+from ..ops import transforms_jax as TJ
+from .device_decide import MODES, SIZES, TX_SEARCH
+from .intra_device import BSIZE_BY_N, _predict_modes
+
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+def _build_schedule(leaves, dec, region):
+    """Sort leaves by wave per size; return per-size host arrays.
+
+    `region` = (x0, y0, w, h) pixels; coords are REGION-LOCAL r8/c8.
+    Returns {n: dict(coords (N,2), mode (N,), tx (N,), uv_tx (N,),
+    offsets (W+1,), kmax, order (N,) original leaf indices)} and W."""
+    x0, y0, rw, rh = region
+    R8, C8 = rh // 8, rw // 8
+    W = R8 + C8 + 7  # max wave = (R8-1) + (C8-1) + 8 - 1 => W-1
+    out = {}
+    for n in SIZES:
+        n8 = n // 8
+        items = []
+        for li, (mi_row, mi_col, ln) in enumerate(leaves):
+            if ln != n:
+                continue
+            r8, c8 = mi_row // 2 - y0 // 8, mi_col // 2 - x0 // 8
+            items.append((r8 + c8 + n8 - 1, r8, c8, li))
+        if not items:
+            continue
+        items.sort()
+        N = len(items)
+        coords = np.zeros((N, 2), np.int32)
+        order = np.zeros(N, np.int64)
+        counts = np.zeros(W, np.int64)
+        for i, (w, r8, c8, li) in enumerate(items):
+            coords[i] = (r8, c8)
+            order[i] = li
+            counts[w] += 1
+        offsets = np.zeros(W + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        g = dec[n]
+        rs, cs = coords[:, 0] * 8 // n, coords[:, 1] * 8 // n
+        mode = g["mode"][rs, cs].astype(np.int32)
+        tx = g["tx"][rs, cs].astype(np.int32)
+        tx_uv_size = int(max_uv_txsize(BSIZE_BY_N[n]))
+        uv_tx = np.array([TX_SEARCH.index(chroma_tx_type(MODES[m], tx_uv_size))
+                          for m in mode], np.int32)
+        out[n] = dict(coords=coords, mode=mode, tx=tx, uv_tx=uv_tx,
+                      offsets=offsets, kmax=int(counts.max()), order=order)
+    return out, W
+
+
+def _pad_rows(a: np.ndarray, k: int):
+    return np.concatenate([a, np.zeros((k,) + a.shape[1:], a.dtype)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
+    """The wavefront loop. `sched_flat` is ONE packed int32 vector (all
+    per-size schedules — single h2d transfer); `cfg` a hashable static tuple:
+    (W, W_eff, R8, C8, qindex, bd, ((n, N, N_pad, kmax), ...)). The loop runs
+    W_eff compacted steps over `wave_list` (only waves with work — empty
+    anti-diagonals are skipped entirely). Returns
+    (levels_i16_packed, recon_u8_packed) — two arrays, two d2h transfers."""
+    W, W_eff, R8, C8, qindex, bd, size_cfgs = cfg
+    AW, AH = C8 * 8, R8 * 8
+    base = 1 << (bd - 1)
+    src_y = src_y8.astype(jnp.int32)
+    src_u = src_u8.astype(jnp.int32)
+    src_v = src_v8.astype(jnp.int32)
+
+    # unpack the schedule at static offsets (offsets have W+2 entries so the
+    # sentinel wave W reads cnt = 0)
+    sched = {}
+    pos = 0
+    for n, N, N_pad, kmax in size_cfgs:
+        s = {}
+        s["coords"] = sched_flat[pos : pos + N_pad * 2].reshape(N_pad, 2); pos += N_pad * 2
+        s["mode"] = sched_flat[pos : pos + N_pad]; pos += N_pad
+        s["tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
+        s["uv_tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
+        s["offsets"] = sched_flat[pos : pos + W + 2]; pos += W + 2
+        sched[n] = s
+    wave_list = sched_flat[pos : pos + W_eff]; pos += W_eff
+
+    dq_dc, dq_ac = quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)
+
+    def select_txfm(resid, pred, tx_idx, n, ntypes):
+        """Per-lane 2-D tx among TX_SEARCH via composed DCT/ADST selection
+        (2 one-D passes per direction instead of one 2-D network per type)."""
+        ls = quant_ops.tx_scale(n, n)
+        if ntypes == 1:
+            coeff = TJ.fwd_txfm2d_j(resid, int(TxType.DCT_DCT), bd)
+            lv = jnp.clip(TJ.quantize_j(coeff, dq_dc, dq_ac, ls), -32767, 32767)
+            dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
+            return lv, TJ.inv_txfm2d_add_j(dqc, pred, int(TxType.DCT_DCT), bd)
+        # TX_SEARCH order: DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST
+        v_adst = (tx_idx == 1) | (tx_idx == 2)
+        h_adst = (tx_idx == 1) | (tx_idx == 3)
+        coeff = TJ.fwd_txfm2d_sel_j(resid, v_adst, h_adst, bd)
+        lv = jnp.clip(TJ.quantize_j(coeff, dq_dc, dq_ac, ls), -32767, 32767)
+        dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
+        return lv, TJ.inv_txfm2d_add_sel_j(dqc, pred, v_adst, h_adst, bd)
+
+    # initial state: frontier maps + per-size outputs
+    state = dict(
+        by=jnp.zeros((R8, AW), jnp.int32), ry=jnp.zeros((C8, AH), jnp.int32),
+        bu=jnp.zeros((R8, AW // 2), jnp.int32), ru=jnp.zeros((C8, AH // 2), jnp.int32),
+        bv=jnp.zeros((R8, AW // 2), jnp.int32), rv=jnp.zeros((C8, AH // 2), jnp.int32),
+    )
+    for n, N, N_pad, kmax in size_cfgs:
+        adj, nc = min(n, 32), n // 2
+        state[f"ly{n}"] = jnp.zeros((N_pad, adj, adj), jnp.int32)
+        state[f"lu{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
+        state[f"lv{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
+        state[f"ry{n}"] = jnp.zeros((N_pad, n, n), jnp.int32)
+        state[f"ru{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
+        state[f"rv{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
+
+    def wave_step_size(w, st, n, N_pad, kmax):
+        s = sched[n]
+        n8 = n // 8
+        nc = n // 2
+        off = s["offsets"][w]
+        cnt = s["offsets"][w + 1] - off
+        lane = jnp.arange(kmax)
+        valid = lane < cnt
+
+        def dsl(arr):
+            return jax.lax.dynamic_slice(arr, (off,) + (0,) * (arr.ndim - 1),
+                                         (kmax,) + arr.shape[1:])
+
+        rc = dsl(s["coords"])
+        r8, c8 = rc[:, 0], rc[:, 1]
+        mode = dsl(s["mode"])
+        tx_idx = dsl(s["tx"])
+        uv_tx_idx = dsl(s["uv_tx"])
+        x, y = c8 * 8, r8 * 8
+        ha, hl = r8 > 0, c8 > 0
+
+        def edges_from(bmap, rmap, xx, yy, m):
+            ar = bmap[jnp.maximum(r8 - 1, 0)[:, None], xx[:, None] + jnp.arange(m)[None, :]]
+            lc = rmap[jnp.maximum(c8 - 1, 0)[:, None], yy[:, None] + jnp.arange(m)[None, :]]
+            tl = bmap[jnp.maximum(r8 - 1, 0), jnp.maximum(xx - 1, 0)]
+            left_fill = jnp.where(ha, ar[:, 0], base + 1)
+            above_fill = jnp.where(hl, lc[:, 0], base - 1)
+            ar = jnp.where(ha[:, None], ar, above_fill[:, None])
+            lc = jnp.where(hl[:, None], lc, left_fill[:, None])
+            tl = jnp.where(ha & hl, tl,
+                           jnp.where(ha, ar[:, 0], jnp.where(hl, lc[:, 0], base)))
+            return ar, lc, tl
+
+        def src_blocks(plane, xx, yy, m):
+            return plane[yy[:, None, None] + jnp.arange(m)[None, :, None],
+                         xx[:, None, None] + jnp.arange(m)[None, None, :]]
+
+        bi = jnp.arange(kmax)
+        # luma
+        ar, lc, tl = edges_from(st["by"], st["ry"], x, y, n)
+        pred = _predict_modes(ar, lc, tl, ha, hl, n)[bi, mode]
+        sb = src_blocks(src_y, x, y, n)
+        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1)
+        # chroma (uv_mode = y mode; tx type derived per mode) — u and v are
+        # stacked into one 2K-lane batch so every op runs once
+        xc, yc = c8 * 4, r8 * 4
+        aru, lcu, tlu = edges_from(st["bu"], st["ru"], xc, yc, nc)
+        arv, lcv, tlv = edges_from(st["bv"], st["rv"], xc, yc, nc)
+        ac = jnp.concatenate([aru, arv])
+        lcc = jnp.concatenate([lcu, lcv])
+        tlc = jnp.concatenate([tlu, tlv])
+        ha2, hl2 = jnp.concatenate([ha, ha]), jnp.concatenate([hl, hl])
+        mode2 = jnp.concatenate([mode, mode])
+        puv = _predict_modes(ac, lcc, tlc, ha2, hl2, nc)[jnp.arange(2 * kmax), mode2]
+        suv = jnp.concatenate([src_blocks(src_u, xc, yc, nc),
+                               src_blocks(src_v, xc, yc, nc)])
+        lv_uv, rec_uv = select_txfm(suv - puv, puv, jnp.concatenate([uv_tx_idx, uv_tx_idx]),
+                                    nc, 4 if nc <= 16 else 1)
+        lv_u, lv_v = lv_uv[:kmax], lv_uv[kmax:]
+        rec_u, rec_v = rec_uv[:kmax], rec_uv[kmax:]
+
+        # write outputs (contiguous slabs; masked-lane garbage is overwritten
+        # by later waves / lives in the padded tail)
+        def put(name, val):
+            st[name] = jax.lax.dynamic_update_slice(
+                st[name], val, (off,) + (0,) * (val.ndim - 1))
+
+        put(f"ly{n}", lv_y[:, : min(n, 32), : min(n, 32)])
+        put(f"lu{n}", lv_u)
+        put(f"lv{n}", lv_v)
+        put(f"ry{n}", rec_y)
+        put(f"ru{n}", rec_u)
+        put(f"rv{n}", rec_v)
+
+        # frontier updates (masked scatters; OOB rows dropped)
+        oob = jnp.int32(1 << 20)
+        rb = jnp.where(valid, r8 + n8 - 1, oob)
+        cb = jnp.where(valid, c8 + n8 - 1, oob)
+        st["by"] = st["by"].at[rb[:, None], x[:, None] + jnp.arange(n)[None, :]] \
+            .set(rec_y[:, -1, :], mode="drop")
+        st["ry"] = st["ry"].at[cb[:, None], y[:, None] + jnp.arange(n)[None, :]] \
+            .set(rec_y[:, :, -1], mode="drop")
+        st["bu"] = st["bu"].at[rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_u[:, -1, :], mode="drop")
+        st["ru"] = st["ru"].at[cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_u[:, :, -1], mode="drop")
+        st["bv"] = st["bv"].at[rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_v[:, -1, :], mode="drop")
+        st["rv"] = st["rv"].at[cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_v[:, :, -1], mode="drop")
+        return st
+
+    def body(i, st):
+        w = wave_list[i]
+        for n, N, N_pad, kmax in size_cfgs:
+            st = wave_step_size(w, st, n, N_pad, kmax)
+        return st
+
+    st = jax.lax.fori_loop(0, W_eff, body, state)
+
+    # assemble recon planes on device (one scatter per size/plane) and pack
+    # every output into two transfer buffers
+    ry = jnp.zeros((AH, AW), jnp.int32)
+    ru = jnp.zeros((AH // 2, AW // 2), jnp.int32)
+    rv = jnp.zeros((AH // 2, AW // 2), jnp.int32)
+    levels_parts = []
+    for n, N, N_pad, kmax in size_cfgs:
+        nc = n // 2
+        coords = sched[n]["coords"][:N]
+        r8, c8 = coords[:, 0], coords[:, 1]
+        yy = (r8 * 8)[:, None, None] + jnp.arange(n)[None, :, None]
+        xx = (c8 * 8)[:, None, None] + jnp.arange(n)[None, None, :]
+        ry = ry.at[yy, xx].set(st[f"ry{n}"][:N])
+        yyc = (r8 * 4)[:, None, None] + jnp.arange(nc)[None, :, None]
+        xxc = (c8 * 4)[:, None, None] + jnp.arange(nc)[None, None, :]
+        ru = ru.at[yyc, xxc].set(st[f"ru{n}"][:N])
+        rv = rv.at[yyc, xxc].set(st[f"rv{n}"][:N])
+        levels_parts += [st[f"ly{n}"][:N].astype(jnp.int16).ravel(),
+                         st[f"lu{n}"][:N].astype(jnp.int16).ravel(),
+                         st[f"lv{n}"][:N].astype(jnp.int16).ravel()]
+    levels_packed = jnp.concatenate(levels_parts) if levels_parts else jnp.zeros(0, jnp.int16)
+    recon_packed = jnp.concatenate([ry.astype(jnp.uint8).ravel(),
+                                    ru.astype(jnp.uint8).ravel(),
+                                    rv.astype(jnp.uint8).ravel()])
+    return levels_packed, recon_packed
+
+
+def commit_region(src_dev, params: FrameParams, leaves, dec, plan: Plan, recon: list,
+                  region) -> None:
+    """Commit the decided leaves of one region into plan + recon (in place).
+
+    `src_dev` are put_frame() device planes; `dec` is device_decide's
+    per-size decision dict for the region. One packed h2d (schedule) + two
+    d2h transfers (levels int16, recon uint8)."""
+    p = params
+    x0, y0, rw, rh = region
+    sched_np, W = _build_schedule(leaves, dec, region)
+    R8, C8 = rh // 8, rw // 8
+
+    size_cfgs = []
+    flat_parts = []
+    wave_used = np.zeros(W, bool)
+    for n, s in sched_np.items():
+        N = len(s["coords"])
+        kmax = _next_pow2(s["kmax"])
+        N_pad = _next_pow2(N) + kmax
+        size_cfgs.append((n, N, N_pad, kmax))
+        offs = np.concatenate([s["offsets"], s["offsets"][-1:]])  # sentinel w=W
+        wave_used |= np.diff(s["offsets"]) > 0
+        flat_parts += [
+            _pad_rows(s["coords"], N_pad - N).ravel(),
+            _pad_rows(s["mode"], N_pad - N),
+            _pad_rows(s["tx"], N_pad - N),
+            _pad_rows(s["uv_tx"], N_pad - N),
+            offs,
+        ]
+    waves = np.nonzero(wave_used)[0].astype(np.int32)
+    W_eff = _next_pow2(max(len(waves), 1))
+    wave_list = np.full(W_eff, W, np.int32)  # pad with the empty sentinel wave
+    wave_list[: len(waves)] = waves
+    flat_parts.append(wave_list)
+    sched_flat = jnp.asarray(np.concatenate([f.astype(np.int32) for f in flat_parts]))
+    cfg = (W, W_eff, R8, C8, p.qindex, p.bd, tuple(size_cfgs))
+    sy = src_dev[0][y0 : y0 + rh, x0 : x0 + rw]
+    su = src_dev[1][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    sv = src_dev[2][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    levels_packed, recon_packed = _commit_device(sy, su, sv, sched_flat, cfg)
+    levels_packed = np.asarray(levels_packed)
+    recon_packed = np.asarray(recon_packed)
+
+    # unpack recon planes into the frame buffers
+    ysz, csz = rh * rw, (rh // 2) * (rw // 2)
+    recon[0][y0 : y0 + rh, x0 : x0 + rw] = recon_packed[:ysz].reshape(rh, rw)
+    recon[1][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2] = \
+        recon_packed[ysz : ysz + csz].reshape(rh // 2, rw // 2)
+    recon[2][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2] = \
+        recon_packed[ysz + csz :].reshape(rh // 2, rw // 2)
+
+    # unpack levels + build per-block decisions
+    off = 0
+    for n, s in sched_np.items():
+        N = len(s["coords"])
+        adj, nc = min(n, 32), n // 2
+        ly = levels_packed[off : off + N * adj * adj].reshape(N, adj, adj).astype(np.int32)
+        off += N * adj * adj
+        lu = levels_packed[off : off + N * nc * nc].reshape(N, nc, nc).astype(np.int32)
+        off += N * nc * nc
+        lvv = levels_packed[off : off + N * nc * nc].reshape(N, nc, nc).astype(np.int32)
+        off += N * nc * nc
+        r8, c8 = s["coords"][:, 0], s["coords"][:, 1]
+        skip = ((np.abs(ly).sum((1, 2)) + np.abs(lu).sum((1, 2)) + np.abs(lvv).sum((1, 2))) == 0)
+        for i in range(N):
+            mi_row = (y0 // 8 + int(r8[i])) * 2
+            mi_col = (x0 // 8 + int(c8[i])) * 2
+            m = MODES[int(s["mode"][i])]
+            sk = bool(skip[i])
+            plan.blocks[(mi_row, mi_col, BSIZE_BY_N[n])] = BlockDecision(
+                y_mode=m, uv_mode=m, skip=int(sk),
+                tx_type=TX_SEARCH[int(s["tx"][i])],
+                levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
+                levels_v=None if sk else lvv[i])
+
+
+def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
+    """Unified device intra encoder: batched open-loop decide at all sizes,
+    host partition DP, wavefront commit — per tile (tiles are prediction
+    boundaries, so each region runs independently). Replaces the round-1
+    fixed-grid device path."""
+    from ..constants.cdf import FrameContext
+    from . import device_decide
+    from .intra_md import rd_lambda
+
+    p = params
+    fc = FrameContext(p.qindex)
+    lam = float(rd_lambda(p.qindex, p.bd))
+    aw, ah = p.aligned_width, p.aligned_height
+    src_dev = device_decide.put_frame(src_planes, p.bd)
+    plan = Plan()
+    recon = [np.zeros_like(pl) for pl in src_planes]
+    for (r0, r1, c0, c1) in p.tiles():
+        x0, y0 = c0 * 64, r0 * 64
+        region = (x0, y0, min(c1 * 64, aw) - x0, min(r1 * 64, ah) - y0)
+        dec = device_decide.decide_intra_frame(src_dev, p, fc, lam, region)
+        partitions, leaves = device_decide.partition_dp(dec, p, fc, lam, region)
+        commit_region(src_dev, p, leaves, dec, plan, recon, region)
+        plan.partitions.update(partitions)
+    return plan, recon

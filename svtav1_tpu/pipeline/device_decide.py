@@ -1,0 +1,431 @@
+"""Device (JAX) mode decision — the batched "decide" pass of the unified
+frame pipeline.
+
+TPU-first re-architecture of the reference's EncDec hot loop
+(product_coding_loop.c:8982 md_encode_block + :10532 svt_aom_mode_decision_sb):
+instead of a sequential wavefront evaluating a pruned candidate funnel per
+block, EVERY block of EVERY size (8..64) evaluates its FULL candidate set in
+one batched XLA program per size, using *source* pixels as intra prediction
+neighbors (open-loop decision, the trade the reference itself makes in its
+light/TPL paths) and exact CDF-LUT rates (codec/rate_jax). Partition RD is a
+host-side quadtree DP over the per-size cost grids. The conformant recon +
+final coefficients are produced afterwards by the wavefront COMMIT pass
+(pipeline/device_commit.py) for the chosen leaves only.
+
+Mode-rate terms use fixed entropy-context approximations (neighbor ctx 0) —
+the same class of approximation the reference uses for its per-SB CDF rate
+snapshots (enc_dec_process.c:3330-3352).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import rate as rate_np
+from ..codec import rate_jax
+from ..codec.tile_codec import FrameParams, chroma_tx_type, ext_tx_set_type_intra, max_uv_txsize
+from ..constants.av1 import MAX_TXSIZE_RECT, PredMode, TxType
+from ..ops import quantize as quant_ops
+from ..ops import transforms_jax as TJ
+from . import intra_md
+from .intra_device import BSIZE_BY_N, _mode_penalty_grid, _predict_modes
+
+MODES = [int(m) for m in intra_md.MODES]  # 13: DC,V,H,SMOOTH*,PAETH,D45..D67
+SIZES = (8, 16, 32, 64)
+# luma tx-type search set (tx_type_candidates analog; DCT always first)
+TX_SEARCH = (int(TxType.DCT_DCT), int(TxType.ADST_ADST), int(TxType.ADST_DCT), int(TxType.DCT_ADST))
+
+
+def put_frame(src, bd: int = 8):
+    """Transfer source planes to device once per frame (uint8 for bd=8 —
+    the host<->device link is the scarce resource in this deployment)."""
+    dt = np.uint8 if bd == 8 else np.int16
+    return tuple(jax.device_put(np.asarray(pl, dt)) for pl in src)
+
+
+def _penalty_grid_np(p: FrameParams, y0: int, x0: int, R: int, C: int, n: int,
+                     region, mi_end) -> np.ndarray:
+    """Vectorized _mode_penalty_grid (the r1 version loops in Python — at
+    1080p/8px that is 32k iterations per frame). Same semantics: +BIG on
+    D45/D67 where the decoder would read real top-right pixels the wavefront
+    cannot schedule, and on D203 for bottom-left."""
+    from ..ops.intra import _avail_tables
+
+    bsize = BSIZE_BY_N[n]
+    n4 = n // 4
+    bwl = int(np.log2(n4))
+    BIG = np.float32(1e18)
+    r = np.arange(R)[:, None]
+    c = np.arange(C)[None, :]
+    mi_row = np.broadcast_to((y0 + r * n) // 4, (R, C))
+    mi_col = np.broadcast_to((x0 + c * n) // 4, (R, C))
+    ha = np.broadcast_to((r > 0) | (y0 > region[1]), (R, C))
+    hl = np.broadcast_to((c > 0) | (x0 > region[0]), (R, C))
+    right_av = (mi_col + n4) < mi_end[1]
+    yd = np.broadcast_to(p.mi_rows * 4 - (y0 + r * n + n), (R, C))
+    bottom_av = (yd > 0) & ((mi_row + n4) < mi_end[0])
+
+    blk_row = (mi_row & 15) >> bwl
+    blk_col = (mi_col & 15) >> bwl
+    tabs = _avail_tables()
+
+    def table_bit(name):
+        tbl = tabs[name]
+        idx = (blk_row << (4 - bwl)) + blk_col
+        return ((tbl[idx // 8] >> (idx % 8)) & 1).astype(bool)
+
+    # has_top_right
+    tr = ha & right_av
+    interior = blk_row > 0
+    edge_block = ((blk_col + 1) << bwl) >= 16
+    ttr = table_bit(f"has_tr_{n}x{n}")
+    has_tr = tr & (~interior | (~edge_block & ttr))
+    # has_bottom_left
+    bl = bottom_av & hl
+    col0 = blk_col == 0
+    col0_ok = ((blk_row + 1) << bwl) < 16
+    tbl_ = table_bit(f"has_bl_{n}x{n}")
+    has_bl = bl & np.where(col0, col0_ok, tbl_)
+
+    pen = np.zeros((R, C, 13), np.float32)
+    pen[:, :, 7] = np.where(has_tr, BIG, 0)   # D45
+    pen[:, :, 12] = np.where(has_tr, BIG, 0)  # D67
+    pen[:, :, 11] = np.where(has_bl, BIG, 0)  # D203
+    return pen
+
+
+def _grid_neighbors(plane, n: int, R: int, C: int):
+    """Open-loop neighbors for an (R, C) grid of n x n blocks of `plane`:
+    above rows / left cols / topleft corners, gathered from the padded plane
+    (edge lanes are masked by have_above/have_left downstream)."""
+    p = jnp.pad(plane, ((1, 0), (1, 0)))[: 1 + R * n, : 1 + C * n]
+    rows = np.arange(R) * n  # padded-row index of each block's above row
+    cols = np.arange(C) * n
+    above = p[rows][:, 1:].reshape(R, C, n)
+    left = p[:, cols][1:, :].reshape(R, n, C).transpose(0, 2, 1)
+    tl = p[rows][:, cols]
+    return above.reshape(-1, n), left.reshape(-1, n), tl.reshape(-1)
+
+
+def _blocks_of(plane, n: int, R: int, C: int):
+    return plane[: R * n, : C * n].reshape(R, n, C, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+
+
+def _eval_txfm(resid, tx_type: int, qindex: int, bd: int, n: int, rate_fn):
+    """resid (..., n, n) -> (dist_to_pred_delta, rate_bits, recon_delta).
+
+    Returns (levels, rec_delta, rate) where rec_delta = inv(dequant(levels))
+    pre-clip addition (we add pred then clip outside)."""
+    dq_dc, dq_ac = quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)
+    ls = quant_ops.tx_scale(n, n)
+    coeff = TJ.fwd_txfm2d_j(resid, tx_type, bd)
+    lv = TJ.quantize_j(coeff, dq_dc, dq_ac, ls)
+    lv = jnp.clip(lv, -32767, 32767)
+    adj = lv[..., : min(n, 32), : min(n, 32)]
+    rate = rate_fn(adj)
+    dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
+    return lv, dqc, rate
+
+
+def _recon(dqc, pred, tx_type: int, bd: int):
+    return TJ.inv_txfm2d_add_j(dqc, pred, tx_type, bd)
+
+
+def intra_mode_cost_const(fc, n: int, is_key: bool) -> np.ndarray:
+    """(13,) float32 mode-signaling bits per MODES entry: y mode symbol
+    (ctx-0 approximation) + zero angle_delta for directional modes + uv mode
+    symbol (uv == y) + is-inter flag for inter frames."""
+    from ..constants.av1 import SIZE_GROUP
+
+    bsize = BSIZE_BY_N[n]
+    out = np.zeros(len(MODES), np.float32)
+    for i, m in enumerate(MODES):
+        if is_key:
+            bits = rate_np.symbol_bits(fc["kf_y_mode"][0][0], m, 13)
+        else:
+            bits = rate_np.symbol_bits(fc["y_mode"][int(SIZE_GROUP[bsize])], m, 13)
+            bits += rate_np.symbol_bits(fc["intra_inter"][0], 0, 2)
+        if intra_md.is_directional(m):
+            from ..constants.av1 import PredMode as PM
+
+            bits += rate_np.symbol_bits(fc["angle_delta"][m - int(PM.V_PRED)], 3, 7)
+            # directional uv adds its own zero angle_delta symbol
+            bits += rate_np.symbol_bits(fc["angle_delta"][m - int(PM.V_PRED)], 3, 7)
+        cfl_allowed = int(n <= 32)
+        bits += rate_np.symbol_bits(fc["uv_mode"][cfl_allowed][m], m, 14 if cfl_allowed else 13)
+        out[i] = bits
+    return out
+
+
+def intra_txtype_cost_const(fc, n: int) -> np.ndarray:
+    """(13, len(TX_SEARCH)) float32: tx-type signaling bits per (y mode, tx)
+    for intra blocks (intra_ext_tx cdf; 1e9 where the set forbids the type)."""
+    from ..constants.av1 import TX_SIZE_SQR
+    from ..codec.tile_codec import (AV1_EXT_TX_IND, AV1_EXT_TX_USED, AV1_NUM_EXT_TX_SET,
+                                    EXT_TX_SET_DCTONLY, EXT_TX_SET_INDEX_INTRA)
+
+    tx_size = int(MAX_TXSIZE_RECT[BSIZE_BY_N[n]])
+    set_type = ext_tx_set_type_intra(tx_size)
+    out = np.zeros((13, len(TX_SEARCH)), np.float32)
+    for i, m in enumerate(MODES):
+        for j, t in enumerate(TX_SEARCH):
+            if set_type == EXT_TX_SET_DCTONLY:
+                out[i, j] = 0.0 if t == int(TxType.DCT_DCT) else 1e9
+                continue
+            if not AV1_EXT_TX_USED[set_type][t]:
+                out[i, j] = 1e9
+                continue
+            eset = EXT_TX_SET_INDEX_INTRA[set_type]
+            nsyms = AV1_NUM_EXT_TX_SET[set_type]
+            cdf = fc["intra_ext_tx"][eset][int(TX_SIZE_SQR[tx_size])][m]
+            out[i, j] = rate_np.symbol_bits(cdf, int(AV1_EXT_TX_IND[set_type][t]), nsyms)
+    return out
+
+
+def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
+                       n: int, qindex: int, bd: int, is_key: bool, R: int, C: int,
+                       lam: float):
+    """Batched open-loop intra decision for all (R, C) blocks of size n.
+
+    Returns (cost, mode_idx, tx_idx): cost (R, C) float32 total RD cost
+    (luma incl tx search + chroma + mode bits + skip flag), mode_idx (R, C)
+    int32 into MODES, tx_idx (R, C) int32 into TX_SEARCH."""
+    B = R * C
+    nc = n // 2
+    r_idx = jnp.repeat(jnp.arange(R), C)
+    c_idx = jnp.tile(jnp.arange(C), R)
+    ha, hl = r_idx > 0, c_idx > 0
+    base = 1 << (bd - 1)
+
+    def edges(plane, m):
+        """Spec edge-fill rules on open-loop (source) neighbors."""
+        above, left, tl = _grid_neighbors(plane, m, R, C)
+        left_fill = jnp.where(ha, above[:, 0], base + 1)
+        above_fill = jnp.where(hl, left[:, 0], base - 1)
+        above = jnp.where(ha[:, None], above, above_fill[:, None])
+        left = jnp.where(hl[:, None], left, left_fill[:, None])
+        tl = jnp.where(ha & hl, tl,
+                       jnp.where(ha, above[:, 0], jnp.where(hl, left[:, 0], base)))
+        return above, left, tl
+
+    above, left, tl = edges(src_y, n)
+    preds = _predict_modes(above, left, tl, ha, hl, n)  # (B, 13, n, n)
+    srcb = _blocks_of(src_y, n, R, C)
+    resid = srcb[:, None] - preds
+
+    rate_fns = _rate_fns(qindex, n)
+    lv, dqc, rate = _eval_txfm(resid, int(TxType.DCT_DCT), qindex, bd, n, rate_fns["y"][0])
+    rec = _recon(dqc, preds, int(TxType.DCT_DCT), bd)
+    dist = jnp.sum((rec - srcb[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
+    cost13 = dist + lam * (rate + mode_cost[None, :] + txt_cost[None, :, 0]) + pen.reshape(B, 13)
+    best_mode = jnp.argmin(cost13, axis=1)
+    bi = jnp.arange(B)
+    best_pred = preds[bi, best_mode]
+    best_cost = cost13[bi, best_mode]
+    best_tx = jnp.zeros(B, jnp.int32)
+
+    # luma tx-type search on the winning mode (sizes with a non-DCT set)
+    if n <= 16:
+        bresid = srcb - best_pred
+        for j, t in enumerate(TX_SEARCH[1:], start=1):
+            lvj, dqcj, ratej = _eval_txfm(bresid, t, qindex, bd, n, rate_fns["y"][j])
+            recj = _recon(dqcj, best_pred, t, bd)
+            dj = jnp.sum((recj - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
+            cj = dj + lam * (ratej + mode_cost[best_mode] + txt_cost[best_mode, j]) + \
+                pen.reshape(B, 13)[bi, best_mode]
+            take = cj < best_cost
+            best_cost = jnp.where(take, cj, best_cost)
+            best_tx = jnp.where(take, j, best_tx)
+
+    # chroma (uv_mode = y mode), cost at derived-DCT approximation
+    au, lu_, tlu = edges(src_u, nc)
+    av, lv_, tlv = edges(src_v, nc)
+    pu = _predict_modes(au, lu_, tlu, ha, hl, nc)[bi, best_mode]
+    pv = _predict_modes(av, lv_, tlv, ha, hl, nc)[bi, best_mode]
+    for srcc, predc in ((src_u, pu), (src_v, pv)):
+        sb = _blocks_of(srcc, nc, R, C)
+        lvc, dqcc, ratec = _eval_txfm(sb - predc, int(TxType.DCT_DCT), qindex, bd, nc,
+                                      rate_fns["uv"])
+        recc = _recon(dqcc, predc, int(TxType.DCT_DCT), bd)
+        best_cost = best_cost + jnp.sum((recc - sb).astype(jnp.float32) ** 2, axis=(-2, -1)) \
+            + lam * ratec
+    best_cost = best_cost + lam * 1.0  # skip flag
+    return (best_cost.reshape(R, C), best_mode.astype(jnp.int32).reshape(R, C),
+            best_tx.reshape(R, C))
+
+
+# per-(qindex, n) rate-fn cache; FrameContext default CDFs only depend on the
+# q ctx so this is safe across frames of the same qindex
+_RATE_FN_CACHE: dict = {}
+
+
+def _rate_fns(qindex: int, n: int):
+    key = (qindex, n)
+    if key in _RATE_FN_CACHE:
+        return _RATE_FN_CACHE[key]
+    from ..constants.cdf import FrameContext
+
+    fc = FrameContext(qindex)
+    bsize = BSIZE_BY_N[n]
+    tx_y = int(MAX_TXSIZE_RECT[bsize])
+    tx_uv = int(max_uv_txsize(bsize))
+    fns = {
+        "y": [rate_jax.make_txb_bits_fn(fc, tx_y, t, 0, 0, 0) for t in TX_SEARCH],
+        "uv": rate_jax.make_txb_bits_fn(fc, tx_uv, int(TxType.DCT_DCT), 1, 7, 0),
+    }
+    _RATE_FN_CACHE[key] = fns
+    return fns
+
+
+@functools.lru_cache(maxsize=64)
+def _decide_region_jit(width: int, height: int, region, qindex: int, bd: int,
+                       is_key: bool):
+    """Build the region's decide program with all per-frame constants
+    (penalty grids, mode/tx rate tables, lambda) BAKED IN, so the call takes
+    only the three source planes — one h2d, one packed d2h."""
+    from .intra_md import rd_lambda
+
+    from ..constants.cdf import FrameContext
+
+    p = FrameParams(width=width, height=height, qindex=qindex, bd=bd,
+                    frame_is_intra=is_key)
+    fc = FrameContext(qindex)
+    lam = float(rd_lambda(qindex, bd))
+    x0, y0, rw, rh = region
+    mi_end = (min((y0 + rh) // 4, p.mi_rows), min((x0 + rw) // 4, p.mi_cols))
+    sizes = [n for n in SIZES if rh // n and rw // n]
+    consts = {n: (_penalty_grid_np(p, y0, x0, rh // n, rw // n, n, (x0, y0), mi_end),
+                  intra_mode_cost_const(fc, n, is_key),
+                  intra_txtype_cost_const(fc, n)) for n in sizes}
+    layout = []  # (n, R, C) in packing order
+    for n in sizes:
+        layout.append((n, rh // n, rw // n))
+
+    @jax.jit
+    def run(sy8, su8, sv8):
+        sy = sy8.astype(jnp.int32)
+        su = su8.astype(jnp.int32)
+        sv = sv8.astype(jnp.int32)
+        packed = []
+        for n, R, C in layout:
+            pen, mode_cost, txt_cost = consts[n]
+            cost, mode, tx = _decide_intra_size(
+                sy, su, sv, jnp.asarray(pen), jnp.asarray(mode_cost),
+                jnp.asarray(txt_cost), n, qindex, bd, is_key, R, C, lam)
+            packed += [cost.ravel(), mode.astype(jnp.float32).ravel(),
+                       tx.astype(jnp.float32).ravel()]
+        return jnp.concatenate(packed)
+
+    return run, layout
+
+
+def decide_intra_frame(src_dev, params: FrameParams, fc, lam: float, region=None) -> dict:
+    """Run the batched intra decide for every size over `region`
+    (x0, y0, w, h in pixels; default whole aligned frame — tiles pass their
+    bounds, which are prediction boundaries). `src_dev` is put_frame()'s
+    device planes. Returns {n: dict(cost, mode, tx)} of host numpy arrays
+    over the region's (R_n, C_n) grid, fetched in ONE transfer."""
+    p = params
+    region = region if region is not None else (0, 0, p.aligned_width, p.aligned_height)
+    x0, y0, rw, rh = region
+    sy = src_dev[0][y0 : y0 + rh, x0 : x0 + rw]
+    su = src_dev[1][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    sv = src_dev[2][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    run, layout = _decide_region_jit(p.width, p.height, region, p.qindex, p.bd,
+                                     bool(p.frame_is_intra))
+    flat = np.asarray(run(sy, su, sv))
+    out = {}
+    off = 0
+    for n, R, C in layout:
+        sz = R * C
+        cost = flat[off : off + sz].reshape(R, C).astype(np.float64)
+        mode = flat[off + sz : off + 2 * sz].reshape(R, C).astype(np.int32)
+        tx = flat[off + 2 * sz : off + 3 * sz].reshape(R, C).astype(np.int32)
+        off += 3 * sz
+        out[n] = dict(cost=cost, mode=mode, tx=tx)
+    return out
+
+
+def partition_dp(decide: dict, params: FrameParams, fc, lam: float, region=None):
+    """Bottom-up quadtree DP over the per-size cost grids of one region.
+
+    Returns (partitions, leaves): partitions {(mi_row, mi_col, bsize): Partition},
+    leaves list of (mi_row, mi_col, n) in GLOBAL mi coords. Blocks that stick
+    out of the region are forced SPLIT (matching the sequential MD paths)."""
+    from ..constants.av1 import Partition
+
+    p = params
+    x0, y0, rw, rh = region if region is not None else (0, 0, p.aligned_width, p.aligned_height)
+    aw, ah = x0 + rw, y0 + rh
+
+    # partition-signal costs (ctx approximation: above/left ctx 0)
+    PARTITION_PLOFFSET = 4
+    part_cost = {}
+    for n in (64, 32, 16):
+        bsl = int(np.log2(n // 8))
+        ctx = bsl * PARTITION_PLOFFSET
+        part_cost[n] = (rate_np.symbol_bits(fc["partition"][ctx], int(Partition.PARTITION_NONE), 10),
+                        rate_np.symbol_bits(fc["partition"][ctx], int(Partition.PARTITION_SPLIT), 10))
+
+    # DP cost per node, memoized over the implicit quadtree
+    best_cost = {}  # (r8, c8, n) -> cost
+    choice = {}  # (r8, c8, n) -> "none" | "split"
+
+    def node(y: int, x: int, n: int) -> float:
+        key = (y // 8, x // 8, n)
+        if key in best_cost:
+            return best_cost[key]
+        fits = x + n <= aw and y + n <= ah
+        in_grid = x // 4 < p.mi_cols and y // 4 < p.mi_rows
+        if not in_grid:
+            best_cost[key] = 0.0
+            choice[key] = "void"
+            return 0.0
+        cn = np.inf
+        if fits:
+            g = decide[n]
+            cn = float(g["cost"][(y - y0) // n, (x - x0) // n])
+            if n > 8:
+                cn += lam * part_cost[n][0]
+        if n > 8:
+            half = n // 2
+            cs = lam * (part_cost[n][1] if fits else 0.0)
+            for dy in (0, half):
+                for dx in (0, half):
+                    cs += node(y + dy, x + dx, half)
+            if cs < cn:
+                best_cost[key] = cs
+                choice[key] = "split"
+                return cs
+        best_cost[key] = cn
+        choice[key] = "none"
+        return cn
+
+    partitions = {}
+    leaves = []
+
+    def emit(y: int, x: int, n: int) -> None:
+        key = (y // 8, x // 8, n)
+        ch = choice[key]
+        if ch == "void":
+            return
+        mi_row, mi_col = y // 4, x // 4
+        bsize = BSIZE_BY_N[n]
+        if ch == "none":
+            partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
+            leaves.append((mi_row, mi_col, n))
+            return
+        partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_SPLIT)
+        half = n // 2
+        for dy in (0, half):
+            for dx in (0, half):
+                emit(y + dy, x + dx, half)
+
+    for sy in range(y0, ah, 64):
+        for sx in range(x0, aw, 64):
+            node(sy, sx, 64)
+            emit(sy, sx, 64)
+    return partitions, leaves

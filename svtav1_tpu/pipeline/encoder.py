@@ -242,9 +242,9 @@ class Encoder:
 
         if is_key:
             if cfg.mode_decision == "jax" and cfg.bd == 8:
-                from . import intra_device
+                from . import device_commit
 
-                plan, recon = intra_device.encode_intra_frame(src, p)
+                plan, recon = device_commit.encode_intra_frame(src, p)
             else:  # 10-bit uses the numpy reference path (device twin: r2)
                 plan, recon = intra_md.encode_intra_frame(src, p)
         else:

@@ -1,0 +1,57 @@
+"""The device MD path must match the numpy reference path's quality.
+
+VERDICT r1 flagged the round-1 device path as a quality-reduced fork (fixed
+grid, DCT-only, rate proxies). The unified decide+commit path (round 2) uses
+full mode/tx/partition search with exact CDF-LUT rates, so its PSNR and
+stream size must track the sequential numpy MD within tight tolerances.
+"""
+import numpy as np
+import pytest
+
+from svtav1_tpu.codec.tile_codec import FrameParams, TileCodec
+from svtav1_tpu.constants.cdf import FrameContext
+from svtav1_tpu.pipeline import device_commit, intra_md
+
+
+def _frame(w, h, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 60 * np.sin(xx / 11.0) + 40 * np.cos(yy / 7.0)
+         + rng.normal(0, 5, (h, w))).clip(0, 255).astype(np.int32)
+    u = (128 + 30 * np.sin(xx[::2, ::2] / 17.0)).astype(np.int32)
+    v = (128 - 25 * np.cos(yy[::2, ::2] / 13.0)).astype(np.int32)
+    return [y, u, v]
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / (mse + 1e-12))
+
+
+@pytest.mark.parametrize("qindex", [60, 140])
+def test_device_intra_matches_numpy_quality(qindex):
+    w, h = 128, 128
+    src = _frame(w, h)
+    p = FrameParams(width=w, height=h, qindex=qindex)
+
+    plan_d, recon_d = device_commit.encode_intra_frame(src, p)
+    plan_n, recon_n = intra_md.encode_intra_frame(src, p)
+
+    bytes_d = len(TileCodec(p, FrameContext(p.qindex)).encode(plan_d))
+    bytes_n = len(TileCodec(p, FrameContext(p.qindex)).encode(plan_n))
+
+    psnr_d = _psnr(recon_d[0], src[0])
+    psnr_n = _psnr(recon_n[0], src[0])
+    # device path: PSNR within 0.25 dB, size within 8% of the numpy oracle
+    assert psnr_d >= psnr_n - 0.25, (psnr_d, psnr_n)
+    assert bytes_d <= bytes_n * 1.08, (bytes_d, bytes_n)
+
+    # and the stream must still decode bit-exactly (conformance)
+    from svtav1_tpu.codec.mvp import MiState
+
+    for plan, recon in ((plan_d, recon_d),):
+        data = TileCodec(p, FrameContext(p.qindex)).encode(plan)
+        dec_recon = [np.zeros_like(pl) for pl in src]
+        TileCodec(p, FrameContext(p.qindex), mi=MiState(p.mi_rows, p.mi_cols)).decode(data, dec_recon)
+        for i in range(3):
+            assert (dec_recon[i] == recon[i]).all()
