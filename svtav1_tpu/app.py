@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr"], help="rate control mode")
     ap.add_argument("--tbr", type=float, default=0.0, help="CBR target bitrate (kbit/s)")
     ap.add_argument("--scd", action="store_true", help="scene change detection (adaptive keys)")
+    ap.add_argument("--intra-batch", type=int, default=1,
+                    help="device all-intra frame batch (jax MD, keyint 1, cqp)")
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
     args = ap.parse_args(argv)
 
@@ -52,7 +54,7 @@ def main(argv=None) -> int:
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
                                 keyint=args.keyint, minigop=args.minigop, bd=bd,
                                 rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),
-                                scene_cut=args.scd))
+                                scene_cut=args.scd, intra_batch=args.intra_batch))
     dec = Decoder()
     tus = []
     recons = []

@@ -1,0 +1,207 @@
+"""Device (JAX) CDEF: batched direction search, frame-strength search and
+filter application over a whole all-intra batch (F frames in one program).
+
+Bit-exact integer twin of filters/cdef.py's apply path (the decoder re-runs
+the numpy cdef_frame with the signaled strengths and must reproduce the
+device output sample-for-sample). The encoder-side strength SEARCH differs
+from the numpy path only in sampling: the device evaluates the candidate
+ladder on EVERY non-skip unit (TPU batching makes exhaustive evaluation
+cheaper than subsampling), mirroring enc_cdef.c cdef_seg_search's full-frame
+accumulation.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .cdef import (CDEF_DIRS, CDEF_VERY_LARGE, PRI_TAPS, SEC_TAPS, _CWEIGHTS, _PMATS,
+                   SEARCH_CANDIDATES, pick_damping)
+
+
+def _msb_j(v):
+    import jax.numpy as jnp
+
+    return jnp.where(v > 0, jnp.floor(jnp.log2(jnp.maximum(v, 1))).astype(jnp.int32), 0)
+
+
+def find_dir_j(cells):
+    """cells: (..., 8, 8) int32 luma samples already >> coeff_shift.
+    Returns (dirs, vars) int32 — EXACT twin of cdef.find_dir_batch.
+
+    The per-direction costs exceed int32 (and TPUs have no int64), so each
+    cost is kept as a split accumulator (hi, lo) with lo < 2^16-scaled terms;
+    argmax and the variance subtraction are done on the exact pair."""
+    import jax.numpy as jnp
+
+    x = cells.reshape(cells.shape[:-2] + (64,)).astype(jnp.int32) - 128
+    his, los = [], []
+    for d in range(8):
+        partial = x @ jnp.asarray(_PMATS[d], jnp.int32)  # |.| <= 1024
+        t = partial * partial * jnp.asarray(_CWEIGHTS[d], jnp.int32)  # <= 881e6
+        hi = jnp.sum(t >> 16, axis=-1)
+        lo = jnp.sum(t & 0xFFFF, axis=-1)  # <= 15 * 65535 < 2^20
+        hi = hi + (lo >> 16)
+        lo = lo & 0xFFFF
+        his.append(hi)
+        los.append(lo)
+    # first-index-wins argmax over the exact (hi, lo) pairs (np.argmax tie rule)
+    best_d = jnp.zeros_like(his[0])
+    best_hi, best_lo = his[0], los[0]
+    for d in range(1, 8):
+        take = (his[d] > best_hi) | ((his[d] == best_hi) & (los[d] > best_lo))
+        best_d = jnp.where(take, d, best_d)
+        best_hi = jnp.where(take, his[d], best_hi)
+        best_lo = jnp.where(take, los[d], best_lo)
+    hi_s = jnp.stack(his, axis=-1)
+    lo_s = jnp.stack(los, axis=-1)
+    od = ((best_d + 4) & 7)[..., None]
+    opp_hi = jnp.take_along_axis(hi_s, od, axis=-1)[..., 0]
+    opp_lo = jnp.take_along_axis(lo_s, od, axis=-1)[..., 0]
+    d_hi = best_hi - opp_hi
+    d_lo = best_lo - opp_lo
+    borrow = (d_lo < 0).astype(jnp.int32)
+    d_lo = d_lo + (borrow << 16)
+    d_hi = d_hi - borrow
+    var = (d_hi << 6) + (d_lo >> 10)  # exact (best - opp) >> 10
+    return best_d.astype(jnp.int32), var.astype(jnp.int32)
+
+
+def _adjust_strength_j(strength, var):
+    import jax.numpy as jnp
+
+    i = jnp.where((var >> 6) > 0, jnp.minimum(_msb_j(var >> 6), 12), 0)
+    return jnp.where(var != 0, (strength * (4 + i) + 8) >> 4, 0)
+
+
+def _filter_cells_j(plane, ys, xs, m, dirs, pri, sec, pri_damping, sec_damping,
+                    coeff_shift: int = 0):
+    """Unit filter over an (F, NU) grid of m x m cells of (F, H, W) `plane`.
+
+    ys/xs: (NU,) cell origins (shared across frames); dirs/pri: (F, NU);
+    sec: (F, 1) or scalar. Returns (F, NU, m, m) filtered cells. Bit-exact
+    twin of cdef._apply_taps + _gather_taps."""
+    import jax.numpy as jnp
+
+    F = plane.shape[0]
+    B = 2
+    P = jnp.pad(plane, ((0, 0), (B, B), (B, B)), constant_values=CDEF_VERY_LARGE)
+    ii = np.arange(m)[None, :, None]
+    jj = np.arange(m)[None, None, :]
+    Y = (ys[:, None, None] + ii + B)[None]  # (1, NU, m, m)
+    X = (xs[:, None, None] + jj + B)[None]
+    fi = jnp.arange(F)[:, None, None, None]
+    x0 = P[fi, Y, X]
+    d0 = jnp.asarray(CDEF_DIRS)[dirs]  # (F, NU, 2, 2)
+    d_p2 = jnp.asarray(CDEF_DIRS)[(dirs + 2) & 7]
+    d_m2 = jnp.asarray(CDEF_DIRS)[(dirs - 2) & 7]
+    pri_b = pri[..., None, None]
+    sec_b = jnp.asarray(sec, jnp.int32).reshape(-1, 1, 1, 1)
+
+    def constrain(diff, s, damping):
+        shift = jnp.maximum(0, damping - _msb_j(s))
+        ad = jnp.abs(diff)
+        mag = jnp.minimum(ad, jnp.maximum(0, s - (ad >> shift)))
+        return jnp.sign(diff) * jnp.where(s > 0, mag, 0)
+
+    taps_sel = (pri >> coeff_shift) & 1
+    sum_ = jnp.zeros_like(x0)
+    mx = x0
+    mn = x0
+    for k in range(2):
+        ptap = jnp.asarray(PRI_TAPS)[taps_sel, k][..., None, None]
+        stap = int(SEC_TAPS[0, k])
+        for sgn in (1, -1):
+            pv = P[fi, Y + sgn * d0[..., k, 0][..., None, None],
+                   X + sgn * d0[..., k, 1][..., None, None]]
+            sum_ = sum_ + ptap * constrain(pv - x0, pri_b, pri_damping)
+            mx = jnp.maximum(mx, jnp.where(pv == CDEF_VERY_LARGE, mx, pv))
+            mn = jnp.minimum(mn, pv)
+        for dt in (d_p2, d_m2):
+            for sgn in (1, -1):
+                sv = P[fi, Y + sgn * dt[..., k, 0][..., None, None],
+                       X + sgn * dt[..., k, 1][..., None, None]]
+                sum_ = sum_ + stap * constrain(sv - x0, sec_b, sec_damping)
+                mx = jnp.maximum(mx, jnp.where(sv == CDEF_VERY_LARGE, mx, sv))
+                mn = jnp.minimum(mn, sv)
+    y = x0 + ((8 + sum_ - (sum_ < 0)) >> 4)
+    return jnp.clip(y, mn, mx)
+
+
+def cdef_frames_j(planes, src_y, nonskip8, qindex: int, bd: int = 8):
+    """Search + apply CDEF for a batch of frames, all on device.
+
+    planes: [y, u, v] (F, H, W) jnp int32 (post-DLF recon); src_y (F, H, W)
+    int32 source luma; nonskip8 (F, R8, C8) bool. Returns (new_planes,
+    strengths (F, 4) int32 [y_pri, y_sec, uv_pri, uv_sec], damping)."""
+    import jax.numpy as jnp
+
+    damping = pick_damping(qindex)
+    coeff_shift = max(bd - 8, 0)
+    F, H, W = planes[0].shape
+    R8, C8 = H // 8, W // 8
+    NU = R8 * C8
+    ys = (np.repeat(np.arange(R8), C8) * 8).astype(np.int32)
+    xs = (np.tile(np.arange(C8), R8) * 8).astype(np.int32)
+    mask = nonskip8.reshape(F, NU)
+
+    cells = planes[0].reshape(F, R8, 8, C8, 8).transpose(0, 1, 3, 2, 4).reshape(F, NU, 8, 8)
+    dirs, variances = find_dir_j(cells >> coeff_shift)
+
+    srcc = src_y.reshape(F, R8, 8, C8, 8).transpose(0, 1, 3, 2, 4).reshape(F, NU, 8, 8)
+
+    # strength search: evaluate the candidate ladder on every non-skip unit
+    sses = []
+    for y_pri, y_sec in SEARCH_CANDIDATES:
+        if y_pri == 0 and y_sec == 0:
+            res = cells
+        else:
+            t = _adjust_strength_j(y_pri << coeff_shift, variances)
+            d = jnp.where(y_pri > 0, dirs, 0)
+            res = _filter_cells_j(planes[0], ys, xs, 8, d, t,
+                                  np.full((F, 1), (y_sec << coeff_shift), np.int32),
+                                  damping + coeff_shift, damping + coeff_shift, coeff_shift)
+        e = ((res - srcc).astype(jnp.float32) ** 2).sum(axis=(-2, -1))
+        sses.append(jnp.sum(e * mask, axis=-1))
+    sses = jnp.stack(sses, axis=-1)  # (F, n_cand)
+    best = jnp.argmin(sses, axis=-1)  # (F,)
+    cand = jnp.asarray(np.array(SEARCH_CANDIDATES, np.int32))  # (n_cand, 2)
+    y_pri = cand[best, 0]
+    y_sec = cand[best, 1]
+    uv_pri = y_pri >> 1
+    uv_sec = y_sec >> 1  # ladder sec values are 0/1/2 -> >>1 gives 0/1, never 3
+
+    # final apply (per-frame dynamic strengths)
+    t = _adjust_strength_j((y_pri << coeff_shift)[:, None], variances)
+    dy = jnp.where((y_pri > 0)[:, None], dirs, 0)
+    res_y = _filter_cells_j(planes[0], ys, xs, 8, dy, t, (y_sec << coeff_shift)[:, None],
+                            damping + coeff_shift, damping + coeff_shift, coeff_shift)
+    apply_y = mask & ((y_pri > 0) | (y_sec > 0))[:, None]
+    new_y = _scatter_cells_j(planes[0], res_y, ys, xs, 8, apply_y)
+
+    duv = jnp.where((uv_pri > 0)[:, None], dirs, 0)
+    apply_uv = mask & ((uv_pri > 0) | (uv_sec > 0))[:, None]
+    pri_uv = jnp.broadcast_to((uv_pri << coeff_shift)[:, None], (F, NU))
+    new_u = _scatter_cells_j(planes[1],
+                             _filter_cells_j(planes[1], ys // 2, xs // 2, 4, duv, pri_uv,
+                                             (uv_sec << coeff_shift)[:, None],
+                                             damping + coeff_shift - 1, damping + coeff_shift - 1,
+                                             coeff_shift),
+                             ys // 2, xs // 2, 4, apply_uv)
+    new_v = _scatter_cells_j(planes[2],
+                             _filter_cells_j(planes[2], ys // 2, xs // 2, 4, duv, pri_uv,
+                                             (uv_sec << coeff_shift)[:, None],
+                                             damping + coeff_shift - 1, damping + coeff_shift - 1,
+                                             coeff_shift),
+                             ys // 2, xs // 2, 4, apply_uv)
+    strengths = jnp.stack([y_pri, y_sec, uv_pri, uv_sec], axis=-1)
+    return [new_y, new_u, new_v], strengths, damping
+
+
+def _scatter_cells_j(plane, cells, ys, xs, m, apply_mask):
+    """Write (F, NU, m, m) cells back where apply_mask (F, NU), else keep."""
+    import jax.numpy as jnp
+
+    F, H, W = plane.shape
+    R8, C8 = H // m, W // m
+    grid = plane.reshape(F, R8, m, C8, m).transpose(0, 1, 3, 2, 4).reshape(F, R8 * C8, m, m)
+    sel = jnp.where(apply_mask[..., None, None], cells, grid)
+    return sel.reshape(F, R8, C8, m, m).transpose(0, 1, 3, 2, 4).reshape(F, H, W)

@@ -97,6 +97,9 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
     q = [col(i) for i in range(7)]  # q0..q6
 
     out = {}
+    outm = {}  # per-offset class-membership masks: only lanes belonging to a
+    # filter class may write their column (unmasked writes of original
+    # samples could clobber a neighboring edge's filtered output)
 
     # --- shared narrow filter (filter4) on (p1,p0,q0,q1); returns deltas
     def narrow(mask):
@@ -145,6 +148,8 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
         out.setdefault(-1, p[0].copy())[sel4] = op0[sel4]
         out.setdefault(0, q[0].copy())[sel4] = oq0[sel4]
         out.setdefault(1, q[1].copy())[sel4] = oq1[sel4]
+        for off in (-2, -1, 0, 1):
+            outm[off] = outm.get(off, False) | sel4
 
     # class 6 (chroma): flat3 -> 5-tap else narrow
     if np.any(sel6):
@@ -158,6 +163,7 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
         for off, nar, lng in ((-2, op1, l_op1), (-1, op0, l_op0), (0, oq0, l_oq0), (1, oq1, l_oq1)):
             base = out.setdefault(off, (p[-off - 1] if off < 0 else q[off]).copy())
             base[sel6] = np.where(flat, lng, nar)[sel6]
+            outm[off] = outm.get(off, False) | sel6
 
     # class 8: flat4 -> 7-tap else narrow
     if np.any(sel8):
@@ -176,6 +182,7 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
             base = out.setdefault(off, (p[-off - 1] if off < 0 else q[off]).copy())
             v = np.where(flat, l[off], nar.get(off, p[-off - 1] if off < 0 else q[off]))
             base[sel8] = v[sel8]
+            outm[off] = outm.get(off, False) | sel8
 
     # class 14 (luma): flat4 & flat2(outer) -> 13-tap; flat4 -> 7-tap; else narrow
     if np.any(sel14):
@@ -211,6 +218,7 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
             base = out.setdefault(off, orig.copy())
             v = np.where(flat2, l14[off], np.where(flat, l8.get(off, orig), nar.get(off, orig)))
             base[sel14] = v[sel14]
+            outm[off] = outm.get(off, False) | sel14
 
     # scatter modified sample columns back; guard against overlapping edges
     # (closest-possible 14-tap edges are 16 apart -> max reach 6 < 16; 8-tap
@@ -220,10 +228,13 @@ def _filter_vertical_edges(plane: np.ndarray, flen: np.ndarray, lim: int, blim: 
     for off, vals in sorted(out.items()):
         target_cols = cols + off
         valid = (target_cols >= 0) & (target_cols < W)
+        m = outm[off]
         if not np.all(valid):
-            plane[:, target_cols[valid]] = vals[:, valid]
+            cur = plane[:, target_cols[valid]]
+            plane[:, target_cols[valid]] = np.where(m[:, valid], vals[:, valid], cur)
         else:
-            plane[:, target_cols] = vals
+            cur = plane[:, target_cols]
+            plane[:, target_cols] = np.where(m, vals, cur)
 
 
 def _edge_maps_vertical(mi: MiState, plane: int, pw: int, ph: int, lvl: int) -> np.ndarray:

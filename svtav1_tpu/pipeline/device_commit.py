@@ -49,46 +49,50 @@ def _next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
-def _build_schedule(leaves, dec, region):
-    """Sort leaves by wave per size; return per-size host arrays.
+def _build_schedule(leaves_per_frame, dec_per_frame, region):
+    """Sort all frames' leaves by wave per size; return per-size host arrays.
 
-    `region` = (x0, y0, w, h) pixels; coords are REGION-LOCAL r8/c8.
-    Returns {n: dict(coords (N,2), mode (N,), tx (N,), uv_tx (N,),
-    offsets (W+1,), kmax, order (N,) original leaf indices)} and W."""
+    `region` = (x0, y0, w, h) pixels; coords are (f, REGION-LOCAL r8, c8).
+    Independent intra frames share one wavefront schedule — lanes from every
+    frame batch together at each wave. Returns {n: dict(coords (N,3),
+    mode (N,), tx (N,), uv_tx (N,), offsets (W+1,), kmax)} and W."""
     x0, y0, rw, rh = region
     R8, C8 = rh // 8, rw // 8
     W = R8 + C8 + 7  # max wave = (R8-1) + (C8-1) + 8 - 1 => W-1
     out = {}
+    uv_tx_cache = {}
     for n in SIZES:
         n8 = n // 8
         items = []
-        for li, (mi_row, mi_col, ln) in enumerate(leaves):
-            if ln != n:
-                continue
-            r8, c8 = mi_row // 2 - y0 // 8, mi_col // 2 - x0 // 8
-            items.append((r8 + c8 + n8 - 1, r8, c8, li))
+        for f, leaves in enumerate(leaves_per_frame):
+            for (mi_row, mi_col, ln) in leaves:
+                if ln != n:
+                    continue
+                r8, c8 = mi_row // 2 - y0 // 8, mi_col // 2 - x0 // 8
+                items.append((r8 + c8 + n8 - 1, f, r8, c8))
         if not items:
             continue
         items.sort()
         N = len(items)
-        coords = np.zeros((N, 2), np.int32)
-        order = np.zeros(N, np.int64)
+        coords = np.zeros((N, 3), np.int32)
         counts = np.zeros(W, np.int64)
-        for i, (w, r8, c8, li) in enumerate(items):
-            coords[i] = (r8, c8)
-            order[i] = li
+        for i, (w, f, r8, c8) in enumerate(items):
+            coords[i] = (f, r8, c8)
             counts[w] += 1
         offsets = np.zeros(W + 1, np.int32)
         np.cumsum(counts, out=offsets[1:])
-        g = dec[n]
-        rs, cs = coords[:, 0] * 8 // n, coords[:, 1] * 8 // n
-        mode = g["mode"][rs, cs].astype(np.int32)
-        tx = g["tx"][rs, cs].astype(np.int32)
+        fs, rs, cs = coords[:, 0], coords[:, 1] * 8 // n, coords[:, 2] * 8 // n
+        mode = np.array([dec_per_frame[f][n]["mode"][r, c]
+                         for f, r, c in zip(fs, rs, cs)], np.int32)
+        tx = np.array([dec_per_frame[f][n]["tx"][r, c]
+                       for f, r, c in zip(fs, rs, cs)], np.int32)
         tx_uv_size = int(max_uv_txsize(BSIZE_BY_N[n]))
-        uv_tx = np.array([TX_SEARCH.index(chroma_tx_type(MODES[m], tx_uv_size))
-                          for m in mode], np.int32)
+        if n not in uv_tx_cache:
+            uv_tx_cache[n] = np.array(
+                [TX_SEARCH.index(chroma_tx_type(m, tx_uv_size)) for m in MODES], np.int32)
+        uv_tx = uv_tx_cache[n][mode]
         out[n] = dict(coords=coords, mode=mode, tx=tx, uv_tx=uv_tx,
-                      offsets=offsets, kmax=int(counts.max()), order=order)
+                      offsets=offsets, kmax=int(counts.max()))
     return out, W
 
 
@@ -100,11 +104,12 @@ def _pad_rows(a: np.ndarray, k: int):
 def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
     """The wavefront loop. `sched_flat` is ONE packed int32 vector (all
     per-size schedules — single h2d transfer); `cfg` a hashable static tuple:
-    (W, W_eff, R8, C8, qindex, bd, ((n, N, N_pad, kmax), ...)). The loop runs
-    W_eff compacted steps over `wave_list` (only waves with work — empty
-    anti-diagonals are skipped entirely). Returns
-    (levels_i16_packed, recon_u8_packed) — two arrays, two d2h transfers."""
-    W, W_eff, R8, C8, qindex, bd, size_cfgs = cfg
+    (F, W, W_eff, R8, C8, qindex, bd, ((n, N, N_pad, kmax), ...)). The loop
+    runs W_eff compacted steps over `wave_list` (only waves with work — empty
+    anti-diagonals are skipped entirely); lanes from all F batched frames
+    share each wave. Returns (levels_i16_packed, recon_u8_packed) — two
+    arrays, two d2h transfers."""
+    F, W, W_eff, R8, C8, qindex, bd, size_cfgs = cfg
     AW, AH = C8 * 8, R8 * 8
     base = 1 << (bd - 1)
     src_y = src_y8.astype(jnp.int32)
@@ -117,7 +122,7 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
     pos = 0
     for n, N, N_pad, kmax in size_cfgs:
         s = {}
-        s["coords"] = sched_flat[pos : pos + N_pad * 2].reshape(N_pad, 2); pos += N_pad * 2
+        s["coords"] = sched_flat[pos : pos + N_pad * 3].reshape(N_pad, 3); pos += N_pad * 3
         s["mode"] = sched_flat[pos : pos + N_pad]; pos += N_pad
         s["tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
         s["uv_tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
@@ -146,9 +151,16 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
 
     # initial state: frontier maps + per-size outputs
     state = dict(
-        by=jnp.zeros((R8, AW), jnp.int32), ry=jnp.zeros((C8, AH), jnp.int32),
-        bu=jnp.zeros((R8, AW // 2), jnp.int32), ru=jnp.zeros((C8, AH // 2), jnp.int32),
-        bv=jnp.zeros((R8, AW // 2), jnp.int32), rv=jnp.zeros((C8, AH // 2), jnp.int32),
+        by=jnp.zeros((F, R8, AW), jnp.int32), ry=jnp.zeros((F, C8, AH), jnp.int32),
+        bu=jnp.zeros((F, R8, AW // 2), jnp.int32), ru=jnp.zeros((F, C8, AH // 2), jnp.int32),
+        bv=jnp.zeros((F, R8, AW // 2), jnp.int32), rv=jnp.zeros((F, C8, AH // 2), jnp.int32),
+        # per-cell bottom-right corner maps: the topleft neighbor pixel's
+        # covering block may extend BELOW row y-1 (upper-left diagonal), so
+        # bottom_rows can miss it; corners[r8, c8] always holds
+        # recon[(r8+1)*8-1, (c8+1)*8-1] once the covering block completes
+        cy=jnp.zeros((F, R8, C8), jnp.int32),
+        cu=jnp.zeros((F, R8, C8), jnp.int32),
+        cv=jnp.zeros((F, R8, C8), jnp.int32),
     )
     for n, N, N_pad, kmax in size_cfgs:
         adj, nc = min(n, 32), n // 2
@@ -173,17 +185,19 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
                                          (kmax,) + arr.shape[1:])
 
         rc = dsl(s["coords"])
-        r8, c8 = rc[:, 0], rc[:, 1]
+        fidx, r8, c8 = rc[:, 0], rc[:, 1], rc[:, 2]
         mode = dsl(s["mode"])
         tx_idx = dsl(s["tx"])
         uv_tx_idx = dsl(s["uv_tx"])
         x, y = c8 * 8, r8 * 8
         ha, hl = r8 > 0, c8 > 0
 
-        def edges_from(bmap, rmap, xx, yy, m):
-            ar = bmap[jnp.maximum(r8 - 1, 0)[:, None], xx[:, None] + jnp.arange(m)[None, :]]
-            lc = rmap[jnp.maximum(c8 - 1, 0)[:, None], yy[:, None] + jnp.arange(m)[None, :]]
-            tl = bmap[jnp.maximum(r8 - 1, 0), jnp.maximum(xx - 1, 0)]
+        def edges_from(bmap, rmap, cmap, xx, yy, m):
+            ar = bmap[fidx[:, None], jnp.maximum(r8 - 1, 0)[:, None],
+                      xx[:, None] + jnp.arange(m)[None, :]]
+            lc = rmap[fidx[:, None], jnp.maximum(c8 - 1, 0)[:, None],
+                      yy[:, None] + jnp.arange(m)[None, :]]
+            tl = cmap[fidx, jnp.maximum(r8 - 1, 0), jnp.maximum(c8 - 1, 0)]
             left_fill = jnp.where(ha, ar[:, 0], base + 1)
             above_fill = jnp.where(hl, lc[:, 0], base - 1)
             ar = jnp.where(ha[:, None], ar, above_fill[:, None])
@@ -193,20 +207,21 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
             return ar, lc, tl
 
         def src_blocks(plane, xx, yy, m):
-            return plane[yy[:, None, None] + jnp.arange(m)[None, :, None],
+            return plane[fidx[:, None, None],
+                         yy[:, None, None] + jnp.arange(m)[None, :, None],
                          xx[:, None, None] + jnp.arange(m)[None, None, :]]
 
         bi = jnp.arange(kmax)
         # luma
-        ar, lc, tl = edges_from(st["by"], st["ry"], x, y, n)
+        ar, lc, tl = edges_from(st["by"], st["ry"], st["cy"], x, y, n)
         pred = _predict_modes(ar, lc, tl, ha, hl, n)[bi, mode]
         sb = src_blocks(src_y, x, y, n)
         lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1)
         # chroma (uv_mode = y mode; tx type derived per mode) — u and v are
         # stacked into one 2K-lane batch so every op runs once
         xc, yc = c8 * 4, r8 * 4
-        aru, lcu, tlu = edges_from(st["bu"], st["ru"], xc, yc, nc)
-        arv, lcv, tlv = edges_from(st["bv"], st["rv"], xc, yc, nc)
+        aru, lcu, tlu = edges_from(st["bu"], st["ru"], st["cu"], xc, yc, nc)
+        arv, lcv, tlv = edges_from(st["bv"], st["rv"], st["cv"], xc, yc, nc)
         ac = jnp.concatenate([aru, arv])
         lcc = jnp.concatenate([lcu, lcv])
         tlc = jnp.concatenate([tlu, tlv])
@@ -237,18 +252,26 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
         oob = jnp.int32(1 << 20)
         rb = jnp.where(valid, r8 + n8 - 1, oob)
         cb = jnp.where(valid, c8 + n8 - 1, oob)
-        st["by"] = st["by"].at[rb[:, None], x[:, None] + jnp.arange(n)[None, :]] \
+        fi = fidx[:, None]
+        st["by"] = st["by"].at[fi, rb[:, None], x[:, None] + jnp.arange(n)[None, :]] \
             .set(rec_y[:, -1, :], mode="drop")
-        st["ry"] = st["ry"].at[cb[:, None], y[:, None] + jnp.arange(n)[None, :]] \
+        st["ry"] = st["ry"].at[fi, cb[:, None], y[:, None] + jnp.arange(n)[None, :]] \
             .set(rec_y[:, :, -1], mode="drop")
-        st["bu"] = st["bu"].at[rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
+        st["bu"] = st["bu"].at[fi, rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
             .set(rec_u[:, -1, :], mode="drop")
-        st["ru"] = st["ru"].at[cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
+        st["ru"] = st["ru"].at[fi, cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
             .set(rec_u[:, :, -1], mode="drop")
-        st["bv"] = st["bv"].at[rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
+        st["bv"] = st["bv"].at[fi, rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
             .set(rec_v[:, -1, :], mode="drop")
-        st["rv"] = st["rv"].at[cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
+        st["rv"] = st["rv"].at[fi, cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
             .set(rec_v[:, :, -1], mode="drop")
+        # corner maps: this block's per-cell bottom-right pixels
+        rr8 = jnp.where(valid, r8, oob)[:, None, None] + jnp.arange(n8)[None, :, None]
+        cc8 = c8[:, None, None] + jnp.arange(n8)[None, None, :]
+        fi3 = fidx[:, None, None]
+        st["cy"] = st["cy"].at[fi3, rr8, cc8].set(rec_y[:, 7::8, 7::8], mode="drop")
+        st["cu"] = st["cu"].at[fi3, rr8, cc8].set(rec_u[:, 3::4, 3::4], mode="drop")
+        st["cv"] = st["cv"].at[fi3, rr8, cc8].set(rec_v[:, 3::4, 3::4], mode="drop")
         return st
 
     def body(i, st):
@@ -261,40 +284,53 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
 
     # assemble recon planes on device (one scatter per size/plane) and pack
     # every output into two transfer buffers
-    ry = jnp.zeros((AH, AW), jnp.int32)
-    ru = jnp.zeros((AH // 2, AW // 2), jnp.int32)
-    rv = jnp.zeros((AH // 2, AW // 2), jnp.int32)
+    ry = jnp.zeros((F, AH, AW), jnp.int32)
+    ru = jnp.zeros((F, AH // 2, AW // 2), jnp.int32)
+    rv = jnp.zeros((F, AH // 2, AW // 2), jnp.int32)
     levels_parts = []
     for n, N, N_pad, kmax in size_cfgs:
         nc = n // 2
         coords = sched[n]["coords"][:N]
-        r8, c8 = coords[:, 0], coords[:, 1]
+        fi, r8, c8 = coords[:, 0, None, None], coords[:, 1], coords[:, 2]
         yy = (r8 * 8)[:, None, None] + jnp.arange(n)[None, :, None]
         xx = (c8 * 8)[:, None, None] + jnp.arange(n)[None, None, :]
-        ry = ry.at[yy, xx].set(st[f"ry{n}"][:N])
+        ry = ry.at[fi, yy, xx].set(st[f"ry{n}"][:N])
         yyc = (r8 * 4)[:, None, None] + jnp.arange(nc)[None, :, None]
         xxc = (c8 * 4)[:, None, None] + jnp.arange(nc)[None, None, :]
-        ru = ru.at[yyc, xxc].set(st[f"ru{n}"][:N])
-        rv = rv.at[yyc, xxc].set(st[f"rv{n}"][:N])
+        ru = ru.at[fi, yyc, xxc].set(st[f"ru{n}"][:N])
+        rv = rv.at[fi, yyc, xxc].set(st[f"rv{n}"][:N])
         levels_parts += [st[f"ly{n}"][:N].astype(jnp.int16).ravel(),
                          st[f"lu{n}"][:N].astype(jnp.int16).ravel(),
                          st[f"lv{n}"][:N].astype(jnp.int16).ravel()]
     levels_packed = jnp.concatenate(levels_parts) if levels_parts else jnp.zeros(0, jnp.int16)
-    recon_packed = jnp.concatenate([ry.astype(jnp.uint8).ravel(),
-                                    ru.astype(jnp.uint8).ravel(),
-                                    rv.astype(jnp.uint8).ravel()])
-    return levels_packed, recon_packed
+
+    # per-8px-cell skip map (all planes' levels zero) for CDEF unit selection
+    skip8 = jnp.zeros((F, R8, C8), bool)
+    for n, N, N_pad, kmax in size_cfgs:
+        n8 = n // 8
+        coords = sched[n]["coords"][:N]
+        blk_skip = ((jnp.sum(jnp.abs(st[f"ly{n}"][:N]), axis=(1, 2))
+                     + jnp.sum(jnp.abs(st[f"lu{n}"][:N]), axis=(1, 2))
+                     + jnp.sum(jnp.abs(st[f"lv{n}"][:N]), axis=(1, 2))) == 0)
+        fi = coords[:, 0, None, None]
+        rr = coords[:, 1, None, None] + jnp.arange(n8)[None, :, None]
+        cc = coords[:, 2, None, None] + jnp.arange(n8)[None, None, :]
+        skip8 = skip8.at[fi, rr, cc].set(
+            jnp.broadcast_to(blk_skip[:, None, None], (N, n8, n8)))
+    return levels_packed, ry, ru, rv, skip8
 
 
-def commit_region(src_dev, params: FrameParams, leaves, dec, plan: Plan, recon: list,
-                  region) -> None:
-    """Commit the decided leaves of one region into plan + recon (in place).
+def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, region):
+    """Commit the decided leaves of one region: fills plans in place and
+    returns the region's DEVICE recon planes + skip map (ry, ru, rv, skip8).
 
-    `src_dev` are put_frame() device planes; `dec` is device_decide's
-    per-size decision dict for the region. One packed h2d (schedule) + two
-    d2h transfers (levels int16, recon uint8)."""
+    `src_dev` are put_frames() (F, H, W) device planes; `leaves`/`dec`/
+    `plans` are per-frame lists. One packed h2d (schedule) + one d2h
+    transfer (levels int16) for the WHOLE batch; recon stays on device for
+    the filter stage."""
     p = params
     x0, y0, rw, rh = region
+    F = src_dev[0].shape[0]
     sched_np, W = _build_schedule(leaves, dec, region)
     R8, C8 = rh // 8, rw // 8
 
@@ -316,26 +352,20 @@ def commit_region(src_dev, params: FrameParams, leaves, dec, plan: Plan, recon: 
             offs,
         ]
     waves = np.nonzero(wave_used)[0].astype(np.int32)
-    W_eff = _next_pow2(max(len(waves), 1))
+    W_eff = min(_next_pow2(max(len(waves), 1)), W)
     wave_list = np.full(W_eff, W, np.int32)  # pad with the empty sentinel wave
-    wave_list[: len(waves)] = waves
+    wave_list[: min(len(waves), W_eff)] = waves[:W_eff]
+    if len(waves) > W_eff:  # only possible when W_eff == W: identity schedule
+        wave_list = np.arange(W, dtype=np.int32)
+        W_eff = W
     flat_parts.append(wave_list)
     sched_flat = jnp.asarray(np.concatenate([f.astype(np.int32) for f in flat_parts]))
-    cfg = (W, W_eff, R8, C8, p.qindex, p.bd, tuple(size_cfgs))
-    sy = src_dev[0][y0 : y0 + rh, x0 : x0 + rw]
-    su = src_dev[1][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
-    sv = src_dev[2][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
-    levels_packed, recon_packed = _commit_device(sy, su, sv, sched_flat, cfg)
+    cfg = (F, W, W_eff, R8, C8, p.qindex, p.bd, tuple(size_cfgs))
+    sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
+    su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    levels_packed, ry, ru, rv, skip8 = _commit_device(sy, su, sv, sched_flat, cfg)
     levels_packed = np.asarray(levels_packed)
-    recon_packed = np.asarray(recon_packed)
-
-    # unpack recon planes into the frame buffers
-    ysz, csz = rh * rw, (rh // 2) * (rw // 2)
-    recon[0][y0 : y0 + rh, x0 : x0 + rw] = recon_packed[:ysz].reshape(rh, rw)
-    recon[1][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2] = \
-        recon_packed[ysz : ysz + csz].reshape(rh // 2, rw // 2)
-    recon[2][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2] = \
-        recon_packed[ysz + csz :].reshape(rh // 2, rw // 2)
 
     # unpack levels + build per-block decisions
     off = 0
@@ -348,41 +378,172 @@ def commit_region(src_dev, params: FrameParams, leaves, dec, plan: Plan, recon: 
         off += N * nc * nc
         lvv = levels_packed[off : off + N * nc * nc].reshape(N, nc, nc).astype(np.int32)
         off += N * nc * nc
-        r8, c8 = s["coords"][:, 0], s["coords"][:, 1]
+        fs, r8, c8 = s["coords"][:, 0], s["coords"][:, 1], s["coords"][:, 2]
         skip = ((np.abs(ly).sum((1, 2)) + np.abs(lu).sum((1, 2)) + np.abs(lvv).sum((1, 2))) == 0)
         for i in range(N):
             mi_row = (y0 // 8 + int(r8[i])) * 2
             mi_col = (x0 // 8 + int(c8[i])) * 2
             m = MODES[int(s["mode"][i])]
             sk = bool(skip[i])
-            plan.blocks[(mi_row, mi_col, BSIZE_BY_N[n])] = BlockDecision(
+            plans[int(fs[i])].blocks[(mi_row, mi_col, BSIZE_BY_N[n])] = BlockDecision(
                 y_mode=m, uv_mode=m, skip=int(sk),
                 tx_type=TX_SEARCH[int(s["tx"][i])],
                 levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
                 levels_v=None if sk else lvv[i])
+    return ry, ru, rv, skip8
 
 
-def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
-    """Unified device intra encoder: batched open-loop decide at all sizes,
-    host partition DP, wavefront commit — per tile (tiles are prediction
-    boundaries, so each region runs independently). Replaces the round-1
-    fixed-grid device path."""
+@functools.partial(jax.jit, static_argnames=("levels", "sharpness", "bd", "qindex",
+                                             "enable_cdef", "flen_shapes"))
+def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
+                   levels, sharpness, bd, qindex, enable_cdef, flen_shapes):
+    """In-loop filters on device: DLF (by-q levels) then CDEF search+apply.
+    flen_flat packs the six DLF filter-length maps (shapes static).
+    Returns (packed uint8 recon, cdef strengths (F, 4))."""
+    from ..filters import cdef_jax, dlf_jax
+
+    F = ry.shape[0]
+    planes = [ry, ru, rv]
+    if any(levels):
+        flens = []
+        pos = 0
+        for shp in flen_shapes:
+            sz = int(np.prod(shp))
+            flens.append(flen_flat[pos : pos + sz].reshape(shp))
+            pos += sz
+        out = []
+        fi = 0
+        for plane in range(3):
+            pl = planes[plane]
+            lvl_v = levels[0] if plane == 0 else levels[plane + 1]
+            lvl_h = levels[1] if plane == 0 else levels[plane + 1]
+            if lvl_v:
+                lim, blim, thr = dlf_jax._limits(lvl_v, sharpness)
+                pl = dlf_jax.filter_vertical_edges_j(pl, flens[fi], lim, blim, thr, bd)
+            fi += 1
+            if lvl_h:
+                lim, blim, thr = dlf_jax._limits(lvl_h, sharpness)
+                plT = jnp.swapaxes(pl, 1, 2)
+                plT = dlf_jax.filter_vertical_edges_j(plT, flens[fi], lim, blim, thr, bd)
+                pl = jnp.swapaxes(plT, 1, 2)
+            fi += 1
+            out.append(pl)
+        planes = out
+    if enable_cdef:
+        planes, strengths, _damping = cdef_jax.cdef_frames_j(
+            planes, src_y8.astype(jnp.int32), ~skip8, qindex, bd)
+    else:
+        strengths = jnp.zeros((F, 4), jnp.int32)
+    packed = jnp.concatenate([planes[0].astype(jnp.uint8).ravel(),
+                              planes[1].astype(jnp.uint8).ravel(),
+                              planes[2].astype(jnp.uint8).ravel()])
+    return packed, strengths
+
+
+def _size_maps(leaves, F: int, R8: int, C8: int) -> np.ndarray:
+    """(F, R8, C8) luma block size per 8px cell from the leaf lists."""
+    sm = np.zeros((F, R8, C8), np.int32)
+    for f, lv in enumerate(leaves):
+        for (mi_row, mi_col, n) in lv:
+            r8, c8, n8 = mi_row // 2, mi_col // 2, n // 8
+            sm[f, r8 : r8 + n8, c8 : c8 + n8] = n
+    return sm
+
+
+def encode_intra_frames(src_frames: list, params: FrameParams,
+                        apply_filters: bool = False, enable_dlf: bool = True,
+                        enable_cdef: bool = True, sharpness: int = 0):
+    """Unified device intra encoder over a BATCH of independent frames:
+    batched open-loop decide at all sizes, host partition DP per frame,
+    shared wavefront commit — per tile (tiles are prediction boundaries,
+    so each region runs independently). Batching amortizes the wavefront's
+    serial latency and every host<->device transfer across F frames.
+
+    With apply_filters, DLF+CDEF also run on device and the return is
+    [(plan, recon, filt), ...] with filt = dict(lf_levels, cdef=(y_pri,
+    y_sec, uv_pri, uv_sec, damping)); otherwise [(plan, recon), ...] with
+    unfiltered recon (the host applies filters as before).
+
+    src_frames: list of [y, u, v] plane lists."""
     from ..constants.cdf import FrameContext
+    from ..filters import cdef as cdef_mod
+    from ..filters import dlf as dlf_mod
+    from ..filters import dlf_jax
     from . import device_decide
     from .intra_md import rd_lambda
 
     p = params
+    F = len(src_frames)
     fc = FrameContext(p.qindex)
     lam = float(rd_lambda(p.qindex, p.bd))
     aw, ah = p.aligned_width, p.aligned_height
-    src_dev = device_decide.put_frame(src_planes, p.bd)
-    plan = Plan()
-    recon = [np.zeros_like(pl) for pl in src_planes]
+    src_dev = device_decide.put_frames(src_frames, p.bd)
+    plans = [Plan() for _ in range(F)]
+    regions = []
+    all_leaves = [[] for _ in range(F)]
     for (r0, r1, c0, c1) in p.tiles():
         x0, y0 = c0 * 64, r0 * 64
         region = (x0, y0, min(c1 * 64, aw) - x0, min(r1 * 64, ah) - y0)
-        dec = device_decide.decide_intra_frame(src_dev, p, fc, lam, region)
-        partitions, leaves = device_decide.partition_dp(dec, p, fc, lam, region)
-        commit_region(src_dev, p, leaves, dec, plan, recon, region)
-        plan.partitions.update(partitions)
-    return plan, recon
+        decs = device_decide.decide_intra_frames(src_dev, p, fc, lam, region)
+        leaves = []
+        for f in range(F):
+            partitions, lv = device_decide.partition_dp(decs[f], p, fc, lam, region)
+            plans[f].partitions.update(partitions)
+            leaves.append(lv)
+            all_leaves[f].extend(lv)
+        ry, ru, rv, skip8 = commit_regions(src_dev, p, leaves, decs, plans, region)
+        regions.append((region, ry, ru, rv, skip8))
+
+    # assemble the full-frame device recon (single-region fast path)
+    if len(regions) == 1:
+        (_, ry, ru, rv, skip8) = regions[0]
+    else:
+        ry = jnp.zeros((F, ah, aw), jnp.int32)
+        ru = jnp.zeros((F, ah // 2, aw // 2), jnp.int32)
+        rv = jnp.zeros((F, ah // 2, aw // 2), jnp.int32)
+        skip8 = jnp.zeros((F, ah // 8, aw // 8), bool)
+        for (x0, y0, rw, rh), a, b, c, s8 in regions:
+            ry = ry.at[:, y0 : y0 + rh, x0 : x0 + rw].set(a)
+            ru = ru.at[:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2].set(b)
+            rv = rv.at[:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2].set(c)
+            skip8 = skip8.at[:, y0 // 8 : (y0 + rh) // 8, x0 // 8 : (x0 + rw) // 8].set(s8)
+
+    filt = None
+    if apply_filters:
+        levels = (dlf_mod.pick_filter_levels(p.qindex, p.bd, True, p.height)
+                  if enable_dlf else (0, 0, 0, 0))
+        sm = _size_maps(all_leaves, F, ah // 8, aw // 8)
+        flens = []
+        for plane in range(3):
+            flens.append(dlf_jax.flen_maps_from_sizes(sm, plane, False))
+            flens.append(dlf_jax.flen_maps_from_sizes(sm, plane, True))
+        flen_shapes = tuple(x.shape for x in flens)
+        flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]))
+        packed, strengths = _filter_device(ry, ru, rv, src_dev[0], skip8, flen_flat,
+                                           tuple(levels), sharpness, p.bd, p.qindex,
+                                           enable_cdef, flen_shapes)
+        strengths = np.asarray(strengths)
+        damping = cdef_mod.pick_damping(p.qindex)
+        filt = [dict(lf_levels=tuple(levels),
+                     cdef=(int(strengths[f, 0]), int(strengths[f, 1]),
+                           int(strengths[f, 2]), int(strengths[f, 3]), damping))
+                for f in range(F)]
+    else:
+        packed = jnp.concatenate([ry.astype(jnp.uint8).ravel(),
+                                  ru.astype(jnp.uint8).ravel(),
+                                  rv.astype(jnp.uint8).ravel()])
+    packed = np.asarray(packed)
+
+    ysz, csz = ah * aw, (ah // 2) * (aw // 2)
+    yy = packed[: F * ysz].reshape(F, ah, aw).astype(np.int32)
+    uu = packed[F * ysz : F * (ysz + csz)].reshape(F, ah // 2, aw // 2).astype(np.int32)
+    vv = packed[F * (ysz + csz) :].reshape(F, ah // 2, aw // 2).astype(np.int32)
+    recons = [[yy[f], uu[f], vv[f]] for f in range(F)]
+    if filt is not None:
+        return [(plans[f], recons[f], filt[f]) for f in range(F)]
+    return list(zip(plans, recons))
+
+
+def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
+    """Single-frame wrapper over encode_intra_frames (unfiltered recon)."""
+    return encode_intra_frames([src_planes], params)[0]

@@ -43,7 +43,14 @@ def put_frame(src, bd: int = 8):
     """Transfer source planes to device once per frame (uint8 for bd=8 —
     the host<->device link is the scarce resource in this deployment)."""
     dt = np.uint8 if bd == 8 else np.int16
-    return tuple(jax.device_put(np.asarray(pl, dt)) for pl in src)
+    return tuple(jax.device_put(np.asarray(pl, dt)[None]) for pl in src)
+
+
+def put_frames(srcs, bd: int = 8):
+    """Stack F frames' planes and transfer once: (F, H, W) per plane."""
+    dt = np.uint8 if bd == 8 else np.int16
+    return tuple(jax.device_put(np.stack([np.asarray(s[i], dt) for s in srcs]))
+                 for i in range(3))
 
 
 def _penalty_grid_np(p: FrameParams, y0: int, x0: int, R: int, C: int, n: int,
@@ -97,21 +104,25 @@ def _penalty_grid_np(p: FrameParams, y0: int, x0: int, R: int, C: int, n: int,
     return pen
 
 
-def _grid_neighbors(plane, n: int, R: int, C: int):
-    """Open-loop neighbors for an (R, C) grid of n x n blocks of `plane`:
-    above rows / left cols / topleft corners, gathered from the padded plane
-    (edge lanes are masked by have_above/have_left downstream)."""
-    p = jnp.pad(plane, ((1, 0), (1, 0)))[: 1 + R * n, : 1 + C * n]
+def _grid_neighbors(planes, n: int, R: int, C: int):
+    """Open-loop neighbors for an (R, C) grid of n x n blocks of each of the
+    (F, H, W) `planes`: above rows / left cols / topleft corners, gathered
+    from the padded planes (edge lanes are masked by have_above/have_left
+    downstream). Returns (F*R*C, ...) flattened batches."""
+    F = planes.shape[0]
+    p = jnp.pad(planes, ((0, 0), (1, 0), (1, 0)))[:, : 1 + R * n, : 1 + C * n]
     rows = np.arange(R) * n  # padded-row index of each block's above row
     cols = np.arange(C) * n
-    above = p[rows][:, 1:].reshape(R, C, n)
-    left = p[:, cols][1:, :].reshape(R, n, C).transpose(0, 2, 1)
-    tl = p[rows][:, cols]
+    above = p[:, rows][:, :, 1:].reshape(F, R, C, n)
+    left = p[:, :, cols][:, 1:, :].reshape(F, R, n, C).transpose(0, 1, 3, 2)
+    tl = p[:, rows][:, :, cols]
     return above.reshape(-1, n), left.reshape(-1, n), tl.reshape(-1)
 
 
-def _blocks_of(plane, n: int, R: int, C: int):
-    return plane[: R * n, : C * n].reshape(R, n, C, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+def _blocks_of(planes, n: int, R: int, C: int):
+    F = planes.shape[0]
+    return planes[:, : R * n, : C * n].reshape(F, R, n, C, n) \
+        .transpose(0, 1, 3, 2, 4).reshape(-1, n, n)
 
 
 def _eval_txfm(resid, tx_type: int, qindex: int, bd: int, n: int, rate_fn):
@@ -188,15 +199,19 @@ def intra_txtype_cost_const(fc, n: int) -> np.ndarray:
 def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
                        n: int, qindex: int, bd: int, is_key: bool, R: int, C: int,
                        lam: float):
-    """Batched open-loop intra decision for all (R, C) blocks of size n.
+    """Batched open-loop intra decision for all (R, C) blocks of size n of
+    all F frames (src planes are (F, H, W) — independent intra frames batch
+    together to amortize the per-wave/per-call costs of this deployment's
+    tunneled device).
 
-    Returns (cost, mode_idx, tx_idx): cost (R, C) float32 total RD cost
-    (luma incl tx search + chroma + mode bits + skip flag), mode_idx (R, C)
-    int32 into MODES, tx_idx (R, C) int32 into TX_SEARCH."""
-    B = R * C
+    Returns (cost, mode_idx, tx_idx): cost (F, R, C) float32 total RD cost
+    (luma incl tx search + chroma + mode bits + skip flag), mode_idx (F, R,
+    C) int32 into MODES, tx_idx (F, R, C) int32 into TX_SEARCH."""
+    F = src_y.shape[0]
+    B = F * R * C
     nc = n // 2
-    r_idx = jnp.repeat(jnp.arange(R), C)
-    c_idx = jnp.tile(jnp.arange(C), R)
+    r_idx = jnp.tile(jnp.repeat(jnp.arange(R), C), F)
+    c_idx = jnp.tile(jnp.arange(C), F * R)
     ha, hl = r_idx > 0, c_idx > 0
     base = 1 << (bd - 1)
 
@@ -217,10 +232,11 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
     resid = srcb[:, None] - preds
 
     rate_fns = _rate_fns(qindex, n)
+    penB = jnp.broadcast_to(pen.reshape(1, R * C, 13), (F, R * C, 13)).reshape(B, 13)
     lv, dqc, rate = _eval_txfm(resid, int(TxType.DCT_DCT), qindex, bd, n, rate_fns["y"][0])
     rec = _recon(dqc, preds, int(TxType.DCT_DCT), bd)
     dist = jnp.sum((rec - srcb[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
-    cost13 = dist + lam * (rate + mode_cost[None, :] + txt_cost[None, :, 0]) + pen.reshape(B, 13)
+    cost13 = dist + lam * (rate + mode_cost[None, :] + txt_cost[None, :, 0]) + penB
     best_mode = jnp.argmin(cost13, axis=1)
     bi = jnp.arange(B)
     best_pred = preds[bi, best_mode]
@@ -235,7 +251,7 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
             recj = _recon(dqcj, best_pred, t, bd)
             dj = jnp.sum((recj - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
             cj = dj + lam * (ratej + mode_cost[best_mode] + txt_cost[best_mode, j]) + \
-                pen.reshape(B, 13)[bi, best_mode]
+                penB[bi, best_mode]
             take = cj < best_cost
             best_cost = jnp.where(take, cj, best_cost)
             best_tx = jnp.where(take, j, best_tx)
@@ -253,8 +269,8 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
         best_cost = best_cost + jnp.sum((recc - sb).astype(jnp.float32) ** 2, axis=(-2, -1)) \
             + lam * ratec
     best_cost = best_cost + lam * 1.0  # skip flag
-    return (best_cost.reshape(R, C), best_mode.astype(jnp.int32).reshape(R, C),
-            best_tx.reshape(R, C))
+    return (best_cost.reshape(F, R, C), best_mode.astype(jnp.int32).reshape(F, R, C),
+            best_tx.astype(jnp.int32).reshape(F, R, C))
 
 
 # per-(qindex, n) rate-fn cache; FrameContext default CDFs only depend on the
@@ -322,31 +338,39 @@ def _decide_region_jit(width: int, height: int, region, qindex: int, bd: int,
     return run, layout
 
 
-def decide_intra_frame(src_dev, params: FrameParams, fc, lam: float, region=None) -> dict:
+def decide_intra_frames(src_dev, params: FrameParams, fc, lam: float, region=None) -> list:
     """Run the batched intra decide for every size over `region`
     (x0, y0, w, h in pixels; default whole aligned frame — tiles pass their
-    bounds, which are prediction boundaries). `src_dev` is put_frame()'s
-    device planes. Returns {n: dict(cost, mode, tx)} of host numpy arrays
-    over the region's (R_n, C_n) grid, fetched in ONE transfer."""
+    bounds, which are prediction boundaries) for ALL F frames stacked in
+    `src_dev` (put_frames()'s (F, H, W) device planes). Returns a list of F
+    per-frame dicts {n: dict(cost, mode, tx)} over the region's (R_n, C_n)
+    grid, fetched in ONE transfer."""
     p = params
     region = region if region is not None else (0, 0, p.aligned_width, p.aligned_height)
     x0, y0, rw, rh = region
-    sy = src_dev[0][y0 : y0 + rh, x0 : x0 + rw]
-    su = src_dev[1][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
-    sv = src_dev[2][y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    F = src_dev[0].shape[0]
+    sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
+    su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
+    sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     run, layout = _decide_region_jit(p.width, p.height, region, p.qindex, p.bd,
                                      bool(p.frame_is_intra))
     flat = np.asarray(run(sy, su, sv))
-    out = {}
+    out = [{} for _ in range(F)]
     off = 0
     for n, R, C in layout:
-        sz = R * C
-        cost = flat[off : off + sz].reshape(R, C).astype(np.float64)
-        mode = flat[off + sz : off + 2 * sz].reshape(R, C).astype(np.int32)
-        tx = flat[off + 2 * sz : off + 3 * sz].reshape(R, C).astype(np.int32)
+        sz = F * R * C
+        cost = flat[off : off + sz].reshape(F, R, C).astype(np.float64)
+        mode = flat[off + sz : off + 2 * sz].reshape(F, R, C).astype(np.int32)
+        tx = flat[off + 2 * sz : off + 3 * sz].reshape(F, R, C).astype(np.int32)
         off += 3 * sz
-        out[n] = dict(cost=cost, mode=mode, tx=tx)
+        for f in range(F):
+            out[f][n] = dict(cost=cost[f], mode=mode[f], tx=tx[f])
     return out
+
+
+def decide_intra_frame(src_dev, params: FrameParams, fc, lam: float, region=None) -> dict:
+    """Single-frame wrapper over decide_intra_frames."""
+    return decide_intra_frames(src_dev, params, fc, lam, region)[0]
 
 
 def partition_dp(decide: dict, params: FrameParams, fc, lam: float, region=None):

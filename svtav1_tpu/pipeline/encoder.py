@@ -40,6 +40,9 @@ class EncoderConfig:
     target_kbps: float = 0.0  # CBR target (kbit/s)
     fps: float = 30.0
     scene_cut: bool = False  # adaptive key frames on scene changes
+    # all-intra frame batching through the device pipeline (keyint==1, jax
+    # MD, CQP only): amortizes wavefront latency + host<->device transfers
+    intra_batch: int = 1
 
 
 @dataclass
@@ -114,6 +117,10 @@ class Encoder:
         self.next_disp = 0  # next display index expected from the caller
         self.anchor = -1  # display idx of the last coded anchor
         self.pending: list = []  # buffered (disp_idx, src_planes)
+        self._ibatch: list = []  # all-intra device batch queue
+        self._batching = (cfg.intra_batch > 1 and cfg.keyint <= 1
+                          and cfg.mode_decision == "jax" and cfg.bd == 8
+                          and cfg.rc_mode == "cqp" and not cfg.scene_cut)
         self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
         self._wrote_seq = False
         from . import rc
@@ -136,6 +143,11 @@ class Encoder:
         is_key = cfg.keyint <= 1 or (d % cfg.keyint == 0)
         if self.scene is not None and self.scene.is_cut(src[0]) and d > 0:
             is_key = True
+        if self._batching:
+            self._ibatch.append((d, src))
+            if len(self._ibatch) >= cfg.intra_batch:
+                packets = self._encode_intra_batch()
+            return packets
         if is_key:
             packets += self._drain_pending()
             packets.append(self._encode_one(d, src, True, True, 0, None, None))
@@ -148,7 +160,35 @@ class Encoder:
         return packets
 
     def flush(self) -> list:
+        if self._batching and self._ibatch:
+            return self._encode_intra_batch()
         return self._drain_pending()
+
+    def _encode_intra_batch(self) -> list:
+        """Encode the queued all-intra frames through the batched device
+        pipeline (decide+commit amortized over the batch), then finish each
+        frame (filters, headers, entropy) in display order."""
+        from ..codec.tile_codec import FrameParams
+        from . import device_commit
+
+        cfg = self.cfg
+        batch, self._ibatch = self._ibatch, []
+        qindex = self._frame_qindex(True, 0)
+        p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
+                        tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
+                        frame_is_intra=True, enable_filter_intra=cfg.enable_filter_intra)
+        outs = device_commit.encode_intra_frames(
+            [src for _, src in batch], p,
+            apply_filters=cfg.enable_dlf or cfg.enable_cdef,
+            enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)
+        packets = []
+        for (d, src), out in zip(batch, outs):
+            plan, recon = out[0], out[1]
+            filt = out[2] if len(out) > 2 else None
+            packets.append(self._encode_one(d, src, True, True, 0, None, None,
+                                            plan_recon=(plan, recon), filt=filt))
+            self.anchor = d
+        return packets
 
     def encode_frame(self, y, u, v):
         """Synchronous helper for low-delay configs (minigop == 1):
@@ -211,7 +251,7 @@ class Encoder:
         return Packet(tu=tu, shown_disp_idx=disp_idx)
 
     def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
-                    past_idx, future_idx) -> Packet:
+                    past_idx, future_idx, plan_recon=None, filt=None) -> Packet:
         cfg = self.cfg
         order_hint = disp_idx & 0x7F
         qindex = self._frame_qindex(is_key, layer)
@@ -240,7 +280,9 @@ class Encoder:
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
                         enable_filter_intra=cfg.enable_filter_intra)
 
-        if is_key:
+        if plan_recon is not None:
+            plan, recon = plan_recon
+        elif is_key:
             if cfg.mode_decision == "jax" and cfg.bd == 8:
                 from . import device_commit
 
@@ -258,24 +300,31 @@ class Encoder:
             payloads.append(tc.encode(plan))
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
-        # in-loop filters on the encoder's recon (decoder does the same)
-        frame_mi = None
-        if any(p.lf_levels) or cfg.enable_cdef:
-            frame_mi = mi_from_plan(plan, p)
-        if any(p.lf_levels):
-            from ..filters import dlf
-
-            dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd, is_key,
-                                  levels=p.lf_levels, sharpness=p.lf_sharpness)
+        # in-loop filters on the encoder's recon (decoder does the same);
+        # batched device frames arrive pre-filtered with their parameters
         cdef_y, cdef_uv, cdef_damping = ((0, 0),), ((0, 0),), 3
-        if cfg.enable_cdef:
-            from ..filters import cdef as cdef_mod
-
-            ypri, ysec, upri, usec, cdef_damping = cdef_mod.search_strengths(
-                recon, src, frame_mi, p.qindex, p.bd)
+        if filt is not None:
+            assert filt["lf_levels"] == p.lf_levels
+            ypri, ysec, upri, usec, cdef_damping = filt["cdef"]
             cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
-            if ypri or ysec or upri or usec:
-                cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec, cdef_damping, bd=p.bd)
+        else:
+            frame_mi = None
+            if any(p.lf_levels) or cfg.enable_cdef:
+                frame_mi = mi_from_plan(plan, p)
+            if any(p.lf_levels):
+                from ..filters import dlf
+
+                dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd, is_key,
+                                      levels=p.lf_levels, sharpness=p.lf_sharpness)
+            if cfg.enable_cdef:
+                from ..filters import cdef as cdef_mod
+
+                ypri, ysec, upri, usec, cdef_damping = cdef_mod.search_strengths(
+                    recon, src, frame_mi, p.qindex, p.bd)
+                cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
+                if ypri or ysec or upri or usec:
+                    cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec,
+                                        cdef_damping, bd=p.bd)
 
         replicate_display_edges(recon, cfg.width, cfg.height)
         slot = disp_idx % 8

@@ -55,3 +55,29 @@ def test_device_intra_matches_numpy_quality(qindex):
         TileCodec(p, FrameContext(p.qindex), mi=MiState(p.mi_rows, p.mi_cols)).decode(data, dec_recon)
         for i in range(3):
             assert (dec_recon[i] == recon[i]).all()
+
+
+def test_device_intra_odd_dims_decode_exact():
+    """Regression: the topleft neighbor's covering block can extend below
+    row y-1 (upper-left diagonal) — the commit frontier must supply it from
+    the corner maps. 68x36 with mixed partitions exposed this."""
+    from svtav1_tpu.pipeline.encoder import pad_to_aligned
+
+    w, h = 68, 36
+    p = FrameParams(width=w, height=h, qindex=90)
+    aw, ah = p.aligned_width, p.aligned_height
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (100 + 80 * np.sin(xx / 5.0) + rng.normal(0, 12, (h, w))).clip(0, 255).astype(np.int32)
+    u = rng.integers(90, 170, (h // 2, w // 2)).astype(np.int32)
+    v = rng.integers(90, 170, (h // 2, w // 2)).astype(np.int32)
+    src = [pad_to_aligned(y, aw, ah), pad_to_aligned(u, aw // 2, ah // 2),
+           pad_to_aligned(v, aw // 2, ah // 2)]
+    plan, recon = device_commit.encode_intra_frame(src, p)
+    from svtav1_tpu.codec.mvp import MiState
+
+    data = TileCodec(p, FrameContext(p.qindex)).encode(plan)
+    dec = [np.zeros_like(s) for s in src]
+    TileCodec(p, FrameContext(p.qindex), mi=MiState(p.mi_rows, p.mi_cols)).decode(data, dec)
+    for i in range(3):
+        assert (dec[i] == recon[i]).all(), i
