@@ -1,0 +1,236 @@
+"""Device (JAX) motion estimation + batched motion compensation.
+
+TPU-first re-architecture of the reference's open-loop HME/ME
+(motion_estimation.c:3146 svt_aom_motion_estimation_b64 and the per-size
+SAD accumulation of integer_search_b64 :1249): one jitted program computes
+full-pel MVs for EVERY square block size 8..64 of the whole frame via
+
+  1. a 3-level decimation pyramid (pic_analysis downsample analog),
+  2. exhaustive batched full search per 64x64 SB at 1/4 resolution,
+  3. +-2 refinements at 1/2 and full resolution,
+  4. one shared window around the SB winner in which 8x8 SAD maps are
+     computed once and SUMMED up the quad-tree (16/32/64) so each size
+     argmins its own map (the reference's trick, batched),
+  5. two-step (half, quarter pel) subpel refinement per block via batched
+     normative 8-tap MC (inter_prediction.c svt_av1_convolve_2d_sr_c
+     semantics, bit-exact with ops/convolve.convolve_2d_batch).
+
+MVs are (row, col) in 1/8-pel units, matching codec/mvp conventions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convolve import FILTER_BITS, ROUND0, ROUND1, filter_kernels
+
+SIZES = (8, 16, 32, 64)
+
+
+def decimate2_j(p):
+    """2x2-average decimation ((...,H,W) -> (...,H//2,W//2)); matches
+    ops/me.decimate_2x (pic_analysis_process.c svt_aom_downsample_2d)."""
+    h, w = p.shape[-2] & ~1, p.shape[-1] & ~1
+    q = p[..., :h, :w]
+    return (q[..., 0::2, 0::2] + q[..., 0::2, 1::2]
+            + q[..., 1::2, 0::2] + q[..., 1::2, 1::2] + 2) >> 2
+
+
+def gather_windows(plane, ys, xs, wh: int, ww: int):
+    """(B,) top-left coords -> (B, wh, ww) windows, coords clipped to the
+    plane (edge replication — the spec's reference-sample clamp)."""
+    H, W = plane.shape
+    iy = jnp.clip(ys[:, None] + jnp.arange(wh)[None, :], 0, H - 1)
+    ix = jnp.clip(xs[:, None] + jnp.arange(ww)[None, :], 0, W - 1)
+    return plane[iy[:, :, None], ix[:, None, :]]
+
+
+def _blocks_of(plane, n: int, R: int, C: int):
+    return plane[: R * n, : C * n].reshape(R, n, C, n).transpose(0, 2, 1, 3) \
+        .reshape(R * C, n, n)
+
+
+def sad_maps(src_blocks, windows, n: int, r: int):
+    """src (B, n, n), windows (B, n+2r, n+2r) -> SAD maps (B, D, D) int32,
+    D = 2r+1; map[dy, dx] = SAD at displacement (dy-r, dx-r)."""
+    D = 2 * r + 1
+    iy = (jnp.arange(D)[:, None] + jnp.arange(n)[None, :])  # (D, n)
+    pat = windows[:, iy[:, None, :, None], iy[None, :, None, :]]  # (B,D,D,n,n)
+    diff = jnp.abs(pat.astype(jnp.int16) - src_blocks[:, None, None].astype(jnp.int16))
+    return jnp.sum(diff.astype(jnp.int32), axis=(-2, -1))
+
+
+def _argmin2d(maps, r: int):
+    """(B, D, D) -> (B, 2) int32 displacement (row, col) in [-r, r]."""
+    D = 2 * r + 1
+    flat = maps.reshape(maps.shape[0], D * D)
+    best = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    return jnp.stack([best // D - r, best % D - r], axis=1)
+
+
+def _bias(r: int, scale: float):
+    d = jnp.abs(jnp.arange(-r, r + 1))
+    return ((d[:, None] + d[None, :]) * scale).astype(jnp.int32)
+
+
+def _search_centered(src_b, ref, ys, xs, centers, n: int, r: int, bias_scale: float):
+    """Full search of (B, n, n) blocks at plane positions (ys, xs) with
+    per-block full-pel center MVs; returns refined centers (B, 2)."""
+    win = gather_windows(ref, ys + centers[:, 0] - r, xs + centers[:, 1] - r,
+                         n + 2 * r, n + 2 * r)
+    maps = sad_maps(src_b, win, n, r) + _bias(r, bias_scale)[None]
+    return centers + _argmin2d(maps, r)
+
+
+def me_fullpel_frame(src_y, ref_y, sb_rows: int, sb_cols: int, l2_radius: int = 16,
+                     leaf_radius: int = 4):
+    """Full-pel per-size ME for one frame vs one reference.
+
+    src_y/ref_y: (H, W) int32 planes, H/W multiples of 64 (pad first).
+    Returns dict {n: (R_n, C_n, 2) int32 full-pel MVs} for n in SIZES and
+    the SB-level MVs (B_sb, 2)."""
+    B = sb_rows * sb_cols
+    src1, ref1 = decimate2_j(src_y), decimate2_j(ref_y)
+    src2, ref2 = decimate2_j(src1), decimate2_j(ref1)
+
+    rr = jnp.repeat(jnp.arange(sb_rows), sb_cols)
+    cc = jnp.tile(jnp.arange(sb_cols), sb_rows)
+
+    # L2 (1/4 res): 16x16 blocks, exhaustive +-l2_radius (x4 full-res reach)
+    mv = _search_centered(_blocks_of(src2, 16, sb_rows, sb_cols), ref2,
+                          rr * 16, cc * 16, jnp.zeros((B, 2), jnp.int32),
+                          16, l2_radius, 1.0)
+    # L1 (1/2 res): +-2 refine
+    mv = _search_centered(_blocks_of(src1, 32, sb_rows, sb_cols), ref1,
+                          rr * 32, cc * 32, mv * 2, 32, 2, 2.0)
+    # L0 (full res): +-2 refine of the SB
+    mv_sb = _search_centered(_blocks_of(src_y, 64, sb_rows, sb_cols), ref_y,
+                             rr * 64, cc * 64, mv * 2, 64, 2, 4.0)
+
+    # shared windows: 8x8 SAD maps summed up the quad-tree (per-size argmin).
+    # TWO candidate centers per SB — the pyramid winner and zero MV (the
+    # reference always keeps a (0,0) candidate; guards against pyramid
+    # aliasing on periodic content and static regions).
+    r = leaf_radius
+    D = 2 * r + 1
+    src8 = src_y.reshape(sb_rows, 8, 8, sb_cols, 8, 8)  # (Rsb, 8r, 8px, Csb, 8c, 8px)
+    src8 = src8.transpose(0, 3, 1, 4, 2, 5).reshape(B * 64, 8, 8)
+    y8 = (rr * 64)[:, None] + jnp.arange(0, 64, 8)[None, :]  # (B, 8)
+    x8 = (cc * 64)[:, None] + jnp.arange(0, 64, 8)[None, :]
+    ys = (y8[:, :, None] + jnp.zeros((1, 1, 8), jnp.int32)).reshape(-1)
+    xs = (x8[:, None, :] + jnp.zeros((1, 8, 1), jnp.int32)).reshape(-1)
+    ctr = jnp.repeat(mv_sb, 64, axis=0)
+    zero = jnp.zeros((B, 2), jnp.int32)
+
+    def leaf_maps(center):
+        win8 = gather_windows(ref_y, ys + center[:, 0] - r, xs + center[:, 1] - r,
+                              8 + 2 * r, 8 + 2 * r)
+        return sad_maps(src8, win8, 8, r).reshape(sb_rows, sb_cols, 8, 8, D, D)
+
+    centers = (mv_sb, zero)
+    maps = [leaf_maps(jnp.repeat(c, 64, axis=0)) for c in centers]
+
+    out = {}
+    for n in SIZES:
+        k = 8 // (n // 8)  # blocks per SB side at this size
+        bias = _bias(r, 4.0 * (n * n) / 64.0)[None, None, None, None]
+        best_val = None
+        best_mv = None
+        for m, c in zip(maps, centers):
+            mm = (m + bias).reshape(-1, D, D)
+            off = _argmin2d(mm, r)
+            val = jnp.min(mm.reshape(-1, D * D), axis=1)
+            base = jnp.repeat(c, k * k, axis=0).reshape(sb_rows, sb_cols, k, k, 2) \
+                .reshape(-1, 2)
+            mvn = base + off
+            if best_val is None:
+                best_val, best_mv = val, mvn
+            else:
+                take = val < best_val
+                best_val = jnp.where(take, val, best_val)
+                best_mv = jnp.where(take[:, None], mvn, best_mv)
+        out[n] = best_mv.reshape(sb_rows, sb_cols, k, k, 2) \
+            .transpose(0, 2, 1, 3, 4).reshape(sb_rows * k, sb_cols * k, 2)
+        if n < 64:  # sum 2x2 children -> parent maps
+            maps = [m[:, :, 0::2, 0::2] + m[:, :, 0::2, 1::2]
+                    + m[:, :, 1::2, 0::2] + m[:, :, 1::2, 1::2] for m in maps]
+    return out, mv_sb
+
+
+# ------------------------------------------------------------------ MC
+
+def mc_lanes(ref, ys, xs, mv_q16_y, mv_q16_x, n_h: int, n_w: int, which: int, bd: int,
+             ref_idx=None):
+    """Batched normative subpel MC with PER-LANE subpel phases.
+
+    ref: (H, W) or (NREF, H, W) when ref_idx (B,) given. ys/xs (B,) block
+    top-left in plane coords; mv in 1/16-pel units of this plane. Returns
+    (B, n_h, n_w) int32 predictions, bit-exact with convolve_2d_scalar
+    (4-tap table auto-selected for dims <= 4 per spec 7.11.3.4)."""
+    from .convolve import filter_for_dim
+
+    fy0 = ys * 16 + mv_q16_y
+    fx0 = xs * 16 + mv_q16_x
+    iy, sy = fy0 >> 4, fy0 & 15
+    ix, sx = fx0 >> 4, fx0 & 15
+    if ref.ndim == 2:
+        H, W = ref.shape
+        gy = jnp.clip(iy[:, None] - 3 + jnp.arange(n_h + 7)[None, :], 0, H - 1)
+        gx = jnp.clip(ix[:, None] - 3 + jnp.arange(n_w + 7)[None, :], 0, W - 1)
+        patch = ref[gy[:, :, None], gx[:, None, :]].astype(jnp.int32)
+    else:
+        H, W = ref.shape[1:]
+        gy = jnp.clip(iy[:, None] - 3 + jnp.arange(n_h + 7)[None, :], 0, H - 1)
+        gx = jnp.clip(ix[:, None] - 3 + jnp.arange(n_w + 7)[None, :], 0, W - 1)
+        patch = ref[ref_idx[:, None, None], gy[:, :, None], gx[:, None, :]].astype(jnp.int32)
+
+    ftab_x = jnp.asarray(filter_kernels(filter_for_dim(which, n_w)))
+    ftab_y = jnp.asarray(filter_kernels(filter_for_dim(which, n_h)))
+    fxk = ftab_x[sx]  # (B, 8)
+    fyk = ftab_y[sy]
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+
+    acc = jnp.full((patch.shape[0], n_h + 7, n_w), 1 << (bd + FILTER_BITS - 1), jnp.int32)
+    for k in range(8):
+        acc = acc + fxk[:, k, None, None] * patch[:, :, k : k + n_w]
+    im = (acc + (1 << (ROUND0 - 1))) >> ROUND0
+
+    acc = jnp.full((patch.shape[0], n_h, n_w), 1 << offset_bits, jnp.int32)
+    for k in range(8):
+        acc = acc + fyk[:, k, None, None] * im[:, k : k + n_h, :]
+    res = ((acc + (1 << (ROUND1 - 1))) >> ROUND1) \
+        - ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
+    bits = 2 * FILTER_BITS - ROUND0 - ROUND1
+    if bits > 0:
+        res = (res + (1 << (bits - 1))) >> bits
+    return jnp.clip(res, 0, (1 << bd) - 1)
+
+
+def subpel_refine_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
+    """Two-step (half then quarter pel) 9-point refinement by luma SAD.
+
+    src_b (B, n, n); mv_fp (B, 2) full-pel -> (B, 2) 1/8-pel MVs."""
+    n = src_b.shape[-1]
+    mv = mv_fp * 8
+
+    def sad_at(mv8):
+        pred = mc_lanes(ref, ys, xs, mv8[:, 0] * 2, mv8[:, 1] * 2, n, n, which, bd)
+        return jnp.sum(jnp.abs(pred - src_b), axis=(-2, -1)).astype(jnp.int32)
+
+    best_sad = sad_at(mv)
+    for step in (4, 2):
+        cand_mv, cand_sad = [mv], [best_sad]
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dy == 0 and dx == 0:
+                    continue
+                m2 = mv + jnp.array([dy, dx], jnp.int32)[None]
+                cand_mv.append(m2)
+                cand_sad.append(sad_at(m2))
+        sads = jnp.stack(cand_sad, axis=0)  # (9, B)
+        pick = jnp.argmin(sads, axis=0)
+        mvs = jnp.stack(cand_mv, axis=0)  # (9, B, 2)
+        mv = jnp.take_along_axis(mvs, pick[None, :, None], axis=0)[0]
+        best_sad = jnp.take_along_axis(sads, pick[None, :], axis=0)[0]
+    return mv

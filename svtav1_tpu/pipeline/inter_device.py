@@ -1,0 +1,289 @@
+"""Device (JAX) inter frame pipeline: batched ME + MC + mode decision.
+
+TPU-first re-architecture of the reference's inter EncDec path
+(product_coding_loop.c:8982 md_encode_block inter classes,
+motion_estimation.c:3146 open-loop ME): ONE jitted decide program per frame
+computes, for every square block of every size 8..64,
+
+  - hierarchical full-pel ME + per-size SAD-tree aggregation + subpel
+    refinement against each reference (ops/me_jax),
+  - batched normative MC (8-tap subpel, per-lane phases) and full
+    open-loop RD (transform/quant/recon + exact CDF txb rates) for the
+    NEWMV / GLOBALMV candidates per reference,
+  - the full intra candidate evaluation (reusing device_decide),
+  - per-block winner (intra vs inter) with CDF-based mode/mv rates.
+
+Mode-rate contexts use the neighbor-free approximation (ctx 0 / empty
+neighbor ref counts) — the same class of trade the reference makes for its
+parallel per-SB CDF snapshots (enc_dec_process.c:3330-3352). Coded inter
+modes are NEWMV (or GLOBALMV at zero MV); the normative MVP stack is built
+by the tile walk at write time (codec/mvp.py), which also yields exact DRL
+contexts — the decide pass only needs a cost ordering.
+
+Partition RD + the conformant wavefront commit are shared with the intra
+pipeline (device_decide.partition_dp / device_commit.commit_regions: inter
+lanes take precomputed MC predictions instead of frontier intra edges).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import rate as rate_np
+from ..codec import rate_jax
+from ..codec.tile_codec import FrameParams
+from ..constants.av1 import InterMode, RefFrame, TxType
+from ..ops import me_jax
+from ..ops import quantize as quant_ops
+from ..ops import transforms_jax as TJ
+from . import device_decide
+from .device_decide import SIZES, TX_SEARCH, _blocks_of, _eval_txfm, _rate_fns
+
+MAX_MV_ABS = 4094  # 1/8-pel component clamp (within spec MV range, even)
+
+
+def inter_cand_cost_const(fc) -> dict:
+    """Mode-signaling bit constants for the decide pass (ctx-0 / empty
+    neighbor-ref-count approximations; exact contexts are applied by the
+    tile walk): is_inter flag + single-ref tree + {new,glob} mode flags."""
+    sb = rate_np.symbol_bits
+    is_inter_b = sb(fc["intra_inter"][0], 1, 2)
+    # empty neighbor counts -> every _ref_ctx() = 1 (tile_codec._ref_ctx)
+    b_last = sb(fc["single_ref"][1][0], 0, 2)
+    b_alt = sb(fc["single_ref"][1][0], 1, 2) + sb(fc["single_ref"][1][1], 1, 2)
+    b_new = sb(fc["newmv"][0], 0, 2)
+    b_glob = sb(fc["newmv"][0], 1, 2) + sb(fc["zeromv"][0], 0, 2)
+    return dict(
+        new_last=is_inter_b + b_last + b_new,
+        new_alt=is_inter_b + b_alt + b_new,
+        glob_last=is_inter_b + b_last + b_glob,
+    )
+
+
+def inter_txtype_cost_const(fc, n: int) -> np.ndarray:
+    """(len(TX_SEARCH),) inter tx-type signaling bits (inter_ext_tx cdf)."""
+    from ..codec.tile_codec import (AV1_EXT_TX_IND, AV1_EXT_TX_USED, AV1_NUM_EXT_TX_SET,
+                                    EXT_TX_SET_DCTONLY, EXT_TX_SET_INDEX_INTER,
+                                    ext_tx_set_type_inter)
+    from ..constants.av1 import MAX_TXSIZE_RECT, TX_SIZE_SQR
+    from .intra_device import BSIZE_BY_N
+
+    tx_size = int(MAX_TXSIZE_RECT[BSIZE_BY_N[n]])
+    set_type = ext_tx_set_type_inter(tx_size)
+    out = np.zeros(len(TX_SEARCH), np.float32)
+    for j, t in enumerate(TX_SEARCH):
+        if set_type == EXT_TX_SET_DCTONLY:
+            out[j] = 0.0 if t == int(TxType.DCT_DCT) else 1e9
+        elif not AV1_EXT_TX_USED[set_type][t]:
+            out[j] = 1e9
+        else:
+            eset = EXT_TX_SET_INDEX_INTER[set_type]
+            nsyms = AV1_NUM_EXT_TX_SET[set_type]
+            sqr = int(TX_SIZE_SQR[tx_size])
+            out[j] = rate_np.symbol_bits(fc["inter_ext_tx"][eset][sqr],
+                                         int(AV1_EXT_TX_IND[set_type][t]), nsyms)
+    return out
+
+
+def _mv_rate(mv, pred, joint, comp):
+    """(B, 2) 1/8-pel MVs + predictors -> (B,) signaling bits via the exact
+    NMV LUTs (codec/rate_jax.mv_component_cost_lut)."""
+    d = jnp.clip(mv - pred, -MAX_MV_ABS, MAX_MV_ABS)
+    ady = jnp.abs(d[:, 0])
+    adx = jnp.abs(d[:, 1])
+    return (joint[(ady != 0).astype(jnp.int32), (adx != 0).astype(jnp.int32)]
+            + comp[0, ady] + comp[1, adx])
+
+
+def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
+                       mv_by_ref, pred_by_ref, intra_out, consts,
+                       n: int, qindex: int, bd: int, R: int, C: int, lam: float,
+                       which: int):
+    """Inter candidate evaluation for the (R, C) grid at size n, merged with
+    the intra decision `intra_out` = (cost, mode, tx) from device_decide.
+
+    mv_by_ref: list of (B, 2) subpel MVs per reference; pred_by_ref: list of
+    (B, 2) MV-rate predictors (SB-level MV proxy). Returns (cost, is_inter,
+    mode, tx, ref, mvy, mvx) flattened (R*C,) arrays."""
+    B = R * C
+    nc = n // 2
+    r_idx = jnp.repeat(jnp.arange(R), C)
+    c_idx = jnp.tile(jnp.arange(C), R)
+    ys, xs = r_idx * n, c_idx * n
+    ysc, xsc = r_idx * nc, c_idx * nc
+    srcb = _blocks_of(src_y[None], n, R, C)
+    rate_fns = _rate_fns(qindex, n)
+    joint, comp, cand_bits, txt_cost = consts
+
+    # candidates: NEWMV per ref, GLOBALMV on ref 0
+    cands = []
+    for ri, mv in enumerate(mv_by_ref):
+        bits = (cand_bits["new_last"] if ri == 0 else cand_bits["new_alt"]) \
+            + _mv_rate(mv, pred_by_ref[ri], joint, comp)
+        cands.append((ri, mv, bits))
+    zero = jnp.zeros((B, 2), jnp.int32)
+    cands.append((0, zero, jnp.full(B, cand_bits["glob_last"], jnp.float32)))
+
+    best = None
+    for ri, mv, mode_bits in cands:
+        pred = me_jax.mc_lanes(refs_y, ys, xs, mv[:, 0] * 2, mv[:, 1] * 2, n, n,
+                               which, bd, ref_idx=jnp.full(B, ri, jnp.int32))
+        lv, dqc, rate = _eval_txfm(srcb - pred, int(TxType.DCT_DCT), qindex, bd, n,
+                                   rate_fns["y"][0])
+        rec = TJ.inv_txfm2d_add_j(dqc, pred, int(TxType.DCT_DCT), bd)
+        dist = jnp.sum((rec - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
+        cost = dist + lam * (rate + mode_bits)
+        ent = (cost, jnp.full(B, ri, jnp.int32), mv, mode_bits, pred)
+        if best is None:
+            best = ent
+        else:
+            take = cost < best[0]
+            best = (jnp.where(take, cost, best[0]),
+                    jnp.where(take, ent[1], best[1]),
+                    jnp.where(take[:, None], mv, best[2]),
+                    jnp.where(take, mode_bits, best[3]),
+                    jnp.where(take[:, None, None], pred, best[4]))
+    cost_i, ref_i, mv_i, mbits_i, pred_i = best
+
+    # luma tx-type search on the inter winner (sizes with a non-DCT set)
+    tx_i = jnp.zeros(B, jnp.int32)
+    if n <= 16:
+        resid = srcb - pred_i
+        for j in range(1, len(TX_SEARCH)):
+            lvj, dqcj, ratej = _eval_txfm(resid, TX_SEARCH[j], qindex, bd, n,
+                                          rate_fns["y"][j])
+            recj = TJ.inv_txfm2d_add_j(dqcj, pred_i, TX_SEARCH[j], bd)
+            dj = jnp.sum((recj - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
+            cj = dj + lam * (ratej + mbits_i + txt_cost[j])
+            take = cj < cost_i
+            cost_i = jnp.where(take, cj, cost_i)
+            tx_i = jnp.where(take, j, tx_i)
+
+    # chroma at the winner's MV (DCT approximation, as the intra decide does)
+    for srcc, refc in ((src_u, refs_u), (src_v, refs_v)):
+        sb = _blocks_of(srcc[None], nc, R, C)
+        pc = me_jax.mc_lanes(refc, ysc, xsc, mv_i[:, 0], mv_i[:, 1], nc, nc,
+                             which, bd, ref_idx=ref_i)
+        lvc, dqcc, ratec = _eval_txfm(sb - pc, int(TxType.DCT_DCT), qindex, bd, nc,
+                                      rate_fns["uv"])
+        recc = TJ.inv_txfm2d_add_j(dqcc, pc, int(TxType.DCT_DCT), bd)
+        cost_i = cost_i + jnp.sum((recc - sb).astype(jnp.float32) ** 2, axis=(-2, -1)) \
+            + lam * ratec
+    cost_i = cost_i + lam * 1.0  # skip flag
+
+    # merge with intra
+    cost_a, mode_a, tx_a = intra_out
+    ca = cost_a.reshape(B)
+    take_inter = cost_i < ca
+    return (jnp.where(take_inter, cost_i, ca),
+            take_inter.astype(jnp.int32),
+            jnp.where(take_inter, 0, mode_a.reshape(B)),
+            jnp.where(take_inter, tx_i, tx_a.reshape(B)),
+            jnp.where(take_inter, ref_i, -1),
+            jnp.where(take_inter, mv_i[:, 0], 0),
+            jnp.where(take_inter, mv_i[:, 1], 0))
+
+
+@functools.lru_cache(maxsize=32)
+def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
+                      which: int):
+    """Whole-frame inter decide program: ME + subpel + per-size inter/intra
+    RD, all per-frame constants baked in."""
+    from ..constants.cdf import FrameContext
+    from .device_decide import (_decide_intra_size, _penalty_grid_np,
+                                intra_mode_cost_const, intra_txtype_cost_const)
+    from .intra_md import rd_lambda
+
+    p = FrameParams(width=width, height=height, qindex=qindex, bd=bd,
+                    frame_is_intra=False)
+    fc = FrameContext(qindex)
+    lam = float(rd_lambda(qindex, bd))
+    aw, ah = p.aligned_width, p.aligned_height
+    region = (0, 0, aw, ah)
+    mi_end = (p.mi_rows, p.mi_cols)
+    sizes = [n for n in SIZES if ah // n and aw // n]
+    intra_consts = {n: (_penalty_grid_np(p, 0, 0, ah // n, aw // n, n, (0, 0), mi_end),
+                        intra_mode_cost_const(fc, n, False),
+                        intra_txtype_cost_const(fc, n)) for n in sizes}
+    cand_bits = inter_cand_cost_const(fc)
+    inter_txt = {n: inter_txtype_cost_const(fc, n) for n in sizes}
+    joint = jnp.asarray(rate_jax.mv_joint_cost(fc))
+    comp = jnp.asarray(rate_jax.mv_component_cost_lut(fc, MAX_MV_ABS))
+    # ME padding to SB multiples
+    sbr, sbc = -(-ah // 64), -(-aw // 64)
+    pad_h, pad_w = sbr * 64 - ah, sbc * 64 - aw
+    layout = [(n, ah // n, aw // n) for n in sizes]
+
+    @jax.jit
+    def run(sy8, su8, sv8, refs_y8, refs_u8, refs_v8):
+        sy = sy8.astype(jnp.int32)
+        su = su8.astype(jnp.int32)
+        sv = sv8.astype(jnp.int32)
+        refs_y = refs_y8.astype(jnp.int32)
+        refs_u = refs_u8.astype(jnp.int32)
+        refs_v = refs_v8.astype(jnp.int32)
+        sy_me = jnp.pad(sy[0], ((0, pad_h), (0, pad_w)), mode="edge")
+
+        # per-ref ME: full-pel per size + subpel refinement
+        mv_by_ref = {n: [] for n in sizes}
+        sb_pred = []
+        for ri in range(nref):
+            ref_me = jnp.pad(refs_y[ri], ((0, pad_h), (0, pad_w)), mode="edge")
+            mvs_fp, mv_sb = me_jax.me_fullpel_frame(sy_me, ref_me, sbr, sbc)
+            sb_pred.append(mv_sb.reshape(sbr, sbc, 2) * 8)
+            for n, R, C in layout:
+                fp = mvs_fp[n][:R, :C].reshape(R * C, 2)
+                r_idx = jnp.repeat(jnp.arange(R), C)
+                c_idx = jnp.tile(jnp.arange(C), R)
+                srcb = _blocks_of(sy[None], n, R, C)
+                mv8 = me_jax.subpel_refine_lanes(srcb, refs_y[ri], r_idx * n,
+                                                 c_idx * n, fp, which, bd)
+                mv_by_ref[n].append(jnp.clip(mv8, -MAX_MV_ABS, MAX_MV_ABS))
+
+        packed = []
+        for n, R, C in sizes and layout:
+            pen, mode_cost, txt_cost = intra_consts[n]
+            intra_out = _decide_intra_size(
+                sy[None], su[None], sv[None], jnp.asarray(pen),
+                jnp.asarray(mode_cost), jnp.asarray(txt_cost), n, qindex, bd,
+                False, R, C, lam)
+            # MV-rate predictor proxy: the SB-level MV over each block
+            k = 64 // n
+            preds = []
+            for ri in range(nref):
+                pr = jnp.repeat(jnp.repeat(sb_pred[ri], k, axis=0), k, axis=1)
+                preds.append(pr[:R, :C].reshape(R * C, 2))
+            consts = (joint, comp, cand_bits, jnp.asarray(inter_txt[n]))
+            cost, is_inter, mode, tx, ref, mvy, mvx = _decide_inter_size(
+                sy[0], su[0], sv[0], refs_y, refs_u, refs_v,
+                mv_by_ref[n], preds, intra_out, consts, n, qindex, bd, R, C,
+                lam, which)
+            packed += [cost, is_inter.astype(jnp.float32), mode.astype(jnp.float32),
+                       tx.astype(jnp.float32), ref.astype(jnp.float32),
+                       mvy.astype(jnp.float32), mvx.astype(jnp.float32)]
+        return jnp.concatenate(packed)
+
+    return run, layout
+
+
+def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int) -> dict:
+    """Run the jitted decide; returns {n: dict(cost, mode, tx, is_inter, ref,
+    mvy, mvx)} numpy grids over the full aligned frame."""
+    p = params
+    run, layout = _decide_inter_jit(p.width, p.height, p.qindex, p.bd,
+                                    refs_dev[0].shape[0], which)
+    flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev))
+    out = {}
+    off = 0
+    for n, R, C in layout:
+        sz = R * C
+        g = {}
+        for kname in ("cost", "is_inter", "mode", "tx", "ref", "mvy", "mvx"):
+            arr = flat[off : off + sz].reshape(R, C)
+            g[kname] = arr.astype(np.float64) if kname == "cost" else arr.astype(np.int32)
+            off += sz
+        out[n] = g
+    return out
