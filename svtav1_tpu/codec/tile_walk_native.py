@@ -19,7 +19,7 @@ from . import txb as txb_mod
 from .tile_codec import (EXT_TX_SET_INDEX_INTRA, AV1_EXT_TX_IND, AV1_NUM_EXT_TX_SET, FrameParams, Plan,
                          ext_tx_set_type_intra, is_directional, max_uv_txsize)
 
-OP_COLS = 16
+OP_COLS = 21
 
 
 class _TileParams(ctypes.Structure):
@@ -28,12 +28,24 @@ class _TileParams(ctypes.Structure):
         ("uv_mode", ctypes.c_void_p), ("angle", ctypes.c_void_p), ("intra_ext_tx", ctypes.c_void_p),
         ("txb_skip", ctypes.c_void_p), ("eob_flag", ctypes.c_void_p * 7), ("eob_extra", ctypes.c_void_p),
         ("base_eob", ctypes.c_void_p), ("base", ctypes.c_void_p), ("br", ctypes.c_void_p),
-        ("dc_sign", ctypes.c_void_p), ("scans", ctypes.c_void_p), ("scan_off", ctypes.c_void_p),
+        ("dc_sign", ctypes.c_void_p),
+        # inter syntax tables
+        ("y_mode", ctypes.c_void_p), ("intra_inter", ctypes.c_void_p),
+        ("single_ref", ctypes.c_void_p), ("newmv", ctypes.c_void_p),
+        ("zeromv", ctypes.c_void_p), ("refmv", ctypes.c_void_p), ("drl", ctypes.c_void_p),
+        ("inter_ext_tx", ctypes.c_void_p),
+        ("nmv_joints", ctypes.c_void_p), ("nmv_sign", ctypes.c_void_p),
+        ("nmv_classes", ctypes.c_void_p), ("nmv_class0", ctypes.c_void_p),
+        ("nmv_bits", ctypes.c_void_p), ("nmv_class0_fp", ctypes.c_void_p),
+        ("nmv_fp", ctypes.c_void_p), ("nmv_class0_hp", ctypes.c_void_p),
+        ("nmv_hp", ctypes.c_void_p),
+        ("scans", ctypes.c_void_p), ("scan_off", ctypes.c_void_p),
         ("off2d", ctypes.c_void_p), ("off2d_off", ctypes.c_void_p),
         ("mi_rows", ctypes.c_int32), ("mi_cols", ctypes.c_int32),
         ("mi_row0", ctypes.c_int32), ("mi_row1", ctypes.c_int32),
         ("mi_col0", ctypes.c_int32), ("mi_col1", ctypes.c_int32),
         ("qindex_positive", ctypes.c_int32), ("update", ctypes.c_int32),
+        ("frame_is_intra", ctypes.c_int32),
     ]
 
 
@@ -42,6 +54,8 @@ class _TileState(ctypes.Structure):
         ("above_part", ctypes.c_void_p), ("left_part", ctypes.c_void_p),
         ("mode_grid", ctypes.c_void_p), ("skip_grid", ctypes.c_void_p),
         ("above_ctx", ctypes.c_void_p * 3), ("left_ctx", ctypes.c_void_p * 3),
+        ("ref_grid", ctypes.c_void_p), ("bsize_grid", ctypes.c_void_p),
+        ("mv_grid", ctypes.c_void_p),
     ]
 
 
@@ -96,17 +110,23 @@ def flatten_plan(plan: Plan, p: FrameParams, sb_range) -> tuple[np.ndarray, np.n
             mi_r = (g["y0"] + r * n) // 4
             for c in range(C):
                 g_map[(mi_r, (g["x0"] + c * n) // 4, g["bsize"])] = (gi, r, c)
-    # per-bsize tx signaling constants
+    # per-bsize tx signaling constants (intra + inter sets)
+    from .tile_codec import EXT_TX_SET_INDEX_INTER, ext_tx_set_type_inter
+    from ..constants.av1 import SIZE_GROUP
+
     txsig = {}
+    txsig_inter = {}
     for bsize in set(k[2] for k in g_map) | set(k[2] for k in plan.blocks):
         tx_y = int(MAX_TXSIZE_RECT[bsize])
-        set_type = ext_tx_set_type_intra(tx_y)
-        nsym = AV1_NUM_EXT_TX_SET[set_type]
-        if nsym > 1 and p.qindex > 0:
-            txsig[bsize] = (nsym, int(AV1_EXT_TX_IND[set_type][0]),
-                            EXT_TX_SET_INDEX_INTRA[set_type], int(TX_SIZE_SQR[tx_y]))
-        else:
-            txsig[bsize] = (0, 0, 0, 0)
+        for out, set_type, eidx in (
+                (txsig, ext_tx_set_type_intra(tx_y), EXT_TX_SET_INDEX_INTRA),
+                (txsig_inter, ext_tx_set_type_inter(tx_y), EXT_TX_SET_INDEX_INTER)):
+            nsym = AV1_NUM_EXT_TX_SET[set_type]
+            if nsym > 1 and p.qindex > 0:
+                out[bsize] = (nsym, int(AV1_EXT_TX_IND[set_type][0]),
+                              eidx[set_type], int(TX_SIZE_SQR[tx_y]))
+            else:
+                out[bsize] = (0, 0, 0, 0)
 
     def add_levels(lv):
         nonlocal lvl_pos
@@ -133,6 +153,8 @@ def flatten_plan(plan: Plan, p: FrameParams, sb_range) -> tuple[np.ndarray, np.n
             op[7] = 3 if is_directional(y_mode) else -1
             op[8] = -1
             op[9:13] = txsig[bsize]
+            op[16:20] = (0, 0, 0, 0)
+            op[20] = int(SIZE_GROUP[bsize])
             if not skip:
                 op[13] = add_levels(g["ly"][r, c])
                 op[14] = add_levels(g["lu"][r, c])
@@ -142,13 +164,28 @@ def flatten_plan(plan: Plan, p: FrameParams, sb_range) -> tuple[np.ndarray, np.n
             op[4] = d.y_mode
             op[5] = d.uv_mode
             op[6] = d.skip
-            op[7] = d.angle_delta_y + 3 if is_directional(d.y_mode) else -1
-            op[8] = d.angle_delta_uv + 3 if is_directional(d.uv_mode) else -1
-            ns, _, eset, sqr = txsig[bsize]
-            op[9] = ns
-            op[10] = int(AV1_EXT_TX_IND[ext_tx_set_type_intra(int(MAX_TXSIZE_RECT[bsize]))][d.tx_type]) if ns else 0
+            if d.is_inter:
+                op[7] = op[8] = -1
+                ns, _, eset, sqr = txsig_inter[bsize]
+                op[9] = ns
+                op[10] = int(AV1_EXT_TX_IND[ext_tx_set_type_inter(
+                    int(MAX_TXSIZE_RECT[bsize]))][d.tx_type]) if ns else 0
+                op[16] = int(d.ref_frame)
+                op[17], op[18] = int(d.mv[0]), int(d.mv[1])
+                op[19] = int(d.ref_mv_idx)
+            else:
+                op[7] = d.angle_delta_y + 3 if is_directional(d.y_mode) else -1
+                op[8] = d.angle_delta_uv + 3 if is_directional(d.uv_mode) else -1
+                ns, _, eset, sqr = txsig[bsize]
+                op[9] = ns
+                op[10] = int(AV1_EXT_TX_IND[ext_tx_set_type_intra(
+                    int(MAX_TXSIZE_RECT[bsize]))][d.tx_type]) if ns else 0
+                op[16] = 0
+                op[17] = op[18] = 0
+                op[19] = 0
             op[11] = eset
             op[12] = sqr
+            op[20] = int(SIZE_GROUP[bsize])
             if not d.skip:
                 op[13] = add_levels(d.levels_y)
                 op[14] = add_levels(d.levels_u)
@@ -218,6 +255,11 @@ def encode_tile_native(p: FrameParams, fc, plan: Plan, sb_range) -> bytes:
     tp.base = cp(t["coeff_base"])
     tp.br = cp(t["coeff_br"])
     tp.dc_sign = cp(t["dc_sign"])
+    for nm in ("y_mode", "intra_inter", "single_ref", "newmv", "zeromv", "refmv",
+               "drl", "inter_ext_tx", "nmv_joints", "nmv_sign", "nmv_classes",
+               "nmv_class0", "nmv_bits", "nmv_class0_fp", "nmv_fp",
+               "nmv_class0_hp", "nmv_hp"):
+        setattr(tp, nm, cp(t[nm]))
     tp.scans = _p(g["scans"])
     tp.scan_off = _p(g["scan_off"])
     tp.off2d = _p(g["off2d"])
@@ -227,11 +269,14 @@ def encode_tile_native(p: FrameParams, fc, plan: Plan, sb_range) -> bytes:
     tp.mi_col0, tp.mi_col1 = sb_range[2] * 16, min(sb_range[3] * 16, p.mi_cols)
     tp.qindex_positive = int(p.qindex > 0)
     tp.update = int(not p.disable_cdf_update)
+    tp.frame_is_intra = int(p.frame_is_intra)
 
     mc, mr = p.mi_cols, p.mi_rows
     st_bufs = dict(
         above_part=np.zeros(mc, np.uint8), left_part=np.zeros(mr, np.uint8),
         mode_grid=np.full(mr * mc, -1, np.int8), skip_grid=np.zeros(mr * mc, np.uint8),
+        ref_grid=np.zeros(mr * mc, np.int8), bsize_grid=np.zeros(mr * mc, np.int8),
+        mv_grid=np.zeros(mr * mc * 2, np.int32),
         a0=np.zeros(mc, np.int32), a1=np.zeros((mc + 1) >> 1, np.int32), a2=np.zeros((mc + 1) >> 1, np.int32),
         l0=np.zeros(mr, np.int32), l1=np.zeros((mr + 1) >> 1, np.int32), l2=np.zeros((mr + 1) >> 1, np.int32),
     )
@@ -240,6 +285,9 @@ def encode_tile_native(p: FrameParams, fc, plan: Plan, sb_range) -> bytes:
     st.left_part = _p(st_bufs["left_part"])
     st.mode_grid = _p(st_bufs["mode_grid"])
     st.skip_grid = _p(st_bufs["skip_grid"])
+    st.ref_grid = _p(st_bufs["ref_grid"])
+    st.bsize_grid = _p(st_bufs["bsize_grid"])
+    st.mv_grid = _p(st_bufs["mv_grid"])
     for i, k in enumerate(["a0", "a1", "a2"]):
         st.above_ctx[i] = _p(st_bufs[k])
     for i, k in enumerate(["l0", "l1", "l2"]):

@@ -352,7 +352,7 @@ int32_t ec_write_txb_body(Ec *e, const int32_t *coeffs, int w, int h, const int3
 /* body above. Byte-exact with the Python walk (tests).                     */
 /* ------------------------------------------------------------------------ */
 
-#define OP_COLS 16
+#define OP_COLS 21
 /* op columns */
 enum {
     OPC_KIND = 0, /* 0 = partition node, 1 = block */
@@ -371,6 +371,11 @@ enum {
     OPC_LVL_Y, /* offsets into levels buffer, -1 = absent */
     OPC_LVL_U,
     OPC_LVL_V,
+    OPC_REF,      /* ref_frame (0 = intra block) */
+    OPC_MVY,      /* 1/8-pel MV (decoder-derived for NEAREST/NEAR/GLOBAL) */
+    OPC_MVX,
+    OPC_REFMVIDX,
+    OPC_SIZEGROUP,/* y_mode size-group cdf index (inter frames) */
 };
 
 typedef struct {
@@ -388,6 +393,24 @@ typedef struct {
     int32_t *base;        /* [5][2][42][5] */
     int32_t *br;          /* [5][2][21][5] */
     int32_t *dc_sign;     /* [2][3][3] */
+    /* inter syntax (entropy_coding.c write_modes_b inter path) */
+    int32_t *y_mode;      /* [4][14] size-group intra mode (inter frames) */
+    int32_t *intra_inter; /* [4][3] */
+    int32_t *single_ref;  /* [3][6][3] */
+    int32_t *newmv;       /* [6][3] */
+    int32_t *zeromv;      /* [2][3] */
+    int32_t *refmv;       /* [6][3] */
+    int32_t *drl;         /* [3][3] */
+    int32_t *inter_ext_tx;/* [4][4][17] */
+    int32_t *nmv_joints;  /* [5] */
+    int32_t *nmv_sign;    /* [2][3] */
+    int32_t *nmv_classes; /* [2][12] */
+    int32_t *nmv_class0;  /* [2][3] */
+    int32_t *nmv_bits;    /* [2][10][3] */
+    int32_t *nmv_class0_fp;/* [2][2][5] */
+    int32_t *nmv_fp;      /* [2][5] */
+    int32_t *nmv_class0_hp;/* [2][3] */
+    int32_t *nmv_hp;      /* [2][3] */
     /* geometry tables */
     int32_t *scans;       /* concatenated scans */
     int32_t *scan_off;    /* [19*16] offsets into scans */
@@ -397,6 +420,7 @@ typedef struct {
     int32_t mi_row0, mi_row1, mi_col0, mi_col1; /* tile bounds */
     int32_t qindex_positive;
     int32_t update;
+    int32_t frame_is_intra;
 } TileParams;
 
 /* partition_context_lookup (definitions.h:1574) indexed by sq size log2-3 (8..64) */
@@ -417,11 +441,335 @@ static const int32_t mode_to_txfm[13] = {0, 1, 2, 0, 3, 1, 2, 2, 1, 3, 1, 2, 3};
 typedef struct {
     uint8_t *above_part; /* [mi_cols] */
     uint8_t *left_part;  /* [mi_rows] */
-    int8_t *mode_grid;   /* [mi_rows*mi_cols], -1 invalid */
+    int8_t *mode_grid;   /* [mi_rows*mi_cols], -1 invalid; intra OR inter mode */
     uint8_t *skip_grid;
     int32_t *above_ctx[3];
     int32_t *left_ctx[3];
+    /* inter mi state (codec/mvp.MiState analog; single-ref profile) */
+    int8_t *ref_grid;    /* [mi_rows*mi_cols] ref0 (0 = intra) */
+    int8_t *bsize_grid;  /* [mi_rows*mi_cols] bw4 of covering block */
+    int32_t *mv_grid;    /* [mi_rows*mi_cols*2] (row, col) 1/8 pel */
 } TileState;
+
+/* ---------------------------------------------------------------- MVP stack
+ * C twin of codec/mvp.find_mv_stack (spec 7.10.2, single-ref spatial-only,
+ * SQUARE blocks). Must stay bit-exact with the Python reference — enforced
+ * by tests/test_native_entropy.py inter tile-walk parity. */
+
+#define MAX_REF_MV_STACK 8
+#define MAX_MV_REF_CAND 2
+#define REF_CAT_LEVEL 640
+#define MV_BORDER (16 << 3)
+#define MVREF_ROWS 3
+#define NEWMV_MODE 16 /* InterMode.NEWMV */
+
+typedef struct {
+    int32_t mvs[MAX_REF_MV_STACK][2];
+    int64_t weights[MAX_REF_MV_STACK];
+    int count;
+    int mode_context;
+} MvStackC;
+
+typedef struct {
+    TileParams *tp;
+    TileState *st;
+    int mi_row, mi_col, n4; /* square: n4_w == n4_h == n4 */
+    int ref_frame;
+    int count, newmv, row_match, col_match, processed_rows, processed_cols;
+    int max_row_offset, max_col_offset;
+    MvStackC *out;
+} MvScan;
+
+static int mvp_inside(MvScan *s, int r, int c) {
+    TileParams *tp = s->tp;
+    return !(r < tp->mi_row0 || c < tp->mi_col0 || r >= tp->mi_row1 || c >= tp->mi_col1);
+}
+
+static void mvp_add(MvScan *s, int r, int c, int64_t weight, int count_newmv, int is_row) {
+    TileState *st = s->st;
+    int idx = r * s->tp->mi_cols + c;
+    int ref0 = st->ref_grid[idx];
+    if (ref0 <= 0) return; /* intra or unset */
+    if (ref0 != s->ref_frame) return;
+    int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
+    MvStackC *o = s->out;
+    int i = 0;
+    for (; i < s->count; i++)
+        if (o->mvs[i][0] == mr && o->mvs[i][1] == mc) break;
+    if (i < s->count) {
+        o->weights[i] += weight;
+    } else if (s->count < MAX_REF_MV_STACK) {
+        o->mvs[s->count][0] = mr;
+        o->mvs[s->count][1] = mc;
+        o->weights[s->count] = weight;
+        s->count++;
+    }
+    if (count_newmv && st->mode_grid[idx] == NEWMV_MODE) s->newmv++;
+    if (is_row) s->row_match++; else s->col_match++;
+}
+
+static void mvp_scan_row(MvScan *s, int row_offset, int count_newmv) {
+    int n4 = s->n4;
+    int end_mi = n4;
+    if (s->tp->mi_cols - s->mi_col < end_mi) end_mi = s->tp->mi_cols - s->mi_col;
+    if (end_mi > 16) end_mi = 16;
+    int col_off = 0;
+    if (row_offset < -1 || row_offset > 1) {
+        col_off = 1;
+        if ((s->mi_col & 1) && n4 < 2) col_off -= 1;
+    }
+    int use_step_16 = n4 >= 16;
+    int i = 0;
+    while (i < end_mi) {
+        int r = s->mi_row + row_offset, c = s->mi_col + col_off + i;
+        if (!mvp_inside(s, r, c)) break;
+        int cw4 = s->st->bsize_grid[r * s->tp->mi_cols + c];
+        if (cw4 < 1) cw4 = 1; /* uncoded cell == BLOCK_4X4 in the python grids */
+        int length = n4 < cw4 ? n4 : cw4;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (row_offset < -1 || row_offset > 1) { if (length < 2) length = 2; }
+        int64_t weight = 2;
+        if (n4 >= 2 && n4 <= cw4) {
+            int inc = -s->max_row_offset + row_offset + 1;
+            if (cw4 < inc) inc = cw4; /* square: block height mi == cw4 */
+            if (inc > weight) weight = inc;
+            s->processed_rows = inc - row_offset - 1;
+        }
+        mvp_add(s, r, c, weight * length, count_newmv, 1);
+        i += length;
+    }
+}
+
+static void mvp_scan_col(MvScan *s, int col_offset, int count_newmv) {
+    int n4 = s->n4;
+    int end_mi = n4;
+    if (s->tp->mi_rows - s->mi_row < end_mi) end_mi = s->tp->mi_rows - s->mi_row;
+    if (end_mi > 16) end_mi = 16;
+    int row_off = 0;
+    if (col_offset < -1 || col_offset > 1) {
+        row_off = 1;
+        if ((s->mi_row & 1) && n4 < 2) row_off -= 1;
+    }
+    int use_step_16 = n4 >= 16;
+    int i = 0;
+    while (i < end_mi) {
+        int r = s->mi_row + row_off + i, c = s->mi_col + col_offset;
+        if (!mvp_inside(s, r, c)) break;
+        int ch4 = s->st->bsize_grid[r * s->tp->mi_cols + c];
+        if (ch4 < 1) ch4 = 1;
+        int length = n4 < ch4 ? n4 : ch4;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (col_offset < -1 || col_offset > 1) { if (length < 2) length = 2; }
+        int64_t weight = 2;
+        if (n4 >= 2 && n4 <= ch4) {
+            int inc = -s->max_col_offset + col_offset + 1;
+            if (ch4 < inc) inc = ch4;
+            if (inc > weight) weight = inc;
+            s->processed_cols = inc - col_offset - 1;
+        }
+        mvp_add(s, r, c, weight * length, count_newmv, 0);
+        i += length;
+    }
+}
+
+static int mvp_has_top_right(int mi_row, int mi_col, int n4) {
+    int bs = n4;
+    if (bs > 16) return 0;
+    int mask_row = mi_row & 15, mask_col = mi_col & 15;
+    int has_tr = !((mask_row & bs) && (mask_col & bs));
+    int b = bs;
+    while (b < 16) {
+        if (mask_col & b) {
+            if ((mask_col & (2 * b)) && (mask_row & (2 * b))) { has_tr = 0; break; }
+        } else break;
+        b <<= 1;
+    }
+    return has_tr;
+}
+
+static int32_t clamp32(int32_t v, int32_t lo, int32_t hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_col,
+                            int n4, int ref_frame, MvStackC *out) {
+    MvScan s = {0};
+    s.tp = tp; s.st = st; s.mi_row = mi_row; s.mi_col = mi_col; s.n4 = n4;
+    s.ref_frame = ref_frame; s.out = out;
+    memset(out, 0, sizeof(*out));
+    int up_avail = mi_row > tp->mi_row0;
+    int left_avail = mi_col > tp->mi_col0;
+    int row_adj = (n4 < 2 && (mi_row & 1)) ? 1 : 0;
+    int col_adj = (n4 < 2 && (mi_col & 1)) ? 1 : 0;
+    if (up_avail) {
+        int mro = -(MVREF_ROWS << 1) + row_adj;
+        if (n4 < 2) mro = -(2 << 1) + row_adj;
+        s.max_row_offset = clamp32(mro, tp->mi_row0 - mi_row, tp->mi_row1 - mi_row - 1);
+    }
+    if (left_avail) {
+        int mco = -(MVREF_ROWS << 1) + col_adj;
+        if (n4 < 2) mco = -(2 << 1) + col_adj;
+        s.max_col_offset = clamp32(mco, tp->mi_col0 - mi_col, tp->mi_col1 - mi_col - 1);
+    }
+    int abs_mro = s.max_row_offset < 0 ? -s.max_row_offset : s.max_row_offset;
+    int abs_mco = s.max_col_offset < 0 ? -s.max_col_offset : s.max_col_offset;
+    if (abs_mro >= 1) mvp_scan_row(&s, -1, 1);
+    if (abs_mco >= 1) mvp_scan_col(&s, -1, 1);
+    if (mvp_has_top_right(mi_row, mi_col, n4) && mvp_inside(&s, mi_row - 1, mi_col + n4))
+        mvp_add(&s, mi_row - 1, mi_col + n4, 4, 1, 1);
+
+    int nearest_match = (s.row_match > 0) + (s.col_match > 0);
+    int newmv_count = s.newmv;
+    for (int i = 0; i < s.count; i++) out->weights[i] += REF_CAT_LEVEL;
+
+    if (mvp_inside(&s, mi_row - 1, mi_col - 1))
+        mvp_add(&s, mi_row - 1, mi_col - 1, 4, 0, 1);
+    for (int idx = 2; idx <= MVREF_ROWS; idx++) {
+        int row_offset = -(idx << 1) + 1 + row_adj;
+        int col_offset = -(idx << 1) + 1 + col_adj;
+        int aro = row_offset < 0 ? -row_offset : row_offset;
+        int aco = col_offset < 0 ? -col_offset : col_offset;
+        if (aro <= abs_mro && aro > s.processed_rows) mvp_scan_row(&s, row_offset, 0);
+        if (aco <= abs_mco && aco > s.processed_cols) mvp_scan_col(&s, col_offset, 0);
+    }
+
+    int ref_match = (s.row_match > 0) + (s.col_match > 0);
+    int mode_context = 0;
+    if (nearest_match == 0) {
+        if (ref_match >= 1) mode_context |= 1;
+        if (ref_match == 1) mode_context |= 1 << 4;
+        else if (ref_match >= 2) mode_context |= 2 << 4;
+    } else if (nearest_match == 1) {
+        mode_context |= newmv_count > 0 ? 2 : 3;
+        if (ref_match == 1) mode_context |= 3 << 4;
+        else if (ref_match >= 2) mode_context |= 4 << 4;
+    } else {
+        mode_context |= newmv_count >= 1 ? 4 : 5;
+        mode_context |= 5 << 4;
+    }
+    out->mode_context = mode_context;
+
+    /* stable bubble sort by weight desc (exact reference order) */
+    int length = s.count;
+    while (length > 0) {
+        int nr_len = 0;
+        for (int i = 1; i < length; i++)
+            if (out->weights[i - 1] < out->weights[i]) {
+                int32_t t0 = out->mvs[i - 1][0], t1 = out->mvs[i - 1][1];
+                int64_t tw = out->weights[i - 1];
+                out->mvs[i - 1][0] = out->mvs[i][0]; out->mvs[i - 1][1] = out->mvs[i][1];
+                out->weights[i - 1] = out->weights[i];
+                out->mvs[i][0] = t0; out->mvs[i][1] = t1;
+                out->weights[i] = tw;
+                nr_len = i;
+            }
+        length = nr_len;
+    }
+
+    /* light re-scan (ROW-1 / COL-1) when short; sign_bias all zero here */
+    if (s.count < MAX_MV_REF_CAND) {
+        int mi_width = n4, mi_height = n4;
+        if (tp->mi_cols - mi_col < mi_width) mi_width = tp->mi_cols - mi_col;
+        if (tp->mi_rows - mi_row < mi_height) mi_height = tp->mi_rows - mi_row;
+        if (mi_width > 16) mi_width = 16;
+        if (mi_height > 16) mi_height = 16;
+        int mi_sz = mi_width < mi_height ? mi_width : mi_height;
+        int i = 0;
+        while (abs_mro >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
+            int r = mi_row - 1, c = mi_col + i;
+            int idx = r * tp->mi_cols + c;
+            if (st->ref_grid[idx] > 0) {
+                int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
+                int j = 0;
+                for (; j < s.count; j++)
+                    if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
+                if (j == s.count) {
+                    out->mvs[s.count][0] = mr; out->mvs[s.count][1] = mc;
+                    out->weights[s.count] = 2;
+                    s.count++;
+                }
+            }
+            i += st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
+        }
+        i = 0;
+        while (abs_mco >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
+            int r = mi_row + i, c = mi_col - 1;
+            int idx = r * tp->mi_cols + c;
+            if (st->ref_grid[idx] > 0) {
+                int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
+                int j = 0;
+                for (; j < s.count; j++)
+                    if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
+                if (j == s.count) {
+                    out->mvs[s.count][0] = mr; out->mvs[s.count][1] = mc;
+                    out->weights[s.count] = 2;
+                    s.count++;
+                }
+            }
+            i += st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
+        }
+        for (int k = s.count; k < MAX_MV_REF_CAND; k++) {
+            out->mvs[k][0] = 0; out->mvs[k][1] = 0;
+        }
+    }
+
+    /* clamp to the frame-relative legal window */
+    int32_t bw8 = n4 * 4 * 8, bh8 = bw8;
+    int32_t to_left = -(mi_col * 32);
+    int32_t to_right = (tp->mi_cols - n4 - mi_col) * 32;
+    int32_t to_top = -(mi_row * 32);
+    int32_t to_bottom = (tp->mi_rows - n4 - mi_row) * 32;
+    for (int i = 0; i < s.count; i++) {
+        out->mvs[i][1] = clamp32(out->mvs[i][1], to_left - bw8 - MV_BORDER, to_right + bw8 + MV_BORDER);
+        out->mvs[i][0] = clamp32(out->mvs[i][0], to_top - bh8 - MV_BORDER, to_bottom + bh8 + MV_BORDER);
+    }
+    out->count = s.count;
+}
+
+static int drl_ctx_of(MvStackC *stk, int idx) {
+    if (stk->weights[idx] >= REF_CAT_LEVEL && stk->weights[idx + 1] >= REF_CAT_LEVEL) return 0;
+    if (stk->weights[idx] >= REF_CAT_LEVEL && stk->weights[idx + 1] < REF_CAT_LEVEL) return 1;
+    return 2;
+}
+
+/* NMV component writer — C twin of codec/mv.MvCoder._write_component
+ * (allow_hp = 0, force_int = 0: fr always written, hp never). */
+static void write_mv_component_c(Ec *e, TileParams *tp, int comp, int32_t v, int update) {
+    int sign = v < 0;
+    int32_t mag = sign ? -v : v;
+    int32_t z = mag - 1;
+    int mv_class = 0;
+    int32_t offset = z;
+    if (z >= 16) {
+        int32_t t = z >> 3;
+        int bl = 0;
+        while (t) { bl++; t >>= 1; }
+        mv_class = bl - 1;
+        if (mv_class > 10) mv_class = 10;
+        offset = z - (2 << (mv_class + 2));
+    }
+    int d = offset >> 3, fr = (offset >> 1) & 3;
+    ec_encode_symbol(e, tp->nmv_sign + comp * 3, 2, sign, update);
+    ec_encode_symbol(e, tp->nmv_classes + comp * 12, 11, mv_class, update);
+    if (mv_class == 0) {
+        ec_encode_symbol(e, tp->nmv_class0 + comp * 3, 2, d, update);
+    } else {
+        for (int i = 0; i < mv_class; i++)
+            ec_encode_symbol(e, tp->nmv_bits + (comp * 10 + i) * 3, 2, (d >> i) & 1, update);
+    }
+    int32_t *fpc = mv_class == 0 ? tp->nmv_class0_fp + (comp * 2 + d) * 5
+                                 : tp->nmv_fp + comp * 5;
+    ec_encode_symbol(e, fpc, 4, fr, update);
+}
+
+static void write_mv_c(Ec *e, TileParams *tp, int32_t mvr, int32_t mvc,
+                       int32_t pr, int32_t pc, int update) {
+    int32_t dr = mvr - pr, dc = mvc - pc;
+    int joint = (dc != 0 ? 1 : 0) | (dr != 0 ? 2 : 0);
+    ec_encode_symbol(e, tp->nmv_joints, 4, joint, update);
+    if (dr != 0) write_mv_component_c(e, tp, 0, dr, update);
+    if (dc != 0) write_mv_component_c(e, tp, 1, dc, update);
+}
 
 static int32_t cdf_elem_prob(const int32_t *cdf, int k) {
     int32_t prev = k == 0 ? 32768 : cdf[k - 1];
@@ -521,26 +869,131 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
         if (mi_col > tp->mi_col0 && st->mode_grid[mi_row * tp->mi_cols + mi_col - 1] >= 0)
             left_sk = st->skip_grid[mi_row * tp->mi_cols + mi_col - 1];
         ec_encode_symbol(e, tp->skip + (above_sk + left_sk) * 3, 2, skip, tp->update);
-        /* kf y mode */
-        int am = 0, lm = 0;
-        if (mi_row > tp->mi_row0 && st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col] >= 0)
-            am = intra_mode_ctx[st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col]];
-        if (mi_col > tp->mi_col0 && st->mode_grid[mi_row * tp->mi_cols + mi_col - 1] >= 0)
-            lm = intra_mode_ctx[st->mode_grid[mi_row * tp->mi_cols + mi_col - 1]];
-        ec_encode_symbol(e, tp->kf_y + (am * 5 + lm) * 14, 13, y_mode, tp->update);
-        if (op[OPC_ANGLE_Y] >= 0)
-            ec_encode_symbol(e, tp->angle + (y_mode - 1) * 8, 7, op[OPC_ANGLE_Y], tp->update);
-        /* uv mode */
-        int cfl_allowed = bw4 <= 8;
-        ec_encode_symbol(e, tp->uv_mode + (cfl_allowed * 13 + y_mode) * 15,
-                         cfl_allowed ? 14 : 13, uv_mode, tp->update);
-        if (op[OPC_ANGLE_UV] >= 0)
-            ec_encode_symbol(e, tp->angle + (uv_mode - 1) * 8, 7, op[OPC_ANGLE_UV], tp->update);
-        /* mode/skip grids */
+        int ref_frame = op[OPC_REF];
+        int32_t mvr = op[OPC_MVY], mvc = op[OPC_MVX];
+        if (tp->frame_is_intra) {
+            /* kf y mode */
+            int am = 0, lm = 0;
+            if (mi_row > tp->mi_row0 && st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col] >= 0)
+                am = intra_mode_ctx[st->mode_grid[(mi_row - 1) * tp->mi_cols + mi_col]];
+            if (mi_col > tp->mi_col0 && st->mode_grid[mi_row * tp->mi_cols + mi_col - 1] >= 0)
+                lm = intra_mode_ctx[st->mode_grid[mi_row * tp->mi_cols + mi_col - 1]];
+            ec_encode_symbol(e, tp->kf_y + (am * 5 + lm) * 14, 13, y_mode, tp->update);
+            if (op[OPC_ANGLE_Y] >= 0)
+                ec_encode_symbol(e, tp->angle + (y_mode - 1) * 8, 7, op[OPC_ANGLE_Y], tp->update);
+        } else {
+            /* is_inter flag (tile_codec._intra_inter_ctx) */
+            int has_above = mi_row > tp->mi_row0, has_left = mi_col > tp->mi_col0;
+            int a_intra = has_above && st->ref_grid[(mi_row - 1) * tp->mi_cols + mi_col] == 0;
+            int l_intra = has_left && st->ref_grid[mi_row * tp->mi_cols + mi_col - 1] == 0;
+            int ictx;
+            if (has_above && has_left) ictx = (a_intra && l_intra) ? 3 : (a_intra || l_intra);
+            else if (has_above || has_left) ictx = 2 * (has_above ? a_intra : l_intra);
+            else ictx = 0;
+            int is_inter = ref_frame >= 1;
+            ec_encode_symbol(e, tp->intra_inter + ictx * 3, 2, is_inter, tp->update);
+            if (is_inter) {
+                /* neighbor ref counts -> single-ref tree (write_ref_frames) */
+                int64_t cnt[8] = {0};
+                if (has_above) {
+                    int rr = st->ref_grid[(mi_row - 1) * tp->mi_cols + mi_col];
+                    if (rr >= 1) cnt[rr]++;
+                }
+                if (has_left) {
+                    int rr = st->ref_grid[mi_row * tp->mi_cols + mi_col - 1];
+                    if (rr >= 1) cnt[rr]++;
+                }
+#define REFCTX(a, b) ((a) == (b) ? 1 : ((a) < (b) ? 0 : 2))
+                int p1 = REFCTX(cnt[1] + cnt[2] + cnt[3] + cnt[4], cnt[5] + cnt[6] + cnt[7]);
+                int bit0 = ref_frame >= 5;
+                ec_encode_symbol(e, tp->single_ref + (p1 * 6 + 0) * 3, 2, bit0, tp->update);
+                if (bit0) {
+                    int p2 = REFCTX(cnt[5] + cnt[6], cnt[7]);
+                    int b = ref_frame == 7;
+                    ec_encode_symbol(e, tp->single_ref + (p2 * 6 + 1) * 3, 2, b, tp->update);
+                    if (!b) {
+                        int p6 = REFCTX(cnt[5], cnt[6]);
+                        ec_encode_symbol(e, tp->single_ref + (p6 * 6 + 5) * 3, 2,
+                                         ref_frame == 6, tp->update);
+                    }
+                } else {
+                    int p3 = REFCTX(cnt[1] + cnt[2], cnt[3] + cnt[4]);
+                    int b = ref_frame == 3 || ref_frame == 4;
+                    ec_encode_symbol(e, tp->single_ref + (p3 * 6 + 2) * 3, 2, b, tp->update);
+                    if (b) {
+                        int p5 = REFCTX(cnt[3], cnt[4]);
+                        ec_encode_symbol(e, tp->single_ref + (p5 * 6 + 4) * 3, 2,
+                                         ref_frame == 4, tp->update);
+                    } else {
+                        int p4 = REFCTX(cnt[1], cnt[2]);
+                        ec_encode_symbol(e, tp->single_ref + (p4 * 6 + 3) * 3, 2,
+                                         ref_frame == 2, tp->update);
+                    }
+                }
+#undef REFCTX
+                /* MVP stack + mode flags + drl + mv */
+                MvStackC stk;
+                find_mv_stack_c(tp, st, mi_row, mi_col, bw4, ref_frame, &stk);
+                int mode = y_mode; /* InterMode: 13 NEAREST, 14 NEAR, 15 GLOBAL, 16 NEW */
+                int ref_mv_idx = op[OPC_REFMVIDX];
+                ec_encode_symbol(e, tp->newmv + (stk.mode_context & 7) * 3, 2,
+                                 mode != 16, tp->update);
+                if (mode != 16) {
+                    ec_encode_symbol(e, tp->zeromv + ((stk.mode_context >> 3) & 1) * 3, 2,
+                                     mode != 15, tp->update);
+                    if (mode != 15)
+                        ec_encode_symbol(e, tp->refmv + ((stk.mode_context >> 4) & 15) * 3, 2,
+                                         mode != 13, tp->update);
+                }
+                /* drl (tile_codec._code_drl) */
+                if (mode == 16) {
+                    for (int idx = 0; idx < 2; idx++) {
+                        if (stk.count > idx + 1) {
+                            int bit = ref_mv_idx != idx;
+                            ec_encode_symbol(e, tp->drl + drl_ctx_of(&stk, idx) * 3, 2,
+                                             bit, tp->update);
+                            if (!bit) break;
+                        }
+                    }
+                } else if (mode == 14) {
+                    for (int idx = 1; idx < 3; idx++) {
+                        if (stk.count > idx + 1) {
+                            int bit = ref_mv_idx != idx;
+                            ec_encode_symbol(e, tp->drl + drl_ctx_of(&stk, idx) * 3, 2,
+                                             bit, tp->update);
+                            if (!bit) break;
+                        }
+                    }
+                }
+                if (mode == 16)
+                    write_mv_c(e, tp, mvr, mvc, stk.mvs[ref_mv_idx][0],
+                               stk.mvs[ref_mv_idx][1], tp->update);
+            } else {
+                /* intra in inter frame: size-group y_mode cdf */
+                ec_encode_symbol(e, tp->y_mode + op[OPC_SIZEGROUP] * 14, 13, y_mode, tp->update);
+                if (op[OPC_ANGLE_Y] >= 0)
+                    ec_encode_symbol(e, tp->angle + (y_mode - 1) * 8, 7, op[OPC_ANGLE_Y], tp->update);
+            }
+        }
+        int is_inter_blk = ref_frame >= 1;
+        if (!is_inter_blk) {
+            /* uv mode (intra blocks only) */
+            int cfl_allowed = bw4 <= 8;
+            ec_encode_symbol(e, tp->uv_mode + (cfl_allowed * 13 + y_mode) * 15,
+                             cfl_allowed ? 14 : 13, uv_mode, tp->update);
+            if (op[OPC_ANGLE_UV] >= 0)
+                ec_encode_symbol(e, tp->angle + (uv_mode - 1) * 8, 7, op[OPC_ANGLE_UV], tp->update);
+        }
+        /* mode/skip/ref/mv grids */
         for (int r = 0; r < bw4; r++)
             for (int c = 0; c < bw4; c++) {
-                st->mode_grid[(mi_row + r) * tp->mi_cols + mi_col + c] = (int8_t)y_mode;
-                st->skip_grid[(mi_row + r) * tp->mi_cols + mi_col + c] = (uint8_t)skip;
+                int gi = (mi_row + r) * tp->mi_cols + mi_col + c;
+                st->mode_grid[gi] = (int8_t)y_mode;
+                st->skip_grid[gi] = (uint8_t)skip;
+                st->ref_grid[gi] = (int8_t)(is_inter_blk ? ref_frame : 0);
+                st->bsize_grid[gi] = (int8_t)bw4;
+                st->mv_grid[gi * 2] = mvr;
+                st->mv_grid[gi * 2 + 1] = mvc;
             }
         if (skip) {
             set_entropy_ctx(st, 0, mi_col, mi_row, bw4, bw4, 0);
@@ -585,13 +1038,18 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
             int tx_type = 0;
             if (plane == 0) {
                 if (op[OPC_TXSIG_NSYM] > 1 && tp->qindex_positive) {
-                    int32_t *cdf = tp->intra_ext_tx +
-                        ((op[OPC_TXSIG_ESET] * 4 + op[OPC_TXSIG_SQR]) * 13 + y_mode) * 8;
+                    int32_t *cdf = is_inter_blk
+                        ? tp->inter_ext_tx + (op[OPC_TXSIG_ESET] * 4 + op[OPC_TXSIG_SQR]) * 17
+                        : tp->intra_ext_tx +
+                          ((op[OPC_TXSIG_ESET] * 4 + op[OPC_TXSIG_SQR]) * 13 + y_mode) * 8;
                     ec_encode_symbol(e, cdf, op[OPC_TXSIG_NSYM], op[OPC_TXSIG_SYM], tp->update);
                 }
                 tx_type = 0; /* DCT (the only luma type we emit) */
             } else {
-                tx_type = mode_to_txfm[uv_mode];
+                /* intra: Mode_To_Txfm[uv mode]; inter: derived from the
+                 * effective luma type — all emitted luma types are 2-D
+                 * class, whose chroma scan/ctx equal DCT's */
+                tx_type = is_inter_blk ? 0 : mode_to_txfm[uv_mode];
                 if (tx_size >= 3) /* 32x32 chroma: DCT only */
                     tx_type = 0;
             }

@@ -210,27 +210,20 @@ def mc_lanes(ref, ys, xs, mv_q16_y, mv_q16_x, n_h: int, n_w: int, which: int, bd
 def subpel_refine_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
     """Two-step (half then quarter pel) 9-point refinement by luma SAD.
 
-    src_b (B, n, n); mv_fp (B, 2) full-pel -> (B, 2) 1/8-pel MVs."""
-    n = src_b.shape[-1]
+    src_b (B, n, n); mv_fp (B, 2) full-pel -> (B, 2) 1/8-pel MVs. All nine
+    candidates of a step are folded into the LANE axis (one MC launch per
+    step — compile-friendly, throughput-oriented)."""
+    B, n = src_b.shape[0], src_b.shape[-1]
     mv = mv_fp * 8
+    ys9 = jnp.tile(ys, 9)
+    xs9 = jnp.tile(xs, 9)
+    offs = jnp.array([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32)
 
-    def sad_at(mv8):
-        pred = mc_lanes(ref, ys, xs, mv8[:, 0] * 2, mv8[:, 1] * 2, n, n, which, bd)
-        return jnp.sum(jnp.abs(pred - src_b), axis=(-2, -1)).astype(jnp.int32)
-
-    best_sad = sad_at(mv)
     for step in (4, 2):
-        cand_mv, cand_sad = [mv], [best_sad]
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
-                if dy == 0 and dx == 0:
-                    continue
-                m2 = mv + jnp.array([dy, dx], jnp.int32)[None]
-                cand_mv.append(m2)
-                cand_sad.append(sad_at(m2))
-        sads = jnp.stack(cand_sad, axis=0)  # (9, B)
+        cand = (mv[None] + offs[:, None] * step).reshape(9 * B, 2)
+        pred = mc_lanes(ref, ys9, xs9, cand[:, 0] * 2, cand[:, 1] * 2, n, n, which, bd)
+        sads = jnp.sum(jnp.abs(pred.reshape(9, B, n, n) - src_b[None]),
+                       axis=(-2, -1)).astype(jnp.int32)
         pick = jnp.argmin(sads, axis=0)
-        mvs = jnp.stack(cand_mv, axis=0)  # (9, B, 2)
-        mv = jnp.take_along_axis(mvs, pick[None, :, None], axis=0)[0]
-        best_sad = jnp.take_along_axis(sads, pick[None, :], axis=0)[0]
+        mv = jnp.take_along_axis(cand.reshape(9, B, 2), pick[None, :, None], axis=0)[0]
     return mv

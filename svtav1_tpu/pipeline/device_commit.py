@@ -55,7 +55,9 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
     `region` = (x0, y0, w, h) pixels; coords are (f, REGION-LOCAL r8, c8).
     Independent intra frames share one wavefront schedule — lanes from every
     frame batch together at each wave. Returns {n: dict(coords (N,3),
-    mode (N,), tx (N,), uv_tx (N,), offsets (W+1,), kmax)} and W."""
+    mode (N,), tx (N,), uv_tx (N,), ref (N,), mv (N,2), offsets (W+1,),
+    kmax)} and W. Inter leaves carry ref >= 0 (index into the stacked ref
+    planes) and their 1/8-pel MV; intra leaves have ref == -1."""
     x0, y0, rw, rh = region
     R8, C8 = rh // 8, rw // 8
     W = R8 + C8 + 7  # max wave = (R8-1) + (C8-1) + 8 - 1 => W-1
@@ -82,16 +84,34 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
         offsets = np.zeros(W + 1, np.int32)
         np.cumsum(counts, out=offsets[1:])
         fs, rs, cs = coords[:, 0], coords[:, 1] * 8 // n, coords[:, 2] * 8 // n
+        g0 = dec_per_frame[0][n]
+        has_inter = "ref" in g0
         mode = np.array([dec_per_frame[f][n]["mode"][r, c]
                          for f, r, c in zip(fs, rs, cs)], np.int32)
         tx = np.array([dec_per_frame[f][n]["tx"][r, c]
                        for f, r, c in zip(fs, rs, cs)], np.int32)
+        if has_inter:
+            ref = np.array([dec_per_frame[f][n]["ref"][r, c]
+                            for f, r, c in zip(fs, rs, cs)], np.int32)
+            mv = np.array([(dec_per_frame[f][n]["mvy"][r, c],
+                            dec_per_frame[f][n]["mvx"][r, c])
+                           for f, r, c in zip(fs, rs, cs)], np.int32).reshape(N, 2)
+        else:
+            ref = np.full(N, -1, np.int32)
+            mv = np.zeros((N, 2), np.int32)
         tx_uv_size = int(max_uv_txsize(BSIZE_BY_N[n]))
         if n not in uv_tx_cache:
-            uv_tx_cache[n] = np.array(
-                [TX_SEARCH.index(chroma_tx_type(m, tx_uv_size)) for m in MODES], np.int32)
-        uv_tx = uv_tx_cache[n][mode]
-        out[n] = dict(coords=coords, mode=mode, tx=tx, uv_tx=uv_tx,
+            uv_tx_cache[n] = (
+                np.array([TX_SEARCH.index(chroma_tx_type(m, tx_uv_size))
+                          for m in MODES], np.int32),
+                np.array([TX_SEARCH.index(chroma_tx_type_inter(t, tx_uv_size))
+                          for t in TX_SEARCH], np.int32))
+        intra_map, inter_map = uv_tx_cache[n]
+        # inter uv tx assumes nonzero luma; the device swaps to DCT when the
+        # quantized luma comes out all-zero (tile_codec._chroma_tx_type rule)
+        uv_tx = np.where(ref >= 0, inter_map[tx], intra_map[np.where(ref >= 0, 0, mode)])
+        out[n] = dict(coords=coords, mode=np.where(ref >= 0, 0, mode), tx=tx,
+                      uv_tx=uv_tx, ref=ref, mv=mv,
                       offsets=offsets, kmax=int(counts.max()))
     return out, W
 
@@ -101,15 +121,19 @@ def _pad_rows(a: np.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
+def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat, cfg):
     """The wavefront loop. `sched_flat` is ONE packed int32 vector (all
     per-size schedules — single h2d transfer); `cfg` a hashable static tuple:
-    (F, W, W_eff, R8, C8, qindex, bd, ((n, N, N_pad, kmax), ...)). The loop
-    runs W_eff compacted steps over `wave_list` (only waves with work — empty
-    anti-diagonals are skipped entirely); lanes from all F batched frames
-    share each wave. Returns (levels_i16_packed, recon_u8_packed) — two
-    arrays, two d2h transfers."""
-    F, W, W_eff, R8, C8, qindex, bd, size_cfgs = cfg
+    (F, W, W_eff, R8, C8, qindex, bd, nref, which, y0, x0,
+    ((n, N, N_pad, kmax), ...)). The loop runs W_eff compacted steps over
+    `wave_list` (only waves with work — empty anti-diagonals are skipped
+    entirely); lanes from all F batched frames share each wave. Inter lanes
+    (nref > 0, schedule ref >= 0) take precomputed batched MC predictions
+    (no wavefront dependence — the one true sequential dependence in AV1 is
+    intra's neighbor recon); their recon still feeds the frontier maps so
+    intra neighbors see final pixels. Returns (levels_i16_packed,
+    recon planes, skip map)."""
+    F, W, W_eff, R8, C8, qindex, bd, nref, which, y0, x0, size_cfgs = cfg
     AW, AH = C8 * 8, R8 * 8
     base = 1 << (bd - 1)
     src_y = src_y8.astype(jnp.int32)
@@ -126,9 +150,36 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
         s["mode"] = sched_flat[pos : pos + N_pad]; pos += N_pad
         s["tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
         s["uv_tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
+        s["ref"] = sched_flat[pos : pos + N_pad]; pos += N_pad
+        s["mv"] = sched_flat[pos : pos + N_pad * 2].reshape(N_pad, 2); pos += N_pad * 2
         s["offsets"] = sched_flat[pos : pos + W + 2]; pos += W + 2
         sched[n] = s
     wave_list = sched_flat[pos : pos + W_eff]; pos += W_eff
+
+    # precomputed inter predictions per size (batched normative MC; F == 1
+    # for inter frames — refs are frame-specific)
+    inter_pred = {}
+    if nref:
+        from ..ops import me_jax
+
+        refs_y = refs_y8.astype(jnp.int32)
+        refs_u = refs_u8.astype(jnp.int32)
+        refs_v = refs_v8.astype(jnp.int32)
+        for n, N, N_pad, kmax in size_cfgs:
+            s = sched[n]
+            nc = n // 2
+            ridx = jnp.maximum(s["ref"], 0)
+            ys = y0 + s["coords"][:, 1] * 8
+            xs = x0 + s["coords"][:, 2] * 8
+            mvy, mvx = s["mv"][:, 0], s["mv"][:, 1]
+            inter_pred[n] = (
+                me_jax.mc_lanes(refs_y, ys, xs, mvy * 2, mvx * 2, n, n, which, bd,
+                                ref_idx=ridx),
+                me_jax.mc_lanes(refs_u, ys // 2, xs // 2, mvy, mvx, nc, nc, which,
+                                bd, ref_idx=ridx),
+                me_jax.mc_lanes(refs_v, ys // 2, xs // 2, mvy, mvx, nc, nc, which,
+                                bd, ref_idx=ridx),
+            )
 
     dq_dc, dq_ac = quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)
 
@@ -189,6 +240,7 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
         mode = dsl(s["mode"])
         tx_idx = dsl(s["tx"])
         uv_tx_idx = dsl(s["uv_tx"])
+        is_int = dsl(s["ref"]) >= 0
         x, y = c8 * 8, r8 * 8
         ha, hl = r8 > 0, c8 > 0
 
@@ -215,8 +267,15 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
         # luma
         ar, lc, tl = edges_from(st["by"], st["ry"], st["cy"], x, y, n)
         pred = _predict_modes(ar, lc, tl, ha, hl, n)[bi, mode]
+        if nref:
+            pred = jnp.where(is_int[:, None, None], dsl(inter_pred[n][0]), pred)
         sb = src_blocks(src_y, x, y, n)
         lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1)
+        if nref:
+            # inter chroma tx follows the EFFECTIVE luma type: DCT when the
+            # quantized luma is all-zero (tile_codec._chroma_tx_type)
+            luma_zero = jnp.sum(jnp.abs(lv_y), axis=(-2, -1)) == 0
+            uv_tx_idx = jnp.where(is_int & luma_zero, 0, uv_tx_idx)
         # chroma (uv_mode = y mode; tx type derived per mode) — u and v are
         # stacked into one 2K-lane batch so every op runs once
         xc, yc = c8 * 4, r8 * 4
@@ -228,6 +287,10 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
         ha2, hl2 = jnp.concatenate([ha, ha]), jnp.concatenate([hl, hl])
         mode2 = jnp.concatenate([mode, mode])
         puv = _predict_modes(ac, lcc, tlc, ha2, hl2, nc)[jnp.arange(2 * kmax), mode2]
+        if nref:
+            puv = jnp.where(jnp.concatenate([is_int, is_int])[:, None, None],
+                            jnp.concatenate([dsl(inter_pred[n][1]), dsl(inter_pred[n][2])]),
+                            puv)
         suv = jnp.concatenate([src_blocks(src_u, xc, yc, nc),
                                src_blocks(src_v, xc, yc, nc)])
         lv_uv, rec_uv = select_txfm(suv - puv, puv, jnp.concatenate([uv_tx_idx, uv_tx_idx]),
@@ -320,14 +383,19 @@ def _commit_device(src_y8, src_u8, src_v8, sched_flat, cfg):
     return levels_packed, ry, ru, rv, skip8
 
 
-def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, region):
+def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, region,
+                   refs_dev=None, ref_ids=None, which: int = 0):
     """Commit the decided leaves of one region: fills plans in place and
     returns the region's DEVICE recon planes + skip map (ry, ru, rv, skip8).
 
     `src_dev` are put_frames() (F, H, W) device planes; `leaves`/`dec`/
-    `plans` are per-frame lists. One packed h2d (schedule) + one d2h
-    transfer (levels int16) for the WHOLE batch; recon stays on device for
-    the filter stage."""
+    `plans` are per-frame lists. For inter frames pass `refs_dev` =
+    (refs_y, refs_u, refs_v) stacked (NREF, ...) device planes and
+    `ref_ids` mapping stack index -> RefFrame id. One packed h2d (schedule)
+    + one d2h transfer (levels int16) for the WHOLE batch; recon stays on
+    device for the filter stage."""
+    from ..constants.av1 import InterMode
+
     p = params
     x0, y0, rw, rh = region
     F = src_dev[0].shape[0]
@@ -349,6 +417,8 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
             _pad_rows(s["mode"], N_pad - N),
             _pad_rows(s["tx"], N_pad - N),
             _pad_rows(s["uv_tx"], N_pad - N),
+            _pad_rows(s["ref"], N_pad - N),
+            _pad_rows(s["mv"], N_pad - N).ravel(),
             offs,
         ]
     waves = np.nonzero(wave_used)[0].astype(np.int32)
@@ -360,11 +430,16 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         W_eff = W
     flat_parts.append(wave_list)
     sched_flat = jnp.asarray(np.concatenate([f.astype(np.int32) for f in flat_parts]))
-    cfg = (F, W, W_eff, R8, C8, p.qindex, p.bd, tuple(size_cfgs))
+    nref = 0 if refs_dev is None else int(refs_dev[0].shape[0])
+    cfg = (F, W, W_eff, R8, C8, p.qindex, p.bd, nref, which, y0, x0, tuple(size_cfgs))
     sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
     su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
-    levels_packed, ry, ru, rv, skip8 = _commit_device(sy, su, sv, sched_flat, cfg)
+    if refs_dev is None:
+        dummy = jnp.zeros((1, 8, 8), jnp.uint8)
+        refs_dev = (dummy, dummy, dummy)
+    levels_packed, ry, ru, rv, skip8 = _commit_device(
+        sy, su, sv, refs_dev[0], refs_dev[1], refs_dev[2], sched_flat, cfg)
     levels_packed = np.asarray(levels_packed)
 
     # unpack levels + build per-block decisions
@@ -383,13 +458,24 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         for i in range(N):
             mi_row = (y0 // 8 + int(r8[i])) * 2
             mi_col = (x0 // 8 + int(c8[i])) * 2
-            m = MODES[int(s["mode"][i])]
             sk = bool(skip[i])
-            plans[int(fs[i])].blocks[(mi_row, mi_col, BSIZE_BY_N[n])] = BlockDecision(
-                y_mode=m, uv_mode=m, skip=int(sk),
-                tx_type=TX_SEARCH[int(s["tx"][i])],
-                levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
-                levels_v=None if sk else lvv[i])
+            ri = int(s["ref"][i])
+            if ri >= 0:
+                mv = (int(s["mv"][i, 0]), int(s["mv"][i, 1]))
+                mode = int(InterMode.GLOBALMV) if mv == (0, 0) else int(InterMode.NEWMV)
+                d = BlockDecision(
+                    y_mode=mode, ref_frame=int(ref_ids[ri]), mv=mv, ref_mv_idx=0,
+                    skip=int(sk), tx_type=TX_SEARCH[int(s["tx"][i])],
+                    levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
+                    levels_v=None if sk else lvv[i])
+            else:
+                m = MODES[int(s["mode"][i])]
+                d = BlockDecision(
+                    y_mode=m, uv_mode=m, skip=int(sk),
+                    tx_type=TX_SEARCH[int(s["tx"][i])],
+                    levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
+                    levels_v=None if sk else lvv[i])
+            plans[int(fs[i])].blocks[(mi_row, mi_col, BSIZE_BY_N[n])] = d
     return ry, ru, rv, skip8
 
 

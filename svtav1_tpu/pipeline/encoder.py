@@ -289,6 +289,11 @@ class Encoder:
                 plan, recon = device_commit.encode_intra_frame(src, p)
             else:  # 10-bit uses the numpy reference path (device twin: r2)
                 plan, recon = intra_md.encode_intra_frame(src, p)
+        elif cfg.mode_decision == "jax" and cfg.bd == 8:
+            from . import inter_device
+
+            plan, recon, filt = inter_device.encode_inter_frame_device(
+                src, p, refs, enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)
         else:
             from . import inter_md
 

@@ -118,35 +118,35 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     rate_fns = _rate_fns(qindex, n)
     joint, comp, cand_bits, txt_cost = consts
 
-    # candidates: NEWMV per ref, GLOBALMV on ref 0
-    cands = []
-    for ri, mv in enumerate(mv_by_ref):
-        bits = (cand_bits["new_last"] if ri == 0 else cand_bits["new_alt"]) \
-            + _mv_rate(mv, pred_by_ref[ri], joint, comp)
-        cands.append((ri, mv, bits))
+    # candidates: NEWMV per ref + GLOBALMV on ref 0, folded into the lane
+    # axis (one MC + one transform chain for ALL candidates)
     zero = jnp.zeros((B, 2), jnp.int32)
-    cands.append((0, zero, jnp.full(B, cand_bits["glob_last"], jnp.float32)))
+    cand_mv = jnp.concatenate([*mv_by_ref, zero])  # (NC*B, 2)
+    cand_ref = jnp.concatenate(
+        [jnp.full(B, ri, jnp.int32) for ri in range(len(mv_by_ref))] + [jnp.zeros(B, jnp.int32)])
+    bits_list = [(cand_bits["new_last"] if ri == 0 else cand_bits["new_alt"])
+                 + _mv_rate(mv, pred_by_ref[ri], joint, comp)
+                 for ri, mv in enumerate(mv_by_ref)]
+    bits_list.append(jnp.full(B, cand_bits["glob_last"], jnp.float32))
+    cand_mbits = jnp.concatenate(bits_list)
+    NC = len(mv_by_ref) + 1
 
-    best = None
-    for ri, mv, mode_bits in cands:
-        pred = me_jax.mc_lanes(refs_y, ys, xs, mv[:, 0] * 2, mv[:, 1] * 2, n, n,
-                               which, bd, ref_idx=jnp.full(B, ri, jnp.int32))
-        lv, dqc, rate = _eval_txfm(srcb - pred, int(TxType.DCT_DCT), qindex, bd, n,
-                                   rate_fns["y"][0])
-        rec = TJ.inv_txfm2d_add_j(dqc, pred, int(TxType.DCT_DCT), bd)
-        dist = jnp.sum((rec - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
-        cost = dist + lam * (rate + mode_bits)
-        ent = (cost, jnp.full(B, ri, jnp.int32), mv, mode_bits, pred)
-        if best is None:
-            best = ent
-        else:
-            take = cost < best[0]
-            best = (jnp.where(take, cost, best[0]),
-                    jnp.where(take, ent[1], best[1]),
-                    jnp.where(take[:, None], mv, best[2]),
-                    jnp.where(take, mode_bits, best[3]),
-                    jnp.where(take[:, None, None], pred, best[4]))
-    cost_i, ref_i, mv_i, mbits_i, pred_i = best
+    pred = me_jax.mc_lanes(refs_y, jnp.tile(ys, NC), jnp.tile(xs, NC),
+                           cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
+                           which, bd, ref_idx=cand_ref)
+    src_nc = jnp.tile(srcb, (NC, 1, 1))
+    lv, dqc, rate = _eval_txfm(src_nc - pred, int(TxType.DCT_DCT), qindex, bd, n,
+                               rate_fns["y"][0])
+    rec = TJ.inv_txfm2d_add_j(dqc, pred, int(TxType.DCT_DCT), bd)
+    dist = jnp.sum((rec - src_nc).astype(jnp.float32) ** 2, axis=(-2, -1))
+    cost_nc = (dist + lam * (rate + cand_mbits)).reshape(NC, B)
+    pick = jnp.argmin(cost_nc, axis=0)
+    cost_i = jnp.take_along_axis(cost_nc, pick[None], axis=0)[0]
+    mv_i = jnp.take_along_axis(cand_mv.reshape(NC, B, 2), pick[None, :, None], axis=0)[0]
+    ref_i = jnp.take_along_axis(cand_ref.reshape(NC, B), pick[None], axis=0)[0]
+    mbits_i = jnp.take_along_axis(cand_mbits.reshape(NC, B), pick[None], axis=0)[0]
+    pred_i = jnp.take_along_axis(pred.reshape(NC, B, n, n),
+                                 pick[None, :, None, None], axis=0)[0]
 
     # luma tx-type search on the inter winner (sizes with a non-DCT set)
     tx_i = jnp.zeros(B, jnp.int32)
@@ -238,7 +238,7 @@ def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
                 fp = mvs_fp[n][:R, :C].reshape(R * C, 2)
                 r_idx = jnp.repeat(jnp.arange(R), C)
                 c_idx = jnp.tile(jnp.arange(C), R)
-                srcb = _blocks_of(sy[None], n, R, C)
+                srcb = _blocks_of(sy, n, R, C)
                 mv8 = me_jax.subpel_refine_lanes(srcb, refs_y[ri], r_idx * n,
                                                  c_idx * n, fp, which, bd)
                 mv_by_ref[n].append(jnp.clip(mv8, -MAX_MV_ABS, MAX_MV_ABS))
@@ -247,7 +247,7 @@ def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
         for n, R, C in sizes and layout:
             pen, mode_cost, txt_cost = intra_consts[n]
             intra_out = _decide_intra_size(
-                sy[None], su[None], sv[None], jnp.asarray(pen),
+                sy, su, sv, jnp.asarray(pen),
                 jnp.asarray(mode_cost), jnp.asarray(txt_cost), n, qindex, bd,
                 False, R, C, lam)
             # MV-rate predictor proxy: the SB-level MV over each block
@@ -267,6 +267,80 @@ def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
         return jnp.concatenate(packed)
 
     return run, layout
+
+
+def _flen_maps_from_mi(mi, levels, aw: int, ah: int):
+    """Six (1, rows, K) DLF filter-length maps (plane-major [vert, horiz])
+    from the frame's mi state — the normative inter mask incl. skip/PU-edge
+    rules (filters/dlf._edge_maps_vertical)."""
+    from ..filters.dlf import _edge_maps_vertical, _transposed_mi
+
+    miT = _transposed_mi(mi)
+    maps = []
+    for plane in range(3):
+        ss = 0 if plane == 0 else 1
+        pw, ph = aw >> ss, ah >> ss
+        lvl_v = levels[0] if plane == 0 else levels[plane + 1]
+        lvl_h = levels[1] if plane == 0 else levels[plane + 1]
+        maps.append(_edge_maps_vertical(mi, plane, pw, ph, lvl_v)[None].astype(np.int8))
+        maps.append(_edge_maps_vertical(miT, plane, ph, pw, lvl_h)[None].astype(np.int8))
+    return maps
+
+
+def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
+                              enable_dlf: bool = True, enable_cdef: bool = True,
+                              sharpness: int = 0):
+    """Unified device inter encoder for one frame: jitted decide (ME + MC +
+    RD), host partition DP, wavefront commit with precomputed MC lanes,
+    device in-loop filters. Returns (plan, recon_planes, filt_dict)."""
+    from ..constants.cdf import FrameContext
+    from ..codec.tile_codec import Plan
+    from ..filters import cdef as cdef_mod
+    from . import device_commit
+    from .encoder import mi_from_plan
+    from .intra_md import rd_lambda
+
+    p = params
+    which = p.interp_filter
+    fc = FrameContext(p.qindex)
+    lam = float(rd_lambda(p.qindex, p.bd))
+    aw, ah = p.aligned_width, p.aligned_height
+    region = (0, 0, aw, ah)
+    src_dev = device_decide.put_frames([src_planes], p.bd)
+    ref_ids = sorted(refs.keys())  # LAST first, then ALTREF
+    dt = np.uint8 if p.bd == 8 else np.int16
+    refs_dev = tuple(jax.device_put(np.stack([np.asarray(refs[r][pl], dt)
+                                              for r in ref_ids]))
+                     for pl in range(3))
+
+    dec = decide_inter_frame(src_dev, refs_dev, p, which)
+    partitions, leaves = device_decide.partition_dp(dec, p, fc, lam, region)
+    plan = Plan()
+    plan.partitions.update(partitions)
+    ry, ru, rv, skip8 = device_commit.commit_regions(
+        src_dev, p, [leaves], [dec], [plan], region,
+        refs_dev=refs_dev, ref_ids=ref_ids, which=which)
+
+    # in-loop filters on device (DLF edge maps from the final mi state —
+    # inter rules need skip/ref/PU edges, unlike the all-intra size maps)
+    levels = p.lf_levels if enable_dlf else (0, 0, 0, 0)
+    flens = _flen_maps_from_mi(mi_from_plan(plan, p), levels, aw, ah)
+    flen_shapes = tuple(x.shape for x in flens)
+    flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]).astype(np.int32))
+    packed, strengths = device_commit._filter_device(
+        ry, ru, rv, src_dev[0], skip8, flen_flat, tuple(levels), sharpness,
+        p.bd, p.qindex, enable_cdef, flen_shapes)
+    strengths = np.asarray(strengths)
+    packed = np.asarray(packed)
+    ysz, csz = ah * aw, (ah // 2) * (aw // 2)
+    recon = [packed[:ysz].reshape(ah, aw).astype(np.int32),
+             packed[ysz : ysz + csz].reshape(ah // 2, aw // 2).astype(np.int32),
+             packed[ysz + csz :].reshape(ah // 2, aw // 2).astype(np.int32)]
+    filt = dict(lf_levels=tuple(levels),
+                cdef=(int(strengths[0, 0]), int(strengths[0, 1]),
+                      int(strengths[0, 2]), int(strengths[0, 3]),
+                      cdef_mod.pick_damping(p.qindex)))
+    return plan, recon, filt
 
 
 def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int) -> dict:

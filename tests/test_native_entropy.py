@@ -104,3 +104,50 @@ def test_tile_walk_parity():
     tc2 = TileCodec(p, FrameContext(p.qindex))
     b_python = tc2.encode(plan, use_native=False)
     assert b_native == b_python
+
+
+def test_tile_walk_parity_inter():
+    """C tile walker is byte-exact with the Python walk on INTER frames:
+    exercises the C MVP stack, single-ref tree, mode flags, DRL and NMV
+    coding against codec/mvp + codec/mv (NEWMV, NEAREST/NEAR, GLOBALMV,
+    intra-in-inter blocks)."""
+    import numpy as np
+
+    from svtav1_tpu.codec.tile_codec import FrameParams, TileCodec
+    from svtav1_tpu.constants.cdf import FrameContext
+    from svtav1_tpu.constants.av1 import RefFrame
+    from svtav1_tpu.pipeline import inter_md
+    from svtav1_tpu.pipeline.encoder import pad_to_aligned
+
+    rng = np.random.default_rng(11)
+    w, h = 96, 72
+    base = rng.normal(0, 55, ((h + 32) // 4 + 2, (w + 32) // 4 + 2))
+    base = np.kron(base, np.ones((4, 4)))[: h + 32, : w + 32]
+    base = (128 + base + rng.normal(0, 4, (h + 32, w + 32))).clip(0, 255).astype(np.int32)
+
+    def planes(dy, dx):
+        y = base[8 + dy : 8 + dy + h, 8 + dx : 8 + dx + w]
+        u = (base[8 + dy : 8 + dy + h : 2, 8 + dx : 8 + dx + w : 2] // 2 + 64)
+        v = (base[8 + dy : 8 + dy + h : 2, 8 + dx : 8 + dx + w : 2] // 3 + 80)
+        return y, u, v
+
+    p = FrameParams(width=w, height=h, qindex=90, frame_is_intra=False)
+    aw, ah = p.aligned_width, p.aligned_height
+
+    def padded(pl):
+        y, u, v = pl
+        return [pad_to_aligned(y.astype(np.int32), aw, ah),
+                pad_to_aligned(u.astype(np.int32), aw >> 1, ah >> 1),
+                pad_to_aligned(v.astype(np.int32), aw >> 1, ah >> 1)]
+
+    ref = padded(planes(0, 0))
+    src = padded(planes(2, 3))
+    plan, recon = inter_md.encode_inter_frame(src, p, {int(RefFrame.LAST_FRAME): ref})
+    modes = {d.y_mode for d in plan.blocks.values() if d.is_inter}
+    assert modes, "plan has no inter blocks"
+
+    tc1 = TileCodec(p, FrameContext(p.qindex))
+    b_native = tc1.encode(plan, use_native=True)
+    tc2 = TileCodec(p, FrameContext(p.qindex))
+    b_python = tc2.encode(plan, use_native=False)
+    assert b_native == b_python
