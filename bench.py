@@ -25,6 +25,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax  # noqa: E402
+
+# persistent XLA compile cache: the big jitted frame programs (decide /
+# commit / filters) compile once per shape-bucket per machine, not per run
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from svtav1_tpu.pipeline.encoder import Encoder, EncoderConfig  # noqa: E402
 
 REF_FPS_1080P_INTRA_MEASURED = 0.500  # measured: BASELINE.md row 3b
