@@ -46,6 +46,7 @@ class _TileParams(ctypes.Structure):
         ("mi_col0", ctypes.c_int32), ("mi_col1", ctypes.c_int32),
         ("qindex_positive", ctypes.c_int32), ("update", ctypes.c_int32),
         ("frame_is_intra", ctypes.c_int32),
+        ("sign_bias", ctypes.c_int32 * 8),
     ]
 
 
@@ -223,6 +224,13 @@ def flatten_plan(plan: Plan, p: FrameParams, sb_range) -> tuple[np.ndarray, np.n
 
 
 def encode_tile_native(p: FrameParams, fc, plan: Plan, sb_range) -> bytes:
+    ops, lv = flatten_plan(plan, p, sb_range)
+    return run_tile_ops(p, fc, ops, lv, sb_range)
+
+
+def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) -> bytes:
+    """Marshal CDF tables + context state and run the C walker over a
+    prebuilt (N, OP_COLS) int32 op stream + int32 levels buffer."""
     lib = native.get_lib()
     assert lib is not None
     lib.ec_encode_tile_ops.argtypes = [ctypes.c_void_p, ctypes.POINTER(_TileParams),
@@ -270,6 +278,8 @@ def encode_tile_native(p: FrameParams, fc, plan: Plan, sb_range) -> bytes:
     tp.qindex_positive = int(p.qindex > 0)
     tp.update = int(not p.disable_cdf_update)
     tp.frame_is_intra = int(p.frame_is_intra)
+    for i, b in enumerate(p.sign_bias()):
+        tp.sign_bias[i] = int(b)
 
     mc, mr = p.mi_cols, p.mi_rows
     st_bufs = dict(
@@ -293,7 +303,8 @@ def encode_tile_native(p: FrameParams, fc, plan: Plan, sb_range) -> bytes:
     for i, k in enumerate(["l0", "l1", "l2"]):
         st.left_ctx[i] = _p(st_bufs[k])
 
-    ops, lv = flatten_plan(plan, p, sb_range)
+    ops = np.ascontiguousarray(ops, np.int32)
+    lv = np.ascontiguousarray(lv, np.int32)
     ec = lib.ec_create()
     try:
         lib.ec_encode_tile_ops(ec, ctypes.byref(tp), _p(ops), len(ops), _p(lv), ctypes.byref(st))

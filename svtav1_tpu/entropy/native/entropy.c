@@ -421,6 +421,7 @@ typedef struct {
     int32_t qindex_positive;
     int32_t update;
     int32_t frame_is_intra;
+    int32_t sign_bias[8]; /* RefFrameSignBias per ref id (0 unused) */
 } TileParams;
 
 /* partition_context_lookup (definitions.h:1574) indexed by sq size log2-3 (8..64) */
@@ -666,7 +667,9 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
         length = nr_len;
     }
 
-    /* light re-scan (ROW-1 / COL-1) when short; sign_bias all zero here */
+    /* light re-scan (ROW-1 / COL-1) when short: accepts ANY inter neighbor,
+     * flipping MVs whose ref sign-bias differs (codec/mvp.py light_add;
+     * spec 7.10.2 extended search) */
     if (s.count < MAX_MV_REF_CAND) {
         int mi_width = n4, mi_height = n4;
         if (tp->mi_cols - mi_col < mi_width) mi_width = tp->mi_cols - mi_col;
@@ -678,8 +681,10 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
         while (abs_mro >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
             int r = mi_row - 1, c = mi_col + i;
             int idx = r * tp->mi_cols + c;
-            if (st->ref_grid[idx] > 0) {
+            int rv = st->ref_grid[idx];
+            if (rv > 0) {
                 int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
+                if (tp->sign_bias[rv] != tp->sign_bias[ref_frame]) { mr = -mr; mc = -mc; }
                 int j = 0;
                 for (; j < s.count; j++)
                     if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
@@ -695,8 +700,10 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
         while (abs_mco >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
             int r = mi_row + i, c = mi_col - 1;
             int idx = r * tp->mi_cols + c;
-            if (st->ref_grid[idx] > 0) {
+            int rv = st->ref_grid[idx];
+            if (rv > 0) {
                 int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
+                if (tp->sign_bias[rv] != tp->sign_bias[ref_frame]) { mr = -mr; mc = -mc; }
                 int j = 0;
                 for (; j < s.count; j++)
                     if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
