@@ -5,14 +5,15 @@ Primary metric: keyint-16 low-delay encode (1 key + 15 inter frames)
 through the unified device pipeline (ME + MC + MD + wavefront commit +
 DLF/CDEF on device, native C entropy walk). Secondary: all-intra fps.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-vs_baseline is against the MEASURED reference throughput on this machine:
-SVT-AV1 v2.2.0 preset 8 CRF 28 at 1080p, 2-core C-only build (BASELINE.md
-round-2 measurement table, rows 3/3b: 0.509 / 0.500 fps). The extra
-`vs_est_32core_avx2` field scales that by x40 (midpoint of the 30-80x
-SIMD+core-count estimate documented in BASELINE.md).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+quality fields (Y-PSNR, bytes/frame) and a per-stage timing breakdown.
+The clip is the SAME synthetic content (tools/make_test_video.make_frames)
+the reference baselines were measured on (BASELINE.md rows 3/3b): SVT-AV1
+v2.2.0 preset 8 CRF 28 at 1080p, 2-core C-only build → 0.509 fps @ 38.48 dB
+(inter) / 0.500 fps @ 38.44 dB (all-intra). `vs_est_32core_avx2` scales the
+measured baseline by x40 (BASELINE.md's 30-80x midpoint estimate).
 
-Env overrides: BENCH_W/BENCH_H/BENCH_FRAMES/BENCH_QINDEX.
+Env overrides: BENCH_W/BENCH_H/BENCH_FRAMES/BENCH_QINDEX/BENCH_BATCH.
 """
 from __future__ import annotations
 
@@ -34,10 +35,22 @@ jax.config.update("jax_compilation_cache_dir", os.environ.get(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from svtav1_tpu.pipeline.encoder import Encoder, EncoderConfig  # noqa: E402
+from svtav1_tpu.utils import profiler  # noqa: E402
+from tools.make_test_video import make_frames  # noqa: E402
 
-REF_FPS_1080P_INTRA_MEASURED = 0.500  # measured: BASELINE.md row 3b
-REF_FPS_1080P_P8_MEASURED = 0.509  # measured: BASELINE.md row 3 (preset 8 CRF 28)
+# measured on this machine (BASELINE.md round-2 table, rows 3/3b)
+REF = {"inter_fps": 0.509, "inter_psnr": 38.48, "inter_bytes": 145792 / 16,
+       "intra_fps": 0.500, "intra_psnr": 38.44, "intra_bytes": 868517 / 16}
 EST_32CORE_AVX2_SCALE = 40.0  # documented midpoint estimate (BASELINE.md)
+
+
+def psnr_y(shown: dict, frames: list) -> float:
+    vals = []
+    for d, rec in shown.items():
+        y = np.asarray(frames[d][0], np.float64)
+        mse = ((rec[: y.shape[0], : y.shape[1]].astype(np.float64) - y) ** 2).mean()
+        vals.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-12)))
+    return float(np.mean(vals))
 
 
 def main() -> None:
@@ -45,16 +58,7 @@ def main() -> None:
     h = int(os.environ.get("BENCH_H", 1080))
     nframes = int(os.environ.get("BENCH_FRAMES", 16))
     qindex = int(os.environ.get("BENCH_QINDEX", 120))
-
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:h, 0:w]
-    frames = []
-    for t in range(nframes + 1):
-        y = (110 + 70 * np.sin((xx + 3 * t) / 19.0) + 45 * np.cos(yy / 13.0)
-             + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
-        u = (128 + 35 * np.sin(xx[::2, ::2] / 29.0)).clip(0, 255).astype(np.uint8)
-        v = (128 - 30 * np.cos(yy[::2, ::2] / 23.0)).clip(0, 255).astype(np.uint8)
-        frames.append((y, u, v))
+    frames = make_frames(w, h, nframes)
 
     def run_config(cfg_kwargs):
         # warmup (compile): run the real frames once so the timed pass
@@ -62,36 +66,57 @@ def main() -> None:
         enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex,
                                     mode_decision="jax", **cfg_kwargs))
         t0 = time.time()
-        for f in frames[1:]:
+        for f in frames:
             enc.send_frame(*f)
         enc.flush()
         warm = time.time() - t0
+        profiler.reset()
         enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex,
                                     mode_decision="jax", **cfg_kwargs))
         t0 = time.time()
         pkts = []
-        for f in frames[1:]:
+        for f in frames:
             pkts += enc.send_frame(*f)
         pkts += enc.flush()
-        total_bytes = sum(len(p.tu) for p in pkts)
         dt = time.time() - t0
-        return nframes / dt, warm, total_bytes / nframes
+        shown = {}
+        for p in pkts:
+            if p.shown_disp_idx is not None:
+                shown[p.shown_disp_idx] = (p.recon[0] if p.recon is not None
+                                           else shown_recon[p.shown_disp_idx])
+            if p.recon is not None and p.disp_idx is not None:
+                shown_recon[p.disp_idx] = p.recon[0]
+        total_bytes = sum(len(p.tu) for p in pkts)
+        return dict(fps=nframes / dt, warm=warm, bpf=total_bytes / nframes,
+                    psnr=psnr_y(shown, frames), stages=profiler.report())
 
+    shown_recon: dict = {}
     batch = int(os.environ.get("BENCH_BATCH", 8))
-    fps_i, warm_i, kb_i = run_config(dict(intra_batch=batch))
-    fps_p, warm_p, kb_p = run_config(dict(keyint=nframes))  # 1 key + P frames
+    intra = run_config(dict(intra_batch=batch))
+    shown_recon = {}
+    inter = run_config(dict(keyint=nframes))  # 1 key + P frames
 
     print(json.dumps({
         "metric": f"inter (keyint={nframes}) encode fps {w}x{h} q{qindex} (full pipeline, 1 chip)",
-        "value": round(fps_p, 4),
+        "value": round(inter["fps"], 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps_p / REF_FPS_1080P_P8_MEASURED, 5),
-        "vs_est_32core_avx2": round(fps_p / (REF_FPS_1080P_P8_MEASURED * EST_32CORE_AVX2_SCALE), 5),
-        "intra_fps": round(fps_i, 4),
-        "intra_vs_baseline": round(fps_i / REF_FPS_1080P_INTRA_MEASURED, 5),
+        "vs_baseline": round(inter["fps"] / REF["inter_fps"], 5),
+        "vs_est_32core_avx2": round(inter["fps"] / (REF["inter_fps"] * EST_32CORE_AVX2_SCALE), 5),
+        "psnr_db": round(inter["psnr"], 3),
+        "ref_psnr_db": REF["inter_psnr"],
+        "bytes_per_frame": round(inter["bpf"], 1),
+        "ref_bytes_per_frame": round(REF["inter_bytes"], 1),
+        "warmup_s": round(inter["warm"], 1),
+        "stages_s": inter["stages"],
+        "intra_fps": round(intra["fps"], 4),
+        "intra_vs_baseline": round(intra["fps"] / REF["intra_fps"], 5),
+        "intra_psnr_db": round(intra["psnr"], 3),
+        "intra_ref_psnr_db": REF["intra_psnr"],
+        "intra_bytes_per_frame": round(intra["bpf"], 1),
+        "intra_ref_bytes_per_frame": round(REF["intra_bytes"], 1),
+        "intra_warmup_s": round(intra["warm"], 1),
+        "intra_stages_s": intra["stages"],
     }))
-    print(f"# inter warmup {warm_p:.1f}s {kb_p/1000:.1f} kB/f; "
-          f"intra warmup {warm_i:.1f}s {kb_i/1000:.1f} kB/f", file=sys.stderr)
 
 
 if __name__ == "__main__":

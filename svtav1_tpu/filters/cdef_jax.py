@@ -126,15 +126,19 @@ def _filter_cells_j(plane, ys, xs, m, dirs, pri, sec, pri_damping, sec_damping,
     return jnp.clip(y, mn, mx)
 
 
-def cdef_frames_j(planes, src_y, nonskip8, qindex: int, bd: int = 8):
+def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 8,
+                  damping: int | None = None):
     """Search + apply CDEF for a batch of frames, all on device.
 
     planes: [y, u, v] (F, H, W) jnp int32 (post-DLF recon); src_y (F, H, W)
-    int32 source luma; nonskip8 (F, R8, C8) bool. Returns (new_planes,
-    strengths (F, 4) int32 [y_pri, y_sec, uv_pri, uv_sec], damping)."""
+    int32 source luma; nonskip8 (F, R8, C8) bool. Pass `damping` directly
+    (preferred — only 4 values, so jit callers avoid per-qindex recompiles)
+    or `qindex` to derive it. Returns (new_planes, strengths (F, 4) int32
+    [y_pri, y_sec, uv_pri, uv_sec], damping)."""
     import jax.numpy as jnp
 
-    damping = pick_damping(qindex)
+    if damping is None:
+        damping = pick_damping(qindex)
     coeff_shift = max(bd - 8, 0)
     F, H, W = planes[0].shape
     R8, C8 = H // 8, W // 8

@@ -228,20 +228,26 @@ def _apply_shift_j(x, bit: int):
     return x
 
 
-def quantize_j(coeff, dq_dc: int, dq_ac: int, ls: int, bias_num: int = 1, bias_den: int = 2):
+def _dq_grid(h: int, w: int, dq_dc, dq_ac):
+    """(h, w) dequant grid; dq_dc/dq_ac may be python ints OR traced scalars
+    (qindex as a runtime operand — avoids per-qindex recompilation)."""
+    mask = np.zeros((h, w), bool)
+    mask[0, 0] = True
+    return jnp.where(jnp.asarray(mask), jnp.int32(dq_dc), jnp.int32(dq_ac))
+
+
+def quantize_j(coeff, dq_dc, dq_ac, ls: int, bias_num: int = 1, bias_den: int = 2):
     """Dead-zone quantizer (jnp twin of ops/quantize.quantize_np)."""
     h, w = coeff.shape[-2], coeff.shape[-1]
-    dq = np.full((h, w), dq_ac, np.int32)
-    dq[0, 0] = dq_dc
+    dq = _dq_grid(h, w, dq_dc, dq_ac)
     absc = jnp.abs(coeff) << ls
     level = (absc + dq * bias_num // bias_den) // dq
     return jnp.sign(coeff) * level
 
 
-def dequantize_j(level, dq_dc: int, dq_ac: int, ls: int, bd: int = 8):
+def dequantize_j(level, dq_dc, dq_ac, ls: int, bd: int = 8):
     h, w = level.shape[-2], level.shape[-1]
-    dq = np.full((h, w), dq_ac, np.int32)
-    dq[0, 0] = dq_dc
+    dq = _dq_grid(h, w, dq_dc, dq_ac)
     v = (jnp.abs(level) * dq) >> ls
     v = jnp.minimum(v, (1 << (bd + 7)) - 1)
     return jnp.sign(level) * v

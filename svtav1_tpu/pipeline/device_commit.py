@@ -31,6 +31,7 @@ lower block's (bottom + left) exceeds an upper one's by at least 1.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -57,56 +58,63 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
     frame batch together at each wave. Returns {n: dict(coords (N,3),
     mode (N,), tx (N,), uv_tx (N,), ref (N,), mv (N,2), offsets (W+1,),
     kmax)} and W. Inter leaves carry ref >= 0 (index into the stacked ref
-    planes) and their 1/8-pel MV; intra leaves have ref == -1."""
+    planes) and their 1/8-pel MV; intra leaves have ref == -1.
+
+    Fully vectorized (numpy lexsort + fancy gathers) — no per-leaf Python."""
     x0, y0, rw, rh = region
     R8, C8 = rh // 8, rw // 8
     W = R8 + C8 + 7  # max wave = (R8-1) + (C8-1) + 8 - 1 => W-1
     out = {}
-    uv_tx_cache = {}
+    leaf_arr = [np.asarray(lv, np.int32).reshape(-1, 3) for lv in leaves_per_frame]
     for n in SIZES:
         n8 = n // 8
-        items = []
-        for f, leaves in enumerate(leaves_per_frame):
-            for (mi_row, mi_col, ln) in leaves:
-                if ln != n:
-                    continue
-                r8, c8 = mi_row // 2 - y0 // 8, mi_col // 2 - x0 // 8
-                items.append((r8 + c8 + n8 - 1, f, r8, c8))
-        if not items:
+        fs_l, r8_l, c8_l = [], [], []
+        for f, la in enumerate(leaf_arr):
+            if not len(la):
+                continue
+            sel = la[:, 2] == n
+            if not sel.any():
+                continue
+            fs_l.append(np.full(int(sel.sum()), f, np.int32))
+            r8_l.append(la[sel, 0] // 2 - y0 // 8)
+            c8_l.append(la[sel, 1] // 2 - x0 // 8)
+        if not fs_l:
             continue
-        items.sort()
-        N = len(items)
-        coords = np.zeros((N, 3), np.int32)
-        counts = np.zeros(W, np.int64)
-        for i, (w, f, r8, c8) in enumerate(items):
-            coords[i] = (f, r8, c8)
-            counts[w] += 1
+        fs = np.concatenate(fs_l)
+        r8 = np.concatenate(r8_l)
+        c8 = np.concatenate(c8_l)
+        wave = r8 + c8 + (n8 - 1)
+        order = np.lexsort((c8, r8, fs, wave))
+        fs, r8, c8, wave = fs[order], r8[order], c8[order], wave[order]
+        N = len(fs)
+        coords = np.stack([fs, r8, c8], axis=1).astype(np.int32)
+        counts = np.bincount(wave, minlength=W).astype(np.int64)
         offsets = np.zeros(W + 1, np.int32)
         np.cumsum(counts, out=offsets[1:])
-        fs, rs, cs = coords[:, 0], coords[:, 1] * 8 // n, coords[:, 2] * 8 // n
-        g0 = dec_per_frame[0][n]
-        has_inter = "ref" in g0
-        mode = np.array([dec_per_frame[f][n]["mode"][r, c]
-                         for f, r, c in zip(fs, rs, cs)], np.int32)
-        tx = np.array([dec_per_frame[f][n]["tx"][r, c]
-                       for f, r, c in zip(fs, rs, cs)], np.int32)
+        rs, cs = r8 * 8 // n, c8 * 8 // n
+        has_inter = "ref" in dec_per_frame[0][n]
+
+        def gather(key):
+            outv = np.empty(N, np.int32)
+            for f in range(len(dec_per_frame)):
+                m = fs == f
+                if m.any():
+                    outv[m] = dec_per_frame[f][n][key][rs[m], cs[m]]
+            return outv
+
+        mode = gather("mode")
+        tx = gather("tx")
         if has_inter:
-            ref = np.array([dec_per_frame[f][n]["ref"][r, c]
-                            for f, r, c in zip(fs, rs, cs)], np.int32)
-            mv = np.array([(dec_per_frame[f][n]["mvy"][r, c],
-                            dec_per_frame[f][n]["mvx"][r, c])
-                           for f, r, c in zip(fs, rs, cs)], np.int32).reshape(N, 2)
+            ref = gather("ref")
+            mv = np.stack([gather("mvy"), gather("mvx")], axis=1)
         else:
             ref = np.full(N, -1, np.int32)
             mv = np.zeros((N, 2), np.int32)
         tx_uv_size = int(max_uv_txsize(BSIZE_BY_N[n]))
-        if n not in uv_tx_cache:
-            uv_tx_cache[n] = (
-                np.array([TX_SEARCH.index(chroma_tx_type(m, tx_uv_size))
-                          for m in MODES], np.int32),
-                np.array([TX_SEARCH.index(chroma_tx_type_inter(t, tx_uv_size))
-                          for t in TX_SEARCH], np.int32))
-        intra_map, inter_map = uv_tx_cache[n]
+        intra_map = np.array([TX_SEARCH.index(chroma_tx_type(m, tx_uv_size))
+                              for m in MODES], np.int32)
+        inter_map = np.array([TX_SEARCH.index(chroma_tx_type_inter(t, tx_uv_size))
+                              for t in TX_SEARCH], np.int32)
         # inter uv tx assumes nonzero luma; the device swaps to DCT when the
         # quantized luma comes out all-zero (tile_codec._chroma_tx_type rule)
         uv_tx = np.where(ref >= 0, inter_map[tx], intra_map[np.where(ref >= 0, 0, mode)])
@@ -121,10 +129,13 @@ def _pad_rows(a: np.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat, cfg):
+def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat,
+                   dqv, cfg):
     """The wavefront loop. `sched_flat` is ONE packed int32 vector (all
-    per-size schedules — single h2d transfer); `cfg` a hashable static tuple:
-    (F, W, W_eff, R8, C8, qindex, bd, nref, which, y0, x0,
+    per-size schedules — single h2d transfer); `dqv` = (2,) int32 [dq_dc,
+    dq_ac] runtime operands (qindex as data — no per-qindex recompiles);
+    `cfg` a hashable static tuple:
+    (F, W, W_eff, R8, C8, bd, nref, which, y0, x0,
     ((n, N, N_pad, kmax), ...)). The loop runs W_eff compacted steps over
     `wave_list` (only waves with work — empty anti-diagonals are skipped
     entirely); lanes from all F batched frames share each wave. Inter lanes
@@ -133,7 +144,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
     intra's neighbor recon); their recon still feeds the frontier maps so
     intra neighbors see final pixels. Returns (levels_i16_packed,
     recon planes, skip map)."""
-    F, W, W_eff, R8, C8, qindex, bd, nref, which, y0, x0, size_cfgs = cfg
+    F, W, W_eff, R8, C8, bd, nref, which, y0, x0, size_cfgs = cfg
     AW, AH = C8 * 8, R8 * 8
     base = 1 << (bd - 1)
     src_y = src_y8.astype(jnp.int32)
@@ -181,7 +192,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
                                 bd, ref_idx=ridx),
             )
 
-    dq_dc, dq_ac = quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)
+    dq_dc, dq_ac = dqv[0], dqv[1]
 
     def select_txfm(resid, pred, tx_idx, n, ntypes):
         """Per-lane 2-D tx among TX_SEARCH via composed DCT/ADST selection
@@ -384,7 +395,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
 
 
 def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, region,
-                   refs_dev=None, ref_ids=None, which: int = 0):
+                   refs_dev=None, ref_ids=None, which: int = 0, array_out: bool = False):
     """Commit the decided leaves of one region: fills plans in place and
     returns the region's DEVICE recon planes + skip map (ry, ru, rv, skip8).
 
@@ -395,11 +406,13 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     + one d2h transfer (levels int16) for the WHOLE batch; recon stays on
     device for the filter stage."""
     from ..constants.av1 import InterMode
+    from ..utils import profiler
 
     p = params
     x0, y0, rw, rh = region
     F = src_dev[0].shape[0]
-    sched_np, W = _build_schedule(leaves, dec, region)
+    with profiler.stage("commit/schedule"):
+        sched_np, W = _build_schedule(leaves, dec, region)
     R8, C8 = rh // 8, rw // 8
 
     size_cfgs = []
@@ -431,18 +444,44 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     flat_parts.append(wave_list)
     sched_flat = jnp.asarray(np.concatenate([f.astype(np.int32) for f in flat_parts]))
     nref = 0 if refs_dev is None else int(refs_dev[0].shape[0])
-    cfg = (F, W, W_eff, R8, C8, p.qindex, p.bd, nref, which, y0, x0, tuple(size_cfgs))
+    cfg = (F, W, W_eff, R8, C8, p.bd, nref, which, y0, x0, tuple(size_cfgs))
     sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
     su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     if refs_dev is None:
         dummy = jnp.zeros((1, 8, 8), jnp.uint8)
         refs_dev = (dummy, dummy, dummy)
-    levels_packed, ry, ru, rv, skip8 = _commit_device(
-        sy, su, sv, refs_dev[0], refs_dev[1], refs_dev[2], sched_flat, cfg)
-    levels_packed = np.asarray(levels_packed)
+    from .device_decide import qparams_np
 
-    # unpack levels + build per-block decisions
+    dqv, _lam = qparams_np(p.qindex, p.bd)
+    with profiler.stage("commit/device"):
+        levels_packed, ry, ru, rv, skip8 = _commit_device(
+            sy, su, sv, refs_dev[0], refs_dev[1], refs_dev[2], sched_flat, dqv, cfg)
+        levels_packed = np.asarray(levels_packed)
+
+    # unpack levels + build per-block outputs
+    _t_unpack = time.perf_counter()
+    if array_out:
+        # vectorized path: ONE int32 view of the whole level buffer + per-size
+        # slab offsets + per-block skip (no per-leaf Python; the op stream is
+        # built later by codec/array_plan.build_tile_ops)
+        levels_i32 = levels_packed.astype(np.int32)
+        level_base = {}
+        off = 0
+        for n, s in sched_np.items():
+            N = len(s["coords"])
+            adj, nc = min(n, 32), n // 2
+            bY, bU, bV = off, off + N * adj * adj, off + N * (adj * adj + nc * nc)
+            level_base[n] = (bY, bU, bV)
+            off += N * (adj * adj + 2 * nc * nc)
+            ya = np.abs(levels_i32[bY:bU].reshape(N, adj * adj)).sum(1)
+            ua = np.abs(levels_i32[bU:bV].reshape(N, nc * nc)).sum(1)
+            va = np.abs(levels_i32[bV : bV + N * nc * nc].reshape(N, nc * nc)).sum(1)
+            s["skip"] = (ya + ua + va) == 0
+        profiler.add("commit/unpack_plan", time.perf_counter() - _t_unpack)
+        aux = dict(sched=sched_np, levels_i32=levels_i32, level_base=level_base,
+                   ref_ids=ref_ids)
+        return ry, ru, rv, skip8, aux
     off = 0
     for n, s in sched_np.items():
         N = len(s["coords"])
@@ -476,15 +515,17 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
                     levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
                     levels_v=None if sk else lvv[i])
             plans[int(fs[i])].blocks[(mi_row, mi_col, BSIZE_BY_N[n])] = d
+    profiler.add("commit/unpack_plan", time.perf_counter() - _t_unpack)
     return ry, ru, rv, skip8
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "sharpness", "bd", "qindex",
+@functools.partial(jax.jit, static_argnames=("levels", "sharpness", "bd", "damping",
                                              "enable_cdef", "flen_shapes"))
 def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
-                   levels, sharpness, bd, qindex, enable_cdef, flen_shapes):
+                   levels, sharpness, bd, damping, enable_cdef, flen_shapes):
     """In-loop filters on device: DLF (by-q levels) then CDEF search+apply.
-    flen_flat packs the six DLF filter-length maps (shapes static).
+    flen_flat packs the six DLF filter-length maps (shapes static); `damping`
+    is the CDEF damping (the only qindex-derived static — 4 values).
     Returns (packed uint8 recon, cdef strengths (F, 4))."""
     from ..filters import cdef_jax, dlf_jax
 
@@ -517,7 +558,7 @@ def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
         planes = out
     if enable_cdef:
         planes, strengths, _damping = cdef_jax.cdef_frames_j(
-            planes, src_y8.astype(jnp.int32), ~skip8, qindex, bd)
+            planes, src_y8.astype(jnp.int32), ~skip8, damping=damping, bd=bd)
     else:
         strengths = jnp.zeros((F, 4), jnp.int32)
     packed = jnp.concatenate([planes[0].astype(jnp.uint8).ravel(),
@@ -538,17 +579,19 @@ def _size_maps(leaves, F: int, R8: int, C8: int) -> np.ndarray:
 
 def encode_intra_frames(src_frames: list, params: FrameParams,
                         apply_filters: bool = False, enable_dlf: bool = True,
-                        enable_cdef: bool = True, sharpness: int = 0):
+                        enable_cdef: bool = True, sharpness: int = 0,
+                        use_arrays: bool | None = None):
     """Unified device intra encoder over a BATCH of independent frames:
     batched open-loop decide at all sizes, host partition DP per frame,
     shared wavefront commit — per tile (tiles are prediction boundaries,
     so each region runs independently). Batching amortizes the wavefront's
     serial latency and every host<->device transfer across F frames.
 
-    With apply_filters, DLF+CDEF also run on device and the return is
-    [(plan, recon, filt), ...] with filt = dict(lf_levels, cdef=(y_pri,
-    y_sec, uv_pri, uv_sec, damping)); otherwise [(plan, recon), ...] with
-    unfiltered recon (the host applies filters as before).
+    Returns [(plan, recon, filt, payloads), ...] per frame: filt =
+    dict(lf_levels, cdef=(y_pri, y_sec, uv_pri, uv_sec, damping)) when
+    apply_filters else None (host applies filters); payloads = per-tile
+    entropy payload bytes built by the vectorized array-plan path (None when
+    the native walker is unavailable — the caller then walks the Plan).
 
     src_frames: list of [y, u, v] plane lists."""
     from ..constants.cdf import FrameContext
@@ -558,13 +601,21 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
     from . import device_decide
     from .intra_md import rd_lambda
 
+    from ..codec import array_plan
+    from ..codec.tile_walk_native import run_tile_ops
+    from ..entropy import native
+    from .device_decide import MODES as DEC_MODES
+
     p = params
     F = len(src_frames)
     fc = FrameContext(p.qindex)
     lam = float(rd_lambda(p.qindex, p.bd))
     aw, ah = p.aligned_width, p.aligned_height
     src_dev = device_decide.put_frames(src_frames, p.bd)
+    if use_arrays is None:
+        use_arrays = native.available() and not p.enable_filter_intra
     plans = [Plan() for _ in range(F)]
+    payloads = [[] for _ in range(F)] if use_arrays else None
     regions = []
     all_leaves = [[] for _ in range(F)]
     for (r0, r1, c0, c1) in p.tiles():
@@ -572,12 +623,29 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
         region = (x0, y0, min(c1 * 64, aw) - x0, min(r1 * 64, ah) - y0)
         decs = device_decide.decide_intra_frames(src_dev, p, fc, lam, region)
         leaves = []
+        trees = []
         for f in range(F):
-            partitions, lv = device_decide.partition_dp(decs[f], p, fc, lam, region)
+            partitions, lv, tree = device_decide.partition_dp(decs[f], p, fc, lam, region)
             plans[f].partitions.update(partitions)
             leaves.append(lv)
+            trees.append(tree)
             all_leaves[f].extend(lv)
-        ry, ru, rv, skip8 = commit_regions(src_dev, p, leaves, decs, plans, region)
+        out = commit_regions(src_dev, p, leaves, decs, plans, region,
+                             array_out=use_arrays)
+        if use_arrays:
+            ry, ru, rv, skip8, aux = out
+            from ..utils import profiler
+
+            with profiler.stage("entropy_walk"):
+                for f in range(F):
+                    ops, _k = array_plan.build_tile_ops(
+                        p, trees[f], aux["sched"], aux["level_base"], f, region,
+                        (r0, r1, c0, c1), None, TX_SEARCH, DEC_MODES)
+                    payloads[f].append(run_tile_ops(
+                        p, FrameContext(p.qindex), ops, aux["levels_i32"],
+                        (r0, r1, c0, c1)))
+        else:
+            ry, ru, rv, skip8 = out
         regions.append((region, ry, ru, rv, skip8))
 
     # assemble the full-frame device recon (single-region fast path)
@@ -605,11 +673,11 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
             flens.append(dlf_jax.flen_maps_from_sizes(sm, plane, True))
         flen_shapes = tuple(x.shape for x in flens)
         flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]))
+        damping = cdef_mod.pick_damping(p.qindex)
         packed, strengths = _filter_device(ry, ru, rv, src_dev[0], skip8, flen_flat,
-                                           tuple(levels), sharpness, p.bd, p.qindex,
+                                           tuple(levels), sharpness, p.bd, damping,
                                            enable_cdef, flen_shapes)
         strengths = np.asarray(strengths)
-        damping = cdef_mod.pick_damping(p.qindex)
         filt = [dict(lf_levels=tuple(levels),
                      cdef=(int(strengths[f, 0]), int(strengths[f, 1]),
                            int(strengths[f, 2]), int(strengths[f, 3]), damping))
@@ -625,11 +693,17 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
     uu = packed[F * ysz : F * (ysz + csz)].reshape(F, ah // 2, aw // 2).astype(np.int32)
     vv = packed[F * (ysz + csz) :].reshape(F, ah // 2, aw // 2).astype(np.int32)
     recons = [[yy[f], uu[f], vv[f]] for f in range(F)]
-    if filt is not None:
-        return [(plans[f], recons[f], filt[f]) for f in range(F)]
-    return list(zip(plans, recons))
+    if filt is None:
+        filt = [None] * F
+    if payloads is None:
+        payloads = [None] * F
+    return [(plans[f], recons[f], filt[f], payloads[f]) for f in range(F)]
 
 
 def encode_intra_frame(src_planes: list, params: FrameParams) -> tuple[Plan, list]:
-    """Single-frame wrapper over encode_intra_frames (unfiltered recon)."""
-    return encode_intra_frames([src_planes], params)[0]
+    """Single-frame wrapper over encode_intra_frames (unfiltered recon,
+    BlockDecision plan — the introspectable form used by tests/tools; the
+    production encoder path uses the array plan + prebuilt payloads)."""
+    plan, recon, _filt, _payloads = encode_intra_frames([src_planes], params,
+                                                        use_arrays=False)[0]
+    return plan, recon

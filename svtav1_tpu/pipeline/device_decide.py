@@ -125,12 +125,14 @@ def _blocks_of(planes, n: int, R: int, C: int):
         .transpose(0, 1, 3, 2, 4).reshape(-1, n, n)
 
 
-def _eval_txfm(resid, tx_type: int, qindex: int, bd: int, n: int, rate_fn):
+def _eval_txfm(resid, tx_type: int, dq, bd: int, n: int, rate_fn):
     """resid (..., n, n) -> (dist_to_pred_delta, rate_bits, recon_delta).
 
+    `dq` = (dq_dc, dq_ac) — python ints or TRACED scalars (qindex enters the
+    program as data, so one compile serves every qindex of a CDF bucket).
     Returns (levels, rec_delta, rate) where rec_delta = inv(dequant(levels))
     pre-clip addition (we add pred then clip outside)."""
-    dq_dc, dq_ac = quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)
+    dq_dc, dq_ac = dq
     ls = quant_ops.tx_scale(n, n)
     coeff = TJ.fwd_txfm2d_j(resid, tx_type, bd)
     lv = TJ.quantize_j(coeff, dq_dc, dq_ac, ls)
@@ -197,8 +199,8 @@ def intra_txtype_cost_const(fc, n: int) -> np.ndarray:
 
 
 def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
-                       n: int, qindex: int, bd: int, is_key: bool, R: int, C: int,
-                       lam: float):
+                       n: int, qctx: int, dq, bd: int, is_key: bool, R: int, C: int,
+                       lam):
     """Batched open-loop intra decision for all (R, C) blocks of size n of
     all F frames (src planes are (F, H, W) — independent intra frames batch
     together to amortize the per-wave/per-call costs of this deployment's
@@ -231,9 +233,9 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
     srcb = _blocks_of(src_y, n, R, C)
     resid = srcb[:, None] - preds
 
-    rate_fns = _rate_fns(qindex, n)
+    rate_fns = _rate_fns(qctx, n)
     penB = jnp.broadcast_to(pen.reshape(1, R * C, 13), (F, R * C, 13)).reshape(B, 13)
-    lv, dqc, rate = _eval_txfm(resid, int(TxType.DCT_DCT), qindex, bd, n, rate_fns["y"][0])
+    lv, dqc, rate = _eval_txfm(resid, int(TxType.DCT_DCT), dq, bd, n, rate_fns["y"][0])
     rec = _recon(dqc, preds, int(TxType.DCT_DCT), bd)
     dist = jnp.sum((rec - srcb[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
     cost13 = dist + lam * (rate + mode_cost[None, :] + txt_cost[None, :, 0]) + penB
@@ -247,7 +249,7 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
     if n <= 16:
         bresid = srcb - best_pred
         for j, t in enumerate(TX_SEARCH[1:], start=1):
-            lvj, dqcj, ratej = _eval_txfm(bresid, t, qindex, bd, n, rate_fns["y"][j])
+            lvj, dqcj, ratej = _eval_txfm(bresid, t, dq, bd, n, rate_fns["y"][j])
             recj = _recon(dqcj, best_pred, t, bd)
             dj = jnp.sum((recj - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
             cj = dj + lam * (ratej + mode_cost[best_mode] + txt_cost[best_mode, j]) + \
@@ -263,7 +265,7 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
     pv = _predict_modes(av, lv_, tlv, ha, hl, nc)[bi, best_mode]
     for srcc, predc in ((src_u, pu), (src_v, pv)):
         sb = _blocks_of(srcc, nc, R, C)
-        lvc, dqcc, ratec = _eval_txfm(sb - predc, int(TxType.DCT_DCT), qindex, bd, nc,
+        lvc, dqcc, ratec = _eval_txfm(sb - predc, int(TxType.DCT_DCT), dq, bd, nc,
                                       rate_fns["uv"])
         recc = _recon(dqcc, predc, int(TxType.DCT_DCT), bd)
         best_cost = best_cost + jnp.sum((recc - sb).astype(jnp.float32) ** 2, axis=(-2, -1)) \
@@ -273,18 +275,27 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
             best_tx.astype(jnp.int32).reshape(F, R, C))
 
 
-# per-(qindex, n) rate-fn cache; FrameContext default CDFs only depend on the
-# q ctx so this is safe across frames of the same qindex
+# FrameContext default CDFs depend on qindex ONLY through the 4-bucket
+# coefficient-CDF context (constants/cdf.get_q_ctx) — so every per-frame rate
+# table / penalty constant is keyed on qctx, and qindex itself enters traced
+# programs as DATA (dq scalars + lambda). One compile serves a whole bucket.
+QCTX_REP = (0, 40, 100, 200)  # representative qindex per q ctx bucket
+
+
+def fc_for_qctx(qctx: int):
+    from ..constants.cdf import FrameContext
+
+    return FrameContext(QCTX_REP[qctx])
+
+
 _RATE_FN_CACHE: dict = {}
 
 
-def _rate_fns(qindex: int, n: int):
-    key = (qindex, n)
+def _rate_fns(qctx: int, n: int):
+    key = (qctx, n)
     if key in _RATE_FN_CACHE:
         return _RATE_FN_CACHE[key]
-    from ..constants.cdf import FrameContext
-
-    fc = FrameContext(qindex)
+    fc = fc_for_qctx(qctx)
     bsize = BSIZE_BY_N[n]
     tx_y = int(MAX_TXSIZE_RECT[bsize])
     tx_uv = int(max_uv_txsize(bsize))
@@ -296,20 +307,24 @@ def _rate_fns(qindex: int, n: int):
     return fns
 
 
-@functools.lru_cache(maxsize=64)
-def _decide_region_jit(width: int, height: int, region, qindex: int, bd: int,
-                       is_key: bool):
-    """Build the region's decide program with all per-frame constants
-    (penalty grids, mode/tx rate tables, lambda) BAKED IN, so the call takes
-    only the three source planes — one h2d, one packed d2h."""
+def qparams_np(qindex: int, bd: int):
+    """(dqv, lam) runtime operands for the decide/commit programs."""
     from .intra_md import rd_lambda
 
-    from ..constants.cdf import FrameContext
+    dqv = np.array([quant_ops.dc_q(qindex, bd), quant_ops.ac_q(qindex, bd)], np.int32)
+    return dqv, np.float32(rd_lambda(qindex, bd))
 
-    p = FrameParams(width=width, height=height, qindex=qindex, bd=bd,
+
+@functools.lru_cache(maxsize=64)
+def _decide_region_jit(width: int, height: int, region, qctx: int, bd: int,
+                       is_key: bool):
+    """Build the region's decide program with all per-frame constants
+    (penalty grids, mode/tx rate tables) BAKED IN; qindex enters as runtime
+    operands (dqv, lam), so one compile serves every qindex of a CDF bucket.
+    The call takes the three source planes — one h2d, one packed d2h."""
+    p = FrameParams(width=width, height=height, qindex=QCTX_REP[qctx], bd=bd,
                     frame_is_intra=is_key)
-    fc = FrameContext(qindex)
-    lam = float(rd_lambda(qindex, bd))
+    fc = fc_for_qctx(qctx)
     x0, y0, rw, rh = region
     mi_end = (min((y0 + rh) // 4, p.mi_rows), min((x0 + rw) // 4, p.mi_cols))
     sizes = [n for n in SIZES if rh // n and rw // n]
@@ -321,16 +336,17 @@ def _decide_region_jit(width: int, height: int, region, qindex: int, bd: int,
         layout.append((n, rh // n, rw // n))
 
     @jax.jit
-    def run(sy8, su8, sv8):
+    def run(sy8, su8, sv8, dqv, lam):
         sy = sy8.astype(jnp.int32)
         su = su8.astype(jnp.int32)
         sv = sv8.astype(jnp.int32)
+        dq = (dqv[0], dqv[1])
         packed = []
         for n, R, C in layout:
             pen, mode_cost, txt_cost = consts[n]
             cost, mode, tx = _decide_intra_size(
                 sy, su, sv, jnp.asarray(pen), jnp.asarray(mode_cost),
-                jnp.asarray(txt_cost), n, qindex, bd, is_key, R, C, lam)
+                jnp.asarray(txt_cost), n, qctx, dq, bd, is_key, R, C, lam)
             packed += [cost.ravel(), mode.astype(jnp.float32).ravel(),
                        tx.astype(jnp.float32).ravel()]
         return jnp.concatenate(packed)
@@ -352,9 +368,12 @@ def decide_intra_frames(src_dev, params: FrameParams, fc, lam: float, region=Non
     sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
     su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
-    run, layout = _decide_region_jit(p.width, p.height, region, p.qindex, p.bd,
-                                     bool(p.frame_is_intra))
-    flat = np.asarray(run(sy, su, sv))
+    from ..constants.cdf import get_q_ctx
+
+    run, layout = _decide_region_jit(p.width, p.height, region, get_q_ctx(p.qindex),
+                                     p.bd, bool(p.frame_is_intra))
+    dqv, lam_op = qparams_np(p.qindex, p.bd)
+    flat = np.asarray(run(sy, su, sv, dqv, lam_op))
     out = [{} for _ in range(F)]
     off = 0
     for n, R, C in layout:
@@ -374,11 +393,16 @@ def decide_intra_frame(src_dev, params: FrameParams, fc, lam: float, region=None
 
 
 def partition_dp(decide: dict, params: FrameParams, fc, lam: float, region=None):
-    """Bottom-up quadtree DP over the per-size cost grids of one region.
+    """Bottom-up quadtree DP over the per-size cost grids of one region —
+    VECTORIZED: per-size numpy min/argmin sweeps replace the per-node Python
+    recursion (~40k calls/frame at 1080p). Emission of the winning tree stays
+    a (small) recursion over chosen nodes only.
 
-    Returns (partitions, leaves): partitions {(mi_row, mi_col, bsize): Partition},
-    leaves list of (mi_row, mi_col, n) in GLOBAL mi coords. Blocks that stick
-    out of the region are forced SPLIT (matching the sequential MD paths)."""
+    Returns (partitions, leaves, tree): partitions {(mi_row, mi_col, bsize):
+    Partition}, leaves list of (mi_row, mi_col, n) in GLOBAL mi coords, and
+    tree = {n: split_mask (padded SB-aligned bool grid)} for the vectorized
+    op-stream builder (codec/array_plan). Blocks that stick out of the region
+    are forced SPLIT (matching the sequential MD paths)."""
     from ..constants.av1 import Partition
 
     p = params
@@ -394,62 +418,63 @@ def partition_dp(decide: dict, params: FrameParams, fc, lam: float, region=None)
         part_cost[n] = (rate_np.symbol_bits(fc["partition"][ctx], int(Partition.PARTITION_NONE), 10),
                         rate_np.symbol_bits(fc["partition"][ctx], int(Partition.PARTITION_SPLIT), 10))
 
-    # DP cost per node, memoized over the implicit quadtree
-    best_cost = {}  # (r8, c8, n) -> cost
-    choice = {}  # (r8, c8, n) -> "none" | "split"
-
-    def node(y: int, x: int, n: int) -> float:
-        key = (y // 8, x // 8, n)
-        if key in best_cost:
-            return best_cost[key]
-        fits = x + n <= aw and y + n <= ah
-        in_grid = x // 4 < p.mi_cols and y // 4 < p.mi_rows
-        if not in_grid:
-            best_cost[key] = 0.0
-            choice[key] = "void"
-            return 0.0
-        cn = np.inf
-        if fits:
-            g = decide[n]
-            cn = float(g["cost"][(y - y0) // n, (x - x0) // n])
-            if n > 8:
-                cn += lam * part_cost[n][0]
+    # full SB-aligned per-size node grids; ragged region edges = +inf "none"
+    # cost (forces SPLIT down to sizes that fit, exactly like the recursion)
+    Rsb, Csb = -(-rh // 64), -(-rw // 64)
+    best = {}
+    split_flag = {}
+    for n in SIZES:
+        k = 64 // n
+        Rp, Cp = Rsb * k, Csb * k
+        Rn, Cn = rh // n, rw // n  # fitting rows/cols present in the grids
+        cn = np.full((Rp, Cp), np.inf, np.float64)
+        # a block fits iff fully inside the region (grid covers exactly those,
+        # except the ragged tail rows/cols, masked by Rn/Cn)
+        if n in decide and Rn and Cn:
+            cn[:Rn, :Cn] = decide[n]["cost"][:Rn, :Cn]
+        else:
+            Rn = Cn = 0
+        # void cells (topleft at/beyond the region end — outside the frame mi
+        # grid at ragged edges) cost 0 and are never emitted
+        void = np.zeros((Rp, Cp), bool)
+        k8 = n // 8
+        void[(np.arange(Rp) * k8) >= rh // 8, :] = True
+        void[:, (np.arange(Cp) * k8) >= rw // 8] = True
         if n > 8:
-            half = n // 2
-            cs = lam * (part_cost[n][1] if fits else 0.0)
-            for dy in (0, half):
-                for dx in (0, half):
-                    cs += node(y + dy, x + dx, half)
-            if cs < cn:
-                best_cost[key] = cs
-                choice[key] = "split"
-                return cs
-        best_cost[key] = cn
-        choice[key] = "none"
-        return cn
+            fits = np.zeros((Rp, Cp), bool)
+            fits[:Rn, :Cn] = True
+            cn[:Rn, :Cn] += lam * part_cost[n][0]
+            half = best[n // 2]
+            cs = (half[0::2, 0::2] + half[0::2, 1::2]
+                  + half[1::2, 0::2] + half[1::2, 1::2]) \
+                + np.where(fits, lam * part_cost[n][1], 0.0)
+            take_split = cs < cn
+            best[n] = np.where(void, 0.0, np.where(take_split, cs, cn))
+            split_flag[n] = take_split
+        else:
+            best[n] = np.where(void, 0.0, cn)
 
     partitions = {}
     leaves = []
+    R8v, C8v = rh // 8, rw // 8
 
     def emit(y: int, x: int, n: int) -> None:
-        key = (y // 8, x // 8, n)
-        ch = choice[key]
-        if ch == "void":
-            return
+        if (y - y0) // 8 >= R8v or (x - x0) // 8 >= C8v:
+            return  # void: outside the frame mi grid (ragged edge child)
         mi_row, mi_col = y // 4, x // 4
         bsize = BSIZE_BY_N[n]
-        if ch == "none":
-            partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
-            leaves.append((mi_row, mi_col, n))
+        r, c = (y - y0) // n, (x - x0) // n
+        if n > 8 and split_flag[n][r, c]:
+            partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_SPLIT)
+            half = n // 2
+            for dy in (0, half):
+                for dx in (0, half):
+                    emit(y + dy, x + dx, half)
             return
-        partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_SPLIT)
-        half = n // 2
-        for dy in (0, half):
-            for dx in (0, half):
-                emit(y + dy, x + dx, half)
+        partitions[(mi_row, mi_col, bsize)] = int(Partition.PARTITION_NONE)
+        leaves.append((mi_row, mi_col, n))
 
     for sy in range(y0, ah, 64):
         for sx in range(x0, aw, 64):
-            node(sy, sx, 64)
             emit(sy, sx, 64)
-    return partitions, leaves
+    return partitions, leaves, split_flag

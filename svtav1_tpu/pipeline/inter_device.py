@@ -100,7 +100,7 @@ def _mv_rate(mv, pred, joint, comp):
 
 def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
                        mv_by_ref, pred_by_ref, intra_out, consts,
-                       n: int, qindex: int, bd: int, R: int, C: int, lam: float,
+                       n: int, qctx: int, dq, bd: int, R: int, C: int, lam,
                        which: int):
     """Inter candidate evaluation for the (R, C) grid at size n, merged with
     the intra decision `intra_out` = (cost, mode, tx) from device_decide.
@@ -115,7 +115,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     ys, xs = r_idx * n, c_idx * n
     ysc, xsc = r_idx * nc, c_idx * nc
     srcb = _blocks_of(src_y[None], n, R, C)
-    rate_fns = _rate_fns(qindex, n)
+    rate_fns = _rate_fns(qctx, n)
     joint, comp, cand_bits, txt_cost = consts
 
     # candidates: NEWMV per ref + GLOBALMV on ref 0, folded into the lane
@@ -135,7 +135,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
                            cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
                            which, bd, ref_idx=cand_ref)
     src_nc = jnp.tile(srcb, (NC, 1, 1))
-    lv, dqc, rate = _eval_txfm(src_nc - pred, int(TxType.DCT_DCT), qindex, bd, n,
+    lv, dqc, rate = _eval_txfm(src_nc - pred, int(TxType.DCT_DCT), dq, bd, n,
                                rate_fns["y"][0])
     rec = TJ.inv_txfm2d_add_j(dqc, pred, int(TxType.DCT_DCT), bd)
     dist = jnp.sum((rec - src_nc).astype(jnp.float32) ** 2, axis=(-2, -1))
@@ -153,7 +153,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     if n <= 16:
         resid = srcb - pred_i
         for j in range(1, len(TX_SEARCH)):
-            lvj, dqcj, ratej = _eval_txfm(resid, TX_SEARCH[j], qindex, bd, n,
+            lvj, dqcj, ratej = _eval_txfm(resid, TX_SEARCH[j], dq, bd, n,
                                           rate_fns["y"][j])
             recj = TJ.inv_txfm2d_add_j(dqcj, pred_i, TX_SEARCH[j], bd)
             dj = jnp.sum((recj - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
@@ -167,7 +167,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
         sb = _blocks_of(srcc[None], nc, R, C)
         pc = me_jax.mc_lanes(refc, ysc, xsc, mv_i[:, 0], mv_i[:, 1], nc, nc,
                              which, bd, ref_idx=ref_i)
-        lvc, dqcc, ratec = _eval_txfm(sb - pc, int(TxType.DCT_DCT), qindex, bd, nc,
+        lvc, dqcc, ratec = _eval_txfm(sb - pc, int(TxType.DCT_DCT), dq, bd, nc,
                                       rate_fns["uv"])
         recc = TJ.inv_txfm2d_add_j(dqcc, pc, int(TxType.DCT_DCT), bd)
         cost_i = cost_i + jnp.sum((recc - sb).astype(jnp.float32) ** 2, axis=(-2, -1)) \
@@ -188,19 +188,19 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
 
 
 @functools.lru_cache(maxsize=32)
-def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
+def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
                       which: int):
     """Whole-frame inter decide program: ME + subpel + per-size inter/intra
-    RD, all per-frame constants baked in."""
-    from ..constants.cdf import FrameContext
-    from .device_decide import (_decide_intra_size, _penalty_grid_np,
-                                intra_mode_cost_const, intra_txtype_cost_const)
-    from .intra_md import rd_lambda
+    RD. Per-frame CDF constants are baked in per qctx BUCKET; qindex enters
+    as runtime operands (dqv, lam) so hierarchical layer offsets do not
+    recompile the program."""
+    from .device_decide import (QCTX_REP, _decide_intra_size, _penalty_grid_np,
+                                fc_for_qctx, intra_mode_cost_const,
+                                intra_txtype_cost_const)
 
-    p = FrameParams(width=width, height=height, qindex=qindex, bd=bd,
+    p = FrameParams(width=width, height=height, qindex=QCTX_REP[qctx], bd=bd,
                     frame_is_intra=False)
-    fc = FrameContext(qindex)
-    lam = float(rd_lambda(qindex, bd))
+    fc = fc_for_qctx(qctx)
     aw, ah = p.aligned_width, p.aligned_height
     region = (0, 0, aw, ah)
     mi_end = (p.mi_rows, p.mi_cols)
@@ -218,7 +218,8 @@ def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
     layout = [(n, ah // n, aw // n) for n in sizes]
 
     @jax.jit
-    def run(sy8, su8, sv8, refs_y8, refs_u8, refs_v8):
+    def run(sy8, su8, sv8, refs_y8, refs_u8, refs_v8, dqv, lam):
+        dq = (dqv[0], dqv[1])
         sy = sy8.astype(jnp.int32)
         su = su8.astype(jnp.int32)
         sv = sv8.astype(jnp.int32)
@@ -248,7 +249,7 @@ def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
             pen, mode_cost, txt_cost = intra_consts[n]
             intra_out = _decide_intra_size(
                 sy, su, sv, jnp.asarray(pen),
-                jnp.asarray(mode_cost), jnp.asarray(txt_cost), n, qindex, bd,
+                jnp.asarray(mode_cost), jnp.asarray(txt_cost), n, qctx, dq, bd,
                 False, R, C, lam)
             # MV-rate predictor proxy: the SB-level MV over each block
             k = 64 // n
@@ -259,7 +260,7 @@ def _decide_inter_jit(width: int, height: int, qindex: int, bd: int, nref: int,
             consts = (joint, comp, cand_bits, jnp.asarray(inter_txt[n]))
             cost, is_inter, mode, tx, ref, mvy, mvx = _decide_inter_size(
                 sy[0], su[0], sv[0], refs_y, refs_u, refs_v,
-                mv_by_ref[n], preds, intra_out, consts, n, qindex, bd, R, C,
+                mv_by_ref[n], preds, intra_out, consts, n, qctx, dq, bd, R, C,
                 lam, which)
             packed += [cost, is_inter.astype(jnp.float32), mode.astype(jnp.float32),
                        tx.astype(jnp.float32), ref.astype(jnp.float32),
@@ -289,16 +290,24 @@ def _flen_maps_from_mi(mi, levels, aw: int, ah: int):
 
 def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
                               enable_dlf: bool = True, enable_cdef: bool = True,
-                              sharpness: int = 0):
+                              sharpness: int = 0, use_arrays: bool | None = None):
     """Unified device inter encoder for one frame: jitted decide (ME + MC +
     RD), host partition DP, wavefront commit with precomputed MC lanes,
-    device in-loop filters. Returns (plan, recon_planes, filt_dict)."""
+    device in-loop filters, vectorized op-stream build + native C walk.
+    Returns (plan, recon_planes, filt_dict, payloads) — payloads is the list
+    of per-tile entropy payload bytes (None entries fall back to the plan
+    walk; the plan carries partitions either way)."""
     from ..constants.cdf import FrameContext
+    from ..codec import array_plan
     from ..codec.tile_codec import Plan
+    from ..codec.tile_walk_native import run_tile_ops
+    from ..entropy import native
     from ..filters import cdef as cdef_mod
     from . import device_commit
     from .encoder import mi_from_plan
     from .intra_md import rd_lambda
+
+    from ..utils import profiler
 
     p = params
     which = p.interp_filter
@@ -306,32 +315,60 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
     lam = float(rd_lambda(p.qindex, p.bd))
     aw, ah = p.aligned_width, p.aligned_height
     region = (0, 0, aw, ah)
-    src_dev = device_decide.put_frames([src_planes], p.bd)
-    ref_ids = sorted(refs.keys())  # LAST first, then ALTREF
-    dt = np.uint8 if p.bd == 8 else np.int16
-    refs_dev = tuple(jax.device_put(np.stack([np.asarray(refs[r][pl], dt)
-                                              for r in ref_ids]))
-                     for pl in range(3))
+    with profiler.stage("h2d"):
+        src_dev = device_decide.put_frames([src_planes], p.bd)
+        ref_ids = sorted(refs.keys())  # LAST first, then ALTREF
+        dt = np.uint8 if p.bd == 8 else np.int16
+        refs_dev = tuple(jax.device_put(np.stack([np.asarray(refs[r][pl], dt)
+                                                  for r in ref_ids]))
+                         for pl in range(3))
 
-    dec = decide_inter_frame(src_dev, refs_dev, p, which)
-    partitions, leaves = device_decide.partition_dp(dec, p, fc, lam, region)
+    with profiler.stage("decide"):
+        dec = decide_inter_frame(src_dev, refs_dev, p, which)
+    with profiler.stage("partition_dp"):
+        partitions, leaves, tree = device_decide.partition_dp(dec, p, fc, lam, region)
     plan = Plan()
     plan.partitions.update(partitions)
-    ry, ru, rv, skip8 = device_commit.commit_regions(
-        src_dev, p, [leaves], [dec], [plan], region,
-        refs_dev=refs_dev, ref_ids=ref_ids, which=which)
+    if use_arrays is None:
+        use_arrays = native.available() and not p.enable_filter_intra
+    payloads = None
+    with profiler.stage("commit"):
+        out = device_commit.commit_regions(
+            src_dev, p, [leaves], [dec], [plan], region,
+            refs_dev=refs_dev, ref_ids=ref_ids, which=which, array_out=use_arrays)
+        if use_arrays:
+            ry, ru, rv, skip8, aux = out
+        else:
+            ry, ru, rv, skip8 = out
+
+    if use_arrays:
+        with profiler.stage("entropy_walk"):
+            (r0, r1, c0, c1) = p.tiles()[0]
+            ops, _keys = array_plan.build_tile_ops(
+                p, tree, aux["sched"], aux["level_base"], 0, region,
+                (r0, r1, c0, c1), ref_ids, TX_SEARCH, device_decide.MODES)
+            payloads = [run_tile_ops(p, FrameContext(p.qindex), ops,
+                                     aux["levels_i32"], (r0, r1, c0, c1))]
 
     # in-loop filters on device (DLF edge maps from the final mi state —
     # inter rules need skip/ref/PU edges, unlike the all-intra size maps)
-    levels = p.lf_levels if enable_dlf else (0, 0, 0, 0)
-    flens = _flen_maps_from_mi(mi_from_plan(plan, p), levels, aw, ah)
-    flen_shapes = tuple(x.shape for x in flens)
-    flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]).astype(np.int32))
-    packed, strengths = device_commit._filter_device(
-        ry, ru, rv, src_dev[0], skip8, flen_flat, tuple(levels), sharpness,
-        p.bd, p.qindex, enable_cdef, flen_shapes)
-    strengths = np.asarray(strengths)
-    packed = np.asarray(packed)
+    with profiler.stage("dlf_maps"):
+        levels = p.lf_levels if enable_dlf else (0, 0, 0, 0)
+        if use_arrays:
+            frame_mi = array_plan.mi_from_sched(p, aux["sched"], 0, region, ref_ids,
+                                                device_decide.MODES)
+        else:
+            frame_mi = mi_from_plan(plan, p)
+        flens = _flen_maps_from_mi(frame_mi, levels, aw, ah)
+        flen_shapes = tuple(x.shape for x in flens)
+        flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]).astype(np.int32))
+    with profiler.stage("filters"):
+        damping = cdef_mod.pick_damping(p.qindex)
+        packed, strengths = device_commit._filter_device(
+            ry, ru, rv, src_dev[0], skip8, flen_flat, tuple(levels), sharpness,
+            p.bd, damping, enable_cdef, flen_shapes)
+        strengths = np.asarray(strengths)
+        packed = np.asarray(packed)
     ysz, csz = ah * aw, (ah // 2) * (aw // 2)
     recon = [packed[:ysz].reshape(ah, aw).astype(np.int32),
              packed[ysz : ysz + csz].reshape(ah // 2, aw // 2).astype(np.int32),
@@ -340,16 +377,19 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
                 cdef=(int(strengths[0, 0]), int(strengths[0, 1]),
                       int(strengths[0, 2]), int(strengths[0, 3]),
                       cdef_mod.pick_damping(p.qindex)))
-    return plan, recon, filt
+    return plan, recon, filt, payloads
 
 
 def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int) -> dict:
     """Run the jitted decide; returns {n: dict(cost, mode, tx, is_inter, ref,
     mvy, mvx)} numpy grids over the full aligned frame."""
+    from ..constants.cdf import get_q_ctx
+
     p = params
-    run, layout = _decide_inter_jit(p.width, p.height, p.qindex, p.bd,
+    run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
                                     refs_dev[0].shape[0], which)
-    flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev))
+    dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
+    flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev, dqv, lam_op))
     out = {}
     off = 0
     for n, R, C in layout:

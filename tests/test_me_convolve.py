@@ -4,45 +4,6 @@ import numpy as np
 import pytest
 
 from svtav1_tpu.ops import convolve as C
-from svtav1_tpu.ops import me as ME
-
-
-def test_sad_full_search_finds_planted_match():
-    rng = np.random.default_rng(0)
-    n, r, B = 16, 4, 8
-    ref = rng.integers(0, 256, (B, n + 2 * r, n + 2 * r)).astype(np.int32)
-    # plant each src at displacement (dy, dx)
-    disp = rng.integers(-r, r + 1, (B, 2))
-    src = np.stack([ref[b, r + disp[b, 0] : r + disp[b, 0] + n, r + disp[b, 1] : r + disp[b, 1] + n]
-                    for b in range(B)])
-    sads, best = ME.sad_full_search(src, ref, n, r)
-    assert np.array_equal(best, disp)
-    assert all(sads[b, disp[b, 0] + r, disp[b, 1] + r] == 0 for b in range(B))
-
-
-def test_hme_recovers_global_shift():
-    rng = np.random.default_rng(1)
-    H, W = 128, 192
-    base = rng.integers(0, 256, (H + 64, W + 64)).astype(np.int32)
-    # smooth it so SAD surfaces are well-behaved
-    base = (base[:-1, :-1] + base[1:, :-1] + base[:-1, 1:] + base[1:, 1:]) // 4
-    dy, dx = 5, -7
-    ref = base[32 : 32 + H, 32 : 32 + W]
-    src = base[32 + dy : 32 + dy + H, 32 + dx : 32 + dx + W]
-    mv, sad = ME.hme_search(src, ref, block=64, radius_l0=4)
-    # interior superblocks (whose shifted content is fully inside ref) must
-    # find the exact global displacement with zero SAD; frame-edge blocks
-    # legitimately read replicated pixels and may differ
-    for b in (1, 2):
-        assert tuple(mv[b]) == (dy, dx), mv
-        assert sad[b] == 0
-    hits = sum(1 for b in range(len(mv)) if tuple(mv[b]) == (dy, dx))
-    assert hits >= 4, mv
-
-
-def test_pyramid_shapes():
-    p = ME.build_pyramid(np.zeros((64, 96), np.int32), 3)
-    assert p[1].shape == (32, 48) and p[2].shape == (16, 24)
 
 
 def test_convolve_fullpel_identity():
