@@ -28,8 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--keyint", type=int, default=1, help="key frame interval (1 = all-intra)")
     ap.add_argument("--minigop", type=int, default=1, choices=[1, 2, 4],
                     help="mini-GoP size (1 = low-delay, >1 = hierarchical-B)")
-    ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr"], help="rate control mode")
+    ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr", "crf"],
+                    help="rate control mode (crf = TPL r0-based q assignment)")
     ap.add_argument("--tbr", type=float, default=0.0, help="CBR target bitrate (kbit/s)")
+    ap.add_argument("--lookahead", type=int, default=16, help="CRF TPL window (frames)")
     ap.add_argument("--scd", action="store_true", help="scene change detection (adaptive keys)")
     ap.add_argument("--intra-batch", type=int, default=1,
                     help="device all-intra frame batch (jax MD, keyint 1, cqp)")
@@ -54,7 +56,8 @@ def main(argv=None) -> int:
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
                                 keyint=args.keyint, minigop=args.minigop, bd=bd,
                                 rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),
-                                scene_cut=args.scd, intra_batch=args.intra_batch))
+                                scene_cut=args.scd, intra_batch=args.intra_batch,
+                                lookahead=args.lookahead))
     dec = Decoder()
     tus = []
     recons = []

@@ -36,10 +36,11 @@ class EncoderConfig:
     enable_dlf: bool = True  # in-loop deblocking (by-q levels)
     enable_cdef: bool = True  # CDEF (frame-wide searched strength set)
     enable_filter_intra: bool = False  # recursive filter-intra (numpy MD path)
-    rc_mode: str = "cqp"  # "cqp" | "cbr"
+    rc_mode: str = "cqp"  # "cqp" | "cbr" | "crf" (TPL r0-based q assignment)
     target_kbps: float = 0.0  # CBR target (kbit/s)
     fps: float = 30.0
     scene_cut: bool = False  # adaptive key frames on scene changes
+    lookahead: int = 16  # CRF: TPL sliding-window size (frames buffered)
     # all-intra frame batching through the device pipeline (keyint==1, jax
     # MD, CQP only): amortizes wavefront latency + host<->device transfers
     intra_batch: int = 1
@@ -130,6 +131,11 @@ class Encoder:
             assert cfg.target_kbps > 0, "cbr needs target_kbps"
             self.rc = rc.CbrController(cfg.target_kbps * 1000.0, cfg.fps, cfg.qindex)
         self.scene = rc.SceneDetector() if cfg.scene_cut else None
+        # CRF: TPL lookahead queue of (disp, src, is_key) + anchor source for
+        # window chaining (rc_process.c crf_qindex_calc / src_ops TPL group)
+        self._crf = cfg.rc_mode == "crf"
+        self._crf_pending: list = []
+        self._anchor_src = None
 
     # ------------------------------------------------------------------- API
 
@@ -148,6 +154,11 @@ class Encoder:
             if len(self._ibatch) >= cfg.intra_batch:
                 packets = self._encode_intra_batch()
             return packets
+        if self._crf:
+            self._crf_pending.append((d, src, is_key))
+            if len(self._crf_pending) >= max(cfg.lookahead, cfg.minigop + 1):
+                packets = self._drain_crf(final=False)
+            return packets
         if is_key:
             packets += self._drain_pending()
             packets.append(self._encode_one(d, src, True, True, 0, None, None))
@@ -162,6 +173,8 @@ class Encoder:
     def flush(self) -> list:
         if self._batching and self._ibatch:
             return self._encode_intra_batch()
+        if self._crf:
+            return self._drain_crf(final=True)
         return self._drain_pending()
 
     def _encode_intra_batch(self) -> list:
@@ -182,11 +195,10 @@ class Encoder:
             apply_filters=cfg.enable_dlf or cfg.enable_cdef,
             enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)
         packets = []
-        for (d, src), out in zip(batch, outs):
-            plan, recon = out[0], out[1]
-            filt = out[2] if len(out) > 2 else None
+        for (d, src), (plan, recon, filt, payloads) in zip(batch, outs):
             packets.append(self._encode_one(d, src, True, True, 0, None, None,
-                                            plan_recon=(plan, recon), filt=filt))
+                                            plan_recon=(plan, recon, payloads),
+                                            filt=filt))
             self.anchor = d
         return packets
 
@@ -200,6 +212,57 @@ class Encoder:
 
     # ------------------------------------------------------------- scheduling
 
+    def _tpl_r0(self, window_lumas: list) -> np.ndarray:
+        """TPL dispenser+synthesizer over a display-order luma window
+        (padded to 64-multiples for the SB-granular ME pyramid)."""
+        from . import tpl as tpl_mod
+
+        h, w = window_lumas[0].shape
+        H, W = -(-h // 64) * 64, -(-w // 64) * 64
+        padded = [pad_to_aligned(y, W, H) for y in window_lumas]
+        stats = tpl_mod.tpl_window(padded, self.cfg.qindex, self.cfg.bd)
+        return tpl_mod.synthesize(stats)
+
+    def _drain_crf(self, final: bool) -> list:
+        """Code buffered frames with TPL-derived per-frame qindex (the
+        reference's TPL group + crf_qindex_calc flow: src_ops_process.c
+        tpl_mc_flow, rc_process.c:782)."""
+        from . import tpl as tpl_mod
+
+        cfg = self.cfg
+        la = max(cfg.lookahead, cfg.minigop + 1)
+        hl = int(np.log2(max(cfg.minigop, 1)))
+        packets = []
+        while self._crf_pending and (final or len(self._crf_pending) >= la):
+            pend = self._crf_pending
+            if pend[0][2]:  # key frame: window starts at the key itself
+                window = [s[0] for (_d, s, _k) in pend[:la]]
+                r0s = self._tpl_r0(window)
+                d, src, _ = pend.pop(0)
+                q = tpl_mod.crf_qindex(cfg.qindex, float(r0s[0]), True, 0, hl, cfg.bd)
+                packets.append(self._encode_one(d, src, True, True, 0, None, None,
+                                                qindex_override=q))
+                self.anchor = d
+                self._anchor_src = src
+                continue
+            # frames until the next key bound this mini-GoP
+            upto = next((i for i, e in enumerate(pend) if e[2]), len(pend))
+            size = 1
+            while size * 2 <= upto and size * 2 <= cfg.minigop:
+                size *= 2
+            if not final and upto >= len(pend) and upto < cfg.minigop:
+                break  # wait for a full mini-GoP
+            mg = pend[:size]
+            wlen = min(la - 1, upto)
+            window = [self._anchor_src[0]] + [s[0] for (_d, s, _k) in pend[:wlen]]
+            r0s = self._tpl_r0(window)
+            r0_by_disp = {pend[i][0]: float(r0s[i + 1]) for i in range(wlen)}
+            packets += self._code_minigop([(d, s) for (d, s, _k) in mg],
+                                          r0_by_disp=r0_by_disp)
+            self._anchor_src = mg[-1][1]
+            del self._crf_pending[:size]
+        return packets
+
     def _drain_pending(self) -> list:
         packets = []
         while self.pending:
@@ -210,14 +273,21 @@ class Encoder:
             self.pending = self.pending[size:]
         return packets
 
-    def _code_minigop(self, frames: list) -> list:
+    def _code_minigop(self, frames: list, r0_by_disp: dict | None = None) -> list:
+        from . import tpl as tpl_mod
+
         srcs = {d: s for d, s in frames}
         base = self.anchor
         sched = gop.schedule_minigop(base, len(frames))
+        hl = int(np.log2(max(self.cfg.minigop, 1)))
         packets = []
         for f in sched:
+            q = None
+            if r0_by_disp is not None:
+                q = tpl_mod.crf_qindex(self.cfg.qindex, r0_by_disp.get(f.disp_idx, 1.0),
+                                       False, f.layer, hl, self.cfg.bd)
             pkt = self._encode_one(f.disp_idx, srcs[f.disp_idx], False, f.show, f.layer,
-                                   f.past_idx, f.future_idx)
+                                   f.past_idx, f.future_idx, qindex_override=q)
             packets.append(pkt)
             for se in f.show_existing:
                 packets.append(self._show_existing(se))
@@ -251,10 +321,12 @@ class Encoder:
         return Packet(tu=tu, shown_disp_idx=disp_idx)
 
     def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
-                    past_idx, future_idx, plan_recon=None, filt=None) -> Packet:
+                    past_idx, future_idx, plan_recon=None, filt=None,
+                    qindex_override=None) -> Packet:
         cfg = self.cfg
         order_hint = disp_idx & 0x7F
-        qindex = self._frame_qindex(is_key, layer)
+        qindex = (qindex_override if qindex_override is not None
+                  else self._frame_qindex(is_key, layer))
         ref_hints = [0] * 8
         refs = None
         ref_slot = [0] * 7
@@ -280,29 +352,38 @@ class Encoder:
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
                         enable_filter_intra=cfg.enable_filter_intra)
 
+        payloads = None
         if plan_recon is not None:
-            plan, recon = plan_recon
+            plan, recon = plan_recon[0], plan_recon[1]
+            if len(plan_recon) > 2:
+                payloads = plan_recon[2]
         elif is_key:
             if cfg.mode_decision == "jax" and cfg.bd == 8:
                 from . import device_commit
 
-                plan, recon = device_commit.encode_intra_frame(src, p)
+                plan, recon, filt, payloads = device_commit.encode_intra_frames(
+                    [src], p, apply_filters=cfg.enable_dlf or cfg.enable_cdef,
+                    enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)[0]
             else:  # 10-bit uses the numpy reference path (device twin: r2)
                 plan, recon = intra_md.encode_intra_frame(src, p)
         elif cfg.mode_decision == "jax" and cfg.bd == 8:
             from . import inter_device
 
-            plan, recon, filt = inter_device.encode_inter_frame_device(
+            plan, recon, filt, payloads = inter_device.encode_inter_frame_device(
                 src, p, refs, enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)
         else:
             from . import inter_md
 
             plan, recon = inter_md.encode_inter_frame(src, p, refs)
 
-        payloads = []
-        for tile in p.tiles():
-            tc = TileCodec(p, FrameContext(p.qindex), tile=tile)
-            payloads.append(tc.encode(plan))
+        from ..utils import profiler
+
+        if payloads is None:  # array-plan paths deliver prebuilt payloads
+            with profiler.stage("entropy_walk"):
+                payloads = []
+                for tile in p.tiles():
+                    tc = TileCodec(p, FrameContext(p.qindex), tile=tile)
+                    payloads.append(tc.encode(plan))
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
         # in-loop filters on the encoder's recon (decoder does the same);
@@ -313,23 +394,24 @@ class Encoder:
             ypri, ysec, upri, usec, cdef_damping = filt["cdef"]
             cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
         else:
-            frame_mi = None
-            if any(p.lf_levels) or cfg.enable_cdef:
-                frame_mi = mi_from_plan(plan, p)
-            if any(p.lf_levels):
-                from ..filters import dlf
+            with profiler.stage("host_filters"):
+                frame_mi = None
+                if any(p.lf_levels) or cfg.enable_cdef:
+                    frame_mi = mi_from_plan(plan, p)
+                if any(p.lf_levels):
+                    from ..filters import dlf
 
-                dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd, is_key,
-                                      levels=p.lf_levels, sharpness=p.lf_sharpness)
-            if cfg.enable_cdef:
-                from ..filters import cdef as cdef_mod
+                    dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd, is_key,
+                                          levels=p.lf_levels, sharpness=p.lf_sharpness)
+                if cfg.enable_cdef:
+                    from ..filters import cdef as cdef_mod
 
-                ypri, ysec, upri, usec, cdef_damping = cdef_mod.search_strengths(
-                    recon, src, frame_mi, p.qindex, p.bd)
-                cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
-                if ypri or ysec or upri or usec:
-                    cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec,
-                                        cdef_damping, bd=p.bd)
+                    ypri, ysec, upri, usec, cdef_damping = cdef_mod.search_strengths(
+                        recon, src, frame_mi, p.qindex, p.bd)
+                    cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
+                    if ypri or ysec or upri or usec:
+                        cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec,
+                                            cdef_damping, bd=p.bd)
 
         replicate_display_edges(recon, cfg.width, cfg.height)
         slot = disp_idx % 8
