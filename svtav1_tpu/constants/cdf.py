@@ -139,3 +139,11 @@ class FrameContext:
 
     def __getitem__(self, name: str) -> np.ndarray:
         return self.tables[name]
+
+    def clone(self) -> "FrameContext":
+        """Deep copy of the mutable CDF state (reference FRAME_CONTEXT
+        assignment in svt_aom_update_rc_counts / frame-context save-restore,
+        md_config_process.c:676-695)."""
+        fc = object.__new__(FrameContext)
+        fc.tables = {k: v.copy() for k, v in self.tables.items()}
+        return fc

@@ -92,6 +92,8 @@ class FrameInfo:
     cdef_damping: int = 3
     cdef_y: tuple = ((0, 0),)
     cdef_uv: tuple = ((0, 0),)
+    primary_ref_frame: int = 7
+    frame_end_update_cdf: bool = False
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
@@ -108,8 +110,9 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     disable_cdf_update = r.f(1)
     assert r.f(1) == 0  # frame_size_override
     order_hint = r.f(seq.order_hint_bits) if seq.enable_order_hint else 0
+    primary_ref = 7
     if not is_intra:
-        assert r.f(3) == 7  # primary_ref_frame = PRIMARY_REF_NONE
+        primary_ref = r.f(3)  # 7 = PRIMARY_REF_NONE
     refresh = 0xFF
     if not (frame_type == 0 and show_frame):
         refresh = r.f(8)
@@ -126,8 +129,9 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
         assert r.f(1) == 0  # is_filter_switchable
         interp_filter = r.f(2)
         assert r.f(1) == 0  # is_motion_mode_switchable
+    frame_end_update_cdf = False
     if not disable_cdf_update:
-        assert r.f(1) == 1  # disable_frame_end_update_cdf
+        frame_end_update_cdf = r.f(1) == 0  # disable_frame_end_update_cdf
     assert r.f(1) == 1  # uniform_tile_spacing
     tcl = 0
     while r.f(1) == 1:
@@ -182,7 +186,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                      refresh_frame_flags=refresh, ref_frame_idx=ref_frame_idx,
                      interp_filter=interp_filter, lf_levels=(lf0, lf1, lfu, lfv),
                      lf_sharpness=lf_sharpness, cdef_damping=cdef_damping,
-                     cdef_y=cdef_y, cdef_uv=cdef_uv)
+                     cdef_y=cdef_y, cdef_uv=cdef_uv, primary_ref_frame=primary_ref,
+                     frame_end_update_cdf=frame_end_update_cdf)
 
 
 @dataclass
@@ -191,6 +196,8 @@ class Decoder:
 
     seq: SeqInfo | None = None
     dpb: list = field(default_factory=lambda: [None] * 8)
+    # per-slot saved frame contexts (CDF state; spec reference frame update)
+    cdf_slots: list = field(default_factory=lambda: [None] * 8)
 
     def decode_tu(self, data: bytes):
         """Decode one TU -> (y, u, v, recon_planes).
@@ -261,6 +268,15 @@ class Decoder:
         from ..codec.mvp import MiState
 
         mi = MiState(params.mi_rows, params.mi_cols)
+        # frame-initial CDF state: primary ref's saved context or defaults
+        # (spec 7.20 init; load_cdfs / setup_past_independence)
+        if is_intra or fi.primary_ref_frame == 7:
+            fc_init = FrameContext(fi.qindex)
+        else:
+            saved = self.cdf_slots[fi.ref_frame_idx[fi.primary_ref_frame]]
+            assert saved is not None, "primary ref has no saved frame context"
+            fc_init = saved
+        fc0 = fc_init.clone()  # tile 0 adapts this copy in place
         off = 0
         for i, tile in enumerate(tiles):
             if i < len(tiles) - 1:
@@ -268,9 +284,15 @@ class Decoder:
                 off += 4
             else:
                 tsz = len(tile_data) - off
-            tc = TileCodec(params, FrameContext(fi.qindex), tile=tile, refs=refs, mi=mi)
+            fc_t = fc0 if i == 0 else fc_init.clone()
+            tc = TileCodec(params, fc_t, tile=tile, refs=refs, mi=mi)
             tc.decode(tile_data[off : off + tsz], recon)
             off += tsz
+        # saved context for refreshed slots: tile context_update_tile_id's
+        # (0 for our streams) end state, or the frame-initial state when
+        # disable_frame_end_update_cdf (spec decode_frame_wrapup)
+        saved_ctx = (fc0 if (fi.frame_end_update_cdf and not fi.disable_cdf_update)
+                     else fc_init)
 
         if any(fi.lf_levels):
             from ..filters import dlf
@@ -293,6 +315,7 @@ class Decoder:
         for slot in range(8):
             if (fi.refresh_frame_flags >> slot) & 1:
                 self.dpb[slot] = entry
+                self.cdf_slots[slot] = saved_ctx
 
         w, h = seq.width, seq.height
         if not fi.show_frame:

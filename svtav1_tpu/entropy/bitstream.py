@@ -175,6 +175,12 @@ class FrameConfig:
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
     ref_frame_idx: tuple = (0,) * 7  # DPB slot per LAST..ALTREF
+    # CDF lifecycle: which ref's saved frame context seeds this frame's CDFs
+    # (7 = PRIMARY_REF_NONE -> defaults), and whether the end-of-frame
+    # adapted CDFs become the stored context for refreshed slots
+    # (disable_frame_end_update_cdf inverted; spec 5.9.2 / 6.8.2)
+    primary_ref_frame: int = 7
+    frame_end_update_cdf: bool = False
     interp_filter: int = 0  # REGULAR (non-switchable)
     lf_levels: tuple = (0, 0, 0, 0)
     lf_sharpness: int = 0
@@ -204,7 +210,7 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
     if seq.enable_order_hint:
         w.f(fr.order_hint & ((1 << seq.order_hint_bits) - 1), seq.order_hint_bits)
     if not is_intra and not fr.error_resilient:
-        w.f(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE (fresh CDFs per frame)
+        w.f(fr.primary_ref_frame, 3)  # 7 = PRIMARY_REF_NONE (fresh CDFs)
     if not (fr.frame_type == 0 and fr.show_frame):
         w.f(fr.refresh_frame_flags, 8)
     if is_intra:
@@ -223,7 +229,7 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
         w.f(0, 1)  # is_motion_mode_switchable
         # use_ref_frame_mvs: absent (seq enable_ref_frame_mvs = 0)
     if not fr.disable_cdf_update:
-        w.f(1, 1)  # disable_frame_end_update_cdf = 1 (no frame-end adaptation)
+        w.f(0 if fr.frame_end_update_cdf else 1, 1)  # disable_frame_end_update_cdf
     # tile_info() — uniform spacing; min log2 == 0 up to 4096-wide frames
     w.f(1, 1)  # uniform_tile_spacing_flag
     for _ in range(fr.tile_cols_log2):

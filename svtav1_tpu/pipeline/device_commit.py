@@ -580,7 +580,8 @@ def _size_maps(leaves, F: int, R8: int, C8: int) -> np.ndarray:
 def encode_intra_frames(src_frames: list, params: FrameParams,
                         apply_filters: bool = False, enable_dlf: bool = True,
                         enable_cdef: bool = True, sharpness: int = 0,
-                        use_arrays: bool | None = None):
+                        use_arrays: bool | None = None,
+                        walk_fcs: list | None = None):
     """Unified device intra encoder over a BATCH of independent frames:
     batched open-loop decide at all sizes, host partition DP per frame,
     shared wavefront commit — per tile (tiles are prediction boundaries,
@@ -616,9 +617,16 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
         use_arrays = native.available() and not p.enable_filter_intra
     plans = [Plan() for _ in range(F)]
     payloads = [[] for _ in range(F)] if use_arrays else None
+    # per-frame walk contexts: tile 0 adapts the caller's objects in place
+    # (their end state is the stored frame context); later tiles restart
+    # from the frame-initial state per spec
+    if walk_fcs is None:
+        walk_fcs = [FrameContext(p.qindex) for _ in range(F)]
+    ntiles = len(p.tiles())
+    fc_inits = [w.clone() for w in walk_fcs] if ntiles > 1 else None
     regions = []
     all_leaves = [[] for _ in range(F)]
-    for (r0, r1, c0, c1) in p.tiles():
+    for ti, (r0, r1, c0, c1) in enumerate(p.tiles()):
         x0, y0 = c0 * 64, r0 * 64
         region = (x0, y0, min(c1 * 64, aw) - x0, min(r1 * 64, ah) - y0)
         decs = device_decide.decide_intra_frames(src_dev, p, fc, lam, region)
@@ -641,8 +649,9 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
                     ops, _k = array_plan.build_tile_ops(
                         p, trees[f], aux["sched"], aux["level_base"], f, region,
                         (r0, r1, c0, c1), None, TX_SEARCH, DEC_MODES)
+                    fc_t = walk_fcs[f] if ti == 0 else fc_inits[f].clone()
                     payloads[f].append(run_tile_ops(
-                        p, FrameContext(p.qindex), ops, aux["levels_i32"],
+                        p, fc_t, ops, aux["levels_i32"],
                         (r0, r1, c0, c1)))
         else:
             ry, ru, rv, skip8 = out

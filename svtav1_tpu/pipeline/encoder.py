@@ -44,6 +44,11 @@ class EncoderConfig:
     # all-intra frame batching through the device pipeline (keyint==1, jax
     # MD, CQP only): amortizes wavefront latency + host<->device transfers
     intra_batch: int = 1
+    # CDF lifecycle: seed each inter frame's symbol CDFs from the primary
+    # ref's saved frame context instead of defaults, and store the adapted
+    # end-of-frame CDFs with every refreshed DPB slot (the reference seeds
+    # from the primary ref: md_config_process.c:676-695; spec primary_ref_frame)
+    cdf_inheritance: bool = True
 
 
 @dataclass
@@ -123,6 +128,7 @@ class Encoder:
                           and cfg.mode_decision == "jax" and cfg.bd == 8
                           and cfg.rc_mode == "cqp" and not cfg.scene_cut)
         self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
+        self._cdf_slots: list = [None] * 8  # per-slot saved frame contexts
         self._wrote_seq = False
         from . import rc
 
@@ -190,15 +196,17 @@ class Encoder:
         p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
                         tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
                         frame_is_intra=True, enable_filter_intra=cfg.enable_filter_intra)
+        walk_fcs = [FrameContext(qindex) for _ in batch]
         outs = device_commit.encode_intra_frames(
             [src for _, src in batch], p,
             apply_filters=cfg.enable_dlf or cfg.enable_cdef,
-            enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)
+            enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef,
+            walk_fcs=walk_fcs)
         packets = []
-        for (d, src), (plan, recon, filt, payloads) in zip(batch, outs):
+        for (d, src), (plan, recon, filt, payloads), fc in zip(batch, outs, walk_fcs):
             packets.append(self._encode_one(d, src, True, True, 0, None, None,
                                             plan_recon=(plan, recon, payloads),
-                                            filt=filt))
+                                            filt=filt, walk_fc=fc))
             self.anchor = d
         return packets
 
@@ -322,7 +330,7 @@ class Encoder:
 
     def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
                     past_idx, future_idx, plan_recon=None, filt=None,
-                    qindex_override=None) -> Packet:
+                    qindex_override=None, walk_fc=None) -> Packet:
         cfg = self.cfg
         order_hint = disp_idx & 0x7F
         qindex = (qindex_override if qindex_override is not None
@@ -352,6 +360,17 @@ class Encoder:
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
                         enable_filter_intra=cfg.enable_filter_intra)
 
+        # frame-initial CDF state: inherit from the primary ref's saved
+        # context when available (md_config_process.c:676-695 analog)
+        primary_ref = 7  # PRIMARY_REF_NONE
+        if walk_fc is None:
+            walk_fc = FrameContext(p.qindex)
+            if not is_key and cfg.cdf_inheritance:
+                saved = self._cdf_slots[ref_slot[0]]
+                if saved is not None:
+                    walk_fc = saved.clone()
+                    primary_ref = 0  # LAST
+
         payloads = None
         if plan_recon is not None:
             plan, recon = plan_recon[0], plan_recon[1]
@@ -363,14 +382,16 @@ class Encoder:
 
                 plan, recon, filt, payloads = device_commit.encode_intra_frames(
                     [src], p, apply_filters=cfg.enable_dlf or cfg.enable_cdef,
-                    enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)[0]
+                    enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef,
+                    walk_fcs=[walk_fc])[0]
             else:  # 10-bit uses the numpy reference path (device twin: r2)
                 plan, recon = intra_md.encode_intra_frame(src, p)
         elif cfg.mode_decision == "jax" and cfg.bd == 8:
             from . import inter_device
 
             plan, recon, filt, payloads = inter_device.encode_inter_frame_device(
-                src, p, refs, enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef)
+                src, p, refs, enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef,
+                walk_fc=walk_fc)
         else:
             from . import inter_md
 
@@ -381,8 +402,13 @@ class Encoder:
         if payloads is None:  # array-plan paths deliver prebuilt payloads
             with profiler.stage("entropy_walk"):
                 payloads = []
-                for tile in p.tiles():
-                    tc = TileCodec(p, FrameContext(p.qindex), tile=tile)
+                tiles = p.tiles()
+                fc_init = walk_fc.clone() if len(tiles) > 1 else None
+                for i, tile in enumerate(tiles):
+                    # tile 0 adapts walk_fc in place (its end state is the
+                    # stored frame context); later tiles restart from the
+                    # frame-initial state per spec
+                    tc = TileCodec(p, walk_fc if i == 0 else fc_init.clone(), tile=tile)
                     payloads.append(tc.encode(plan))
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
 
@@ -422,7 +448,9 @@ class Encoder:
                          refresh_frame_flags=0xFF if is_key else (1 << slot),
                          ref_frame_idx=tuple(ref_slot),
                          lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
-                         cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv)
+                         cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv,
+                         primary_ref_frame=primary_ref,
+                         frame_end_update_cdf=cfg.cdf_inheritance)
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)
@@ -430,6 +458,13 @@ class Encoder:
         tu += frame_obu(self.seq, fr, tile_payload)
 
         self.dpb[disp_idx] = {"planes": recon, "order_hint": order_hint, "slot": slot}
+        # store the frame context with every refreshed slot: tile 0's
+        # adapted end state when frame_end_update_cdf, else the initial
+        saved_ctx = walk_fc if cfg.cdf_inheritance else None
+        if is_key:
+            self._cdf_slots = [saved_ctx] * 8
+        else:
+            self._cdf_slots[slot] = saved_ctx
         if self.rc is not None:
             self.rc.update(len(tu) * 8.0)
         return Packet(tu=tu, disp_idx=disp_idx, recon=recon,

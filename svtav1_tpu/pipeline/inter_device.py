@@ -290,7 +290,8 @@ def _flen_maps_from_mi(mi, levels, aw: int, ah: int):
 
 def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
                               enable_dlf: bool = True, enable_cdef: bool = True,
-                              sharpness: int = 0, use_arrays: bool | None = None):
+                              sharpness: int = 0, use_arrays: bool | None = None,
+                              walk_fc=None):
     """Unified device inter encoder for one frame: jitted decide (ME + MC +
     RD), host partition DP, wavefront commit with precomputed MC lanes,
     device in-loop filters, vectorized op-stream build + native C walk.
@@ -347,7 +348,8 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
             ops, _keys = array_plan.build_tile_ops(
                 p, tree, aux["sched"], aux["level_base"], 0, region,
                 (r0, r1, c0, c1), ref_ids, TX_SEARCH, device_decide.MODES)
-            payloads = [run_tile_ops(p, FrameContext(p.qindex), ops,
+            payloads = [run_tile_ops(p, walk_fc if walk_fc is not None
+                                     else FrameContext(p.qindex), ops,
                                      aux["levels_i32"], (r0, r1, c0, c1))]
 
     # in-loop filters on device (DLF edge maps from the final mi state —
