@@ -162,6 +162,19 @@ class FrameParams:
     lf_levels: tuple = (0, 0, 0, 0)  # loop filter levels (y_v, y_h, u, v)
     lf_sharpness: int = 0
     enable_filter_intra: bool = False  # seq-level flag (adds block syntax)
+    # loop restoration (spec lr_params): internal RESTORE_* type per plane,
+    # luma unit size 64 << lr_unit_shift, chroma unit >> lr_uv_shift
+    lr_types: tuple = (0, 0, 0)
+    lr_unit_shift: int = 0
+    lr_uv_shift: int = 1
+
+    @property
+    def lr_active(self) -> bool:
+        return any(self.lr_types)
+
+    def lr_unit_size(self, plane: int) -> int:
+        size = 64 << self.lr_unit_shift
+        return size >> self.lr_uv_shift if plane else size
 
     def sign_bias(self):
         """RefFrameSignBias per ref id (spec: ref hint after current frame)."""
@@ -264,6 +277,9 @@ class Plan:
     blocks: dict = field(default_factory=dict)  # (mi_row, mi_col, bsize) -> BlockDecision
     grids: list = field(default_factory=list)  # dicts: y0,x0,n,bsize,modes,skip,ly,lu,lv
     leaves: set = field(default_factory=set)  # all leaf keys (blocks + grid cells)
+    # loop restoration: per-plane 2D [unit_row][unit_col] of
+    # filters.restoration.UnitInfo (None when LR inactive)
+    lr_units: list = None
 
     def materialize(self) -> None:
         from ..pipeline.intra_md import MODES as _MODES
@@ -318,6 +334,13 @@ class TileCodec:
         self.refs = refs  # dict ref_frame_id -> [y, u, v] recon planes
         self.sbias = params.sign_bias()
         self.mv_coder = MvCoder(fc, update=self.update, allow_hp=params.allow_high_precision_mv)
+        # loop restoration: per-tile ref-chained predictors (spec decode_tile
+        # resets RefLrWiener / RefSgrXqd to the mid values)
+        from ..filters import restoration as _lr
+
+        self._lr_ref_w = [[list(_lr.WIENER_TAPS_MID), list(_lr.WIENER_TAPS_MID)]
+                          for _ in range(3)]
+        self._lr_ref_x = [list(_lr.SGRPROJ_XQD_MID) for _ in range(3)]
 
     # ------------------------------------------------------------------ utils
 
@@ -331,6 +354,197 @@ class TileCodec:
         if self.update:
             update_cdf(cdf, s, n)
         return s
+
+    # ------------------------------------------------------- loop restoration
+    # spec 5.11.57 read_lr / 5.9.x subexp coding; write twins mirror exactly
+
+    @staticmethod
+    def _quniform_w(enc, n, v):
+        if n <= 1:
+            return
+        l = max((n - 1).bit_length(), 1)
+        m = (1 << l) - n
+        if v < m:
+            enc.encode_literal(v, l - 1)
+        else:
+            enc.encode_literal(m + ((v - m) >> 1), l - 1)
+            enc.encode_literal((v - m) & 1, 1)
+
+    @staticmethod
+    def _quniform_r(dec, n):
+        if n <= 1:
+            return 0
+        l = max((n - 1).bit_length(), 1)
+        m = (1 << l) - n
+        v = dec.decode_literal(l - 1) if l > 1 else 0
+        if v < m:
+            return v
+        return (v << 1) - m + dec.decode_literal(1)
+
+    def _subexp_w(self, enc, mx, k, u):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if mx <= mk + 3 * a:
+                self._quniform_w(enc, mx - mk, u - mk)
+                return
+            more = int(u >= mk + a)
+            enc.encode_literal(more, 1)
+            if not more:
+                enc.encode_literal(u - mk, b2)
+                return
+            i += 1
+            mk += a
+
+    def _subexp_r(self, dec, mx, k):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if mx <= mk + 3 * a:
+                return self._quniform_r(dec, mx - mk) + mk
+            if not dec.decode_literal(1):
+                return dec.decode_literal(b2) + mk
+            i += 1
+            mk += a
+
+    @staticmethod
+    def _recenter(r, v):
+        if v > 2 * r:
+            return v
+        if v >= r:
+            return (v - r) * 2
+        return (r - v) * 2 - 1
+
+    @staticmethod
+    def _inv_recenter(r, v):
+        if v > 2 * r:
+            return v
+        if v & 1:
+            return r - ((v + 1) >> 1)  # odd = below-ref offsets
+        return r + (v >> 1)
+
+    def _signed_subexp_w(self, enc, low, high, k, ref, v):
+        mx = high - low
+        r = ref - low
+        x = v - low
+        u = (self._recenter(r, x) if (r << 1) <= mx
+             else self._recenter(mx - 1 - r, mx - 1 - x))
+        self._subexp_w(enc, mx, k, u)
+
+    def _signed_subexp_r(self, dec, low, high, k, ref):
+        mx = high - low
+        r = ref - low
+        u = self._subexp_r(dec, mx, k)
+        x = (self._inv_recenter(r, u) if (r << 1) <= mx
+             else mx - 1 - self._inv_recenter(mx - 1 - r, u))
+        return x + low
+
+    def _code_lr(self, enc, dec, plan, mi_row, mi_col):
+        """Code the restoration units whose first superblock is this SB
+        (spec read_lr; runs before decode_partition at each SB)."""
+        from ..filters import restoration as lr
+
+        p = self.p
+        fc = self.fc
+        for plane in range(3):
+            ftype = p.lr_types[plane]
+            if ftype == lr.RESTORE_NONE:
+                continue
+            sub = 1 if plane else 0
+            usize = p.lr_unit_size(plane)
+            ph = (p.height + sub) >> sub
+            pw = (p.width + sub) >> sub
+            unit_rows = lr.count_units(usize, ph)
+            unit_cols = lr.count_units(usize, pw)
+            num = 4 >> sub  # MI_SIZE >> subsampling (no superres)
+            ur0 = (mi_row * num + usize - 1) // usize
+            ur1 = min(unit_rows, ((mi_row + 16) * num + usize - 1) // usize)
+            uc0 = (mi_col * num + usize - 1) // usize
+            uc1 = min(unit_cols, ((mi_col + 16) * num + usize - 1) // usize)
+            for ur in range(ur0, ur1):
+                for uc in range(uc0, uc1):
+                    self._code_lr_unit(enc, dec, plan, plane, ftype, ur, uc)
+
+    def _code_lr_unit(self, enc, dec, plan, plane, ftype, ur, uc):
+        from ..filters import restoration as lr
+
+        fc = self.fc
+        chroma = plane > 0
+        if dec is not None:
+            info = lr.UnitInfo()
+            if ftype == lr.RESTORE_SWITCHABLE:
+                info.rtype = self._sym_r(dec, fc["switchable_restore"], 3)
+            elif ftype == lr.RESTORE_WIENER:
+                info.rtype = lr.RESTORE_WIENER if self._sym_r(
+                    dec, fc["wiener_restore"], 2) else lr.RESTORE_NONE
+            else:
+                info.rtype = lr.RESTORE_SGRPROJ if self._sym_r(
+                    dec, fc["sgrproj_restore"], 2) else lr.RESTORE_NONE
+            if info.rtype == lr.RESTORE_WIENER:
+                taps = []
+                for ps in range(2):
+                    row = [0, 0, 0]
+                    for j in range(1 if chroma else 0, 3):
+                        v = self._signed_subexp_r(
+                            dec, lr.WIENER_TAPS_MIN[j], lr.WIENER_TAPS_MAX[j] + 1,
+                            lr.WIENER_TAPS_K[j], self._lr_ref_w[plane][ps][j])
+                        row[j] = v
+                        self._lr_ref_w[plane][ps][j] = v
+                    taps.append(tuple(row))
+                info.wiener = tuple(taps)
+            elif info.rtype == lr.RESTORE_SGRPROJ:
+                ep = dec.decode_literal(lr.SGRPROJ_PARAMS_BITS)
+                r0, _, r1, _ = lr.SGR_PARAMS[ep]
+                xqd = [0, 0]
+                for i, rad in ((0, r0), (1, r1)):
+                    if rad:
+                        v = self._signed_subexp_r(
+                            dec, lr.SGRPROJ_XQD_MIN[i], lr.SGRPROJ_XQD_MAX[i] + 1,
+                            lr.SGRPROJ_PRJ_SUBEXP_K, self._lr_ref_x[plane][i])
+                    else:
+                        v = 0
+                        if i == 1:
+                            v = max(lr.SGRPROJ_XQD_MIN[1],
+                                    min(lr.SGRPROJ_XQD_MAX[1],
+                                        (1 << lr.SGRPROJ_PRJ_BITS) - self._lr_ref_x[plane][0]))
+                    xqd[i] = v
+                    self._lr_ref_x[plane][i] = v
+                info.sgr_ep = ep
+                info.sgr_xqd = tuple(xqd)
+            self._lr_out[plane][ur][uc] = info
+            return
+        # encode
+        info = plan.lr_units[plane][ur][uc]
+        if ftype == lr.RESTORE_SWITCHABLE:
+            self._sym_w(enc, fc["switchable_restore"], info.rtype, 3)
+        elif ftype == lr.RESTORE_WIENER:
+            self._sym_w(enc, fc["wiener_restore"],
+                        int(info.rtype == lr.RESTORE_WIENER), 2)
+        else:
+            self._sym_w(enc, fc["sgrproj_restore"],
+                        int(info.rtype == lr.RESTORE_SGRPROJ), 2)
+        if info.rtype == lr.RESTORE_WIENER:
+            for ps in range(2):
+                for j in range(1 if chroma else 0, 3):
+                    v = int(info.wiener[ps][j])
+                    self._signed_subexp_w(
+                        enc, lr.WIENER_TAPS_MIN[j], lr.WIENER_TAPS_MAX[j] + 1,
+                        lr.WIENER_TAPS_K[j], self._lr_ref_w[plane][ps][j], v)
+                    self._lr_ref_w[plane][ps][j] = v
+        elif info.rtype == lr.RESTORE_SGRPROJ:
+            enc.encode_literal(info.sgr_ep, lr.SGRPROJ_PARAMS_BITS)
+            r0, _, r1, _ = lr.SGR_PARAMS[info.sgr_ep]
+            for i, rad in ((0, r0), (1, r1)):
+                v = int(info.sgr_xqd[i])
+                if rad:
+                    self._signed_subexp_w(
+                        enc, lr.SGRPROJ_XQD_MIN[i], lr.SGRPROJ_XQD_MAX[i] + 1,
+                        lr.SGRPROJ_PRJ_SUBEXP_K, self._lr_ref_x[plane][i], v)
+                self._lr_ref_x[plane][i] = v
 
     def _partition_ctx(self, mi_row, mi_col, bsize):
         above = (int(self.above_part[mi_col]) >> (int(np.log2(BLOCK_W[bsize] // 8)))) & 1
@@ -401,7 +615,7 @@ class TileCodec:
 
     def encode(self, plan: Plan, use_native: bool = True) -> bytes:
         enc = None
-        if use_native and not self.p.enable_filter_intra:
+        if use_native and not self.p.enable_filter_intra and not self.p.lr_active:
             from ..entropy import native
 
             if native.available():
@@ -414,16 +628,23 @@ class TileCodec:
         r0, r1, c0, c1 = self.sb_range
         for sb_row in range(r0, r1):
             for sb_col in range(c0, c1):
+                if self.p.lr_active:
+                    self._code_lr(enc, None, plan, sb_row * 16, sb_col * 16)
                 self._code_partition(enc, None, plan, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
         return enc.done()
 
-    def decode(self, data: bytes, recon: list) -> None:
-        """recon: [y (H, W), u, v] int32 planes (aligned dims), filled in place."""
+    def decode(self, data: bytes, recon: list, lr_out=None) -> None:
+        """recon: [y (H, W), u, v] int32 planes (aligned dims), filled in place.
+        lr_out: per-plane 2D unit grids filled with parsed UnitInfo when the
+        frame header signals restoration."""
         dec = RangeDecoder(data)
         self._recon = recon
+        self._lr_out = lr_out
         r0, r1, c0, c1 = self.sb_range
         for sb_row in range(r0, r1):
             for sb_col in range(c0, c1):
+                if self.p.lr_active:
+                    self._code_lr(None, dec, None, sb_row * 16, sb_col * 16)
                 self._code_partition(None, dec, None, sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
 
     # ------------------------------------------------------------- partitions

@@ -27,6 +27,7 @@ class SeqInfo:
     order_hint_bits: int = 7
     enable_cdef: bool = False
     enable_filter_intra: bool = False
+    enable_restoration: bool = False
 
 
 def parse_sequence_header(payload: bytes) -> SeqInfo:
@@ -61,7 +62,7 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
         order_hint_bits = r.f(3) + 1
     assert r.f(1) == 0  # enable_superres
     enable_cdef = bool(r.f(1))
-    assert r.f(1) == 0  # enable_restoration
+    enable_restoration = bool(r.f(1))
     high_bd = r.f(1)
     assert r.f(1) == 0  # mono_chrome
     assert r.f(1) == 0  # color_description_present
@@ -71,7 +72,8 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     assert r.f(1) == 0  # film_grain
     return SeqInfo(width=w, height=h, bd=10 if high_bd else 8,
                    enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits,
-                   enable_cdef=enable_cdef, enable_filter_intra=enable_filter_intra)
+                   enable_cdef=enable_cdef, enable_filter_intra=enable_filter_intra,
+                   enable_restoration=enable_restoration)
 
 
 @dataclass
@@ -94,6 +96,9 @@ class FrameInfo:
     cdef_uv: tuple = ((0, 0),)
     primary_ref_frame: int = 7
     frame_end_update_cdf: bool = False
+    lr_types: tuple = (0, 0, 0)
+    lr_unit_shift: int = 0
+    lr_uv_shift: int = 1
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
@@ -170,6 +175,17 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
             ys.append((yp, ysec + (ysec == 3)))
             uvs.append((up, usec + (usec == 3)))
         cdef_y, cdef_uv = tuple(ys), tuple(uvs)
+    lr_types, lr_unit_shift, lr_uv_shift = (0, 0, 0), 0, 1
+    if seq.enable_restoration:
+        from ..filters.restoration import REMAP_LR_TYPE
+
+        lr_types = tuple(REMAP_LR_TYPE[r.f(2)] for _ in range(3))
+        if any(lr_types):
+            lr_unit_shift = r.f(1)
+            if lr_unit_shift:
+                lr_unit_shift += r.f(1)
+            if any(lr_types[1:]):
+                lr_uv_shift = r.f(1)
     assert r.f(1) == 0  # tx_mode_select -> LARGEST
     if not is_intra:
         assert r.f(1) == 0  # reference_select
@@ -187,7 +203,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                      interp_filter=interp_filter, lf_levels=(lf0, lf1, lfu, lfv),
                      lf_sharpness=lf_sharpness, cdef_damping=cdef_damping,
                      cdef_y=cdef_y, cdef_uv=cdef_uv, primary_ref_frame=primary_ref,
-                     frame_end_update_cdf=frame_end_update_cdf)
+                     frame_end_update_cdf=frame_end_update_cdf, lr_types=lr_types,
+                     lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift)
 
 
 @dataclass
@@ -260,7 +277,20 @@ class Decoder:
                              order_hint_bits=seq.order_hint_bits,
                              interp_filter=fi.interp_filter, ref_hints=tuple(ref_hints),
                              lf_levels=fi.lf_levels, lf_sharpness=fi.lf_sharpness,
-                             enable_filter_intra=seq.enable_filter_intra)
+                             enable_filter_intra=seq.enable_filter_intra,
+                             lr_types=fi.lr_types, lr_unit_shift=fi.lr_unit_shift,
+                             lr_uv_shift=fi.lr_uv_shift)
+        lr_out = None
+        if params.lr_active:
+            from ..filters import restoration as lr_mod
+
+            lr_out = []
+            for plane in range(3):
+                sub = 1 if plane else 0
+                usize = params.lr_unit_size(plane)
+                nr = lr_mod.count_units(usize, (seq.height + sub) >> sub)
+                nc = lr_mod.count_units(usize, (seq.width + sub) >> sub)
+                lr_out.append([[lr_mod.UnitInfo() for _ in range(nc)] for _ in range(nr)])
         tiles = params.tiles()
         aw, ah = params.aligned_width, params.aligned_height
         recon = [np.zeros((ah, aw), np.int32), np.zeros((ah >> 1, aw >> 1), np.int32),
@@ -286,7 +316,7 @@ class Decoder:
                 tsz = len(tile_data) - off
             fc_t = fc0 if i == 0 else fc_init.clone()
             tc = TileCodec(params, fc_t, tile=tile, refs=refs, mi=mi)
-            tc.decode(tile_data[off : off + tsz], recon)
+            tc.decode(tile_data[off : off + tsz], recon, lr_out=lr_out)
             off += tsz
         # saved context for refreshed slots: tile context_update_tile_id's
         # (0 for our streams) end state, or the frame-initial state when
@@ -299,11 +329,24 @@ class Decoder:
 
             dlf.loop_filter_frame(recon, mi, fi.qindex, seq.bd, is_intra,
                                   levels=fi.lf_levels, sharpness=fi.lf_sharpness)
+        # LR boundary rows come from the deblocked (pre-CDEF) frame
+        deblock = [pl.copy() for pl in recon] if params.lr_active else None
         if self.seq.enable_cdef and (any(fi.cdef_y[0]) or any(fi.cdef_uv[0])):
             from ..filters import cdef as cdef_mod
 
             cdef_mod.cdef_frame(recon, mi, fi.cdef_y[0][0], fi.cdef_y[0][1],
                                 fi.cdef_uv[0][0], fi.cdef_uv[0][1], fi.cdef_damping, bd=seq.bd)
+        if params.lr_active:
+            from ..filters import restoration as lr_mod
+
+            for plane in range(3):
+                if fi.lr_types[plane] == lr_mod.RESTORE_NONE:
+                    continue
+                sub = 1 if plane else 0
+                recon[plane] = lr_mod.apply_lr_plane(
+                    recon[plane], deblock[plane], lr_out[plane],
+                    params.lr_unit_size(plane), (seq.width + sub) >> sub,
+                    (seq.height + sub) >> sub, sub, seq.bd, plane > 0)
 
         # DPB update (spec reference frame update process). Re-pad the
         # alignment margin from the display edge so MC never reads decoded

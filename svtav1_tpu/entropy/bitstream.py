@@ -188,6 +188,11 @@ class FrameConfig:
     cdef_damping: int = 3
     cdef_y: tuple = ((0, 0),)  # (pri, sec) pairs; len == 1 << cdef_bits
     cdef_uv: tuple = ((0, 0),)
+    # loop restoration (coded when seq enable_restoration): internal
+    # RESTORE_* per plane + unit-size shifts (spec 5.9.20 lr_params)
+    lr_types: tuple = (0, 0, 0)
+    lr_unit_shift: int = 0
+    lr_uv_shift: int = 1
 
 
 def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
@@ -271,7 +276,20 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
             w.f(3 if ysec == 4 else ysec, 2)
             w.f(upri, 4)
             w.f(3 if usec == 4 else usec, 2)
-    # lr absent (seq enable_restoration off)
+    if seq.enable_restoration:
+        # lr_params (spec 5.9.20): coded lr_type per plane via Remap_Lr_Type
+        # inverse (internal NONE/WIENER/SGR/SWITCHABLE -> coded 0/2/3/1)
+        coded_of = {0: 0, 1: 2, 2: 3, 3: 1}
+        uses_lr = any(fr.lr_types)
+        uses_chroma_lr = any(fr.lr_types[1:])
+        for plane in range(3):
+            w.f(coded_of[fr.lr_types[plane]], 2)
+        if uses_lr:
+            w.f(int(fr.lr_unit_shift > 0), 1)  # (64x64 SB sequence)
+            if fr.lr_unit_shift:
+                w.f(fr.lr_unit_shift - 1, 1)
+            if uses_chroma_lr:  # 4:2:0: subsampling x & y
+                w.f(fr.lr_uv_shift, 1)
     w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST
     if not is_intra:
         w.f(0, 1)  # reference_select = 0 (SINGLE_REFERENCE)

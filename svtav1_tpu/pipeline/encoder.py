@@ -37,6 +37,10 @@ class EncoderConfig:
     enable_cdef: bool = True  # CDEF (frame-wide searched strength set)
     enable_filter_intra: bool = False  # recursive filter-intra (numpy MD path)
     rc_mode: str = "cqp"  # "cqp" | "cbr" | "crf" (TPL r0-based q assignment)
+    # loop restoration (Wiener + self-guided): per-unit search after CDEF
+    # (restoration_pick.c analog). Forces the Python entropy walk (the native
+    # C walker does not emit LR syntax yet) and host-side in-loop filters.
+    enable_restoration: bool = False
     target_kbps: float = 0.0  # CBR target (kbit/s)
     fps: float = 30.0
     scene_cut: bool = False  # adaptive key frames on scene changes
@@ -113,6 +117,7 @@ class Encoder:
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
                                   enable_cdef=cfg.enable_cdef,
+                                  enable_restoration=cfg.enable_restoration,
                                   enable_filter_intra=cfg.enable_filter_intra)
         if cfg.enable_filter_intra and cfg.mode_decision == "jax":
             raise ValueError("filter-intra uses the numpy mode-decision path")
@@ -126,7 +131,8 @@ class Encoder:
         self._ibatch: list = []  # all-intra device batch queue
         self._batching = (cfg.intra_batch > 1 and cfg.keyint <= 1
                           and cfg.mode_decision == "jax" and cfg.bd == 8
-                          and cfg.rc_mode == "cqp" and not cfg.scene_cut)
+                          and cfg.rc_mode == "cqp" and not cfg.scene_cut
+                          and not cfg.enable_restoration)
         self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
         self._cdf_slots: list = [None] * 8  # per-slot saved frame contexts
         self._wrote_seq = False
@@ -371,6 +377,7 @@ class Encoder:
                     walk_fc = saved.clone()
                     primary_ref = 0  # LAST
 
+        use_lr = cfg.enable_restoration
         payloads = None
         if plan_recon is not None:
             plan, recon = plan_recon[0], plan_recon[1]
@@ -381,9 +388,11 @@ class Encoder:
                 from . import device_commit
 
                 plan, recon, filt, payloads = device_commit.encode_intra_frames(
-                    [src], p, apply_filters=cfg.enable_dlf or cfg.enable_cdef,
+                    [src], p,
+                    apply_filters=(cfg.enable_dlf or cfg.enable_cdef) and not use_lr,
                     enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef,
-                    walk_fcs=[walk_fc])[0]
+                    walk_fcs=[walk_fc],
+                    use_arrays=False if use_lr else None)[0]
             else:  # 10-bit uses the numpy reference path (device twin: r2)
                 plan, recon = intra_md.encode_intra_frame(src, p)
         elif cfg.mode_decision == "jax" and cfg.bd == 8:
@@ -391,7 +400,8 @@ class Encoder:
 
             plan, recon, filt, payloads = inter_device.encode_inter_frame_device(
                 src, p, refs, enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef,
-                walk_fc=walk_fc)
+                walk_fc=walk_fc, use_arrays=False if use_lr else None,
+                apply_filters=not use_lr)
         else:
             from . import inter_md
 
@@ -399,18 +409,21 @@ class Encoder:
 
         from ..utils import profiler
 
-        if payloads is None:  # array-plan paths deliver prebuilt payloads
+        def walk_payloads():
+            out = []
+            tiles = p.tiles()
+            fc_init = walk_fc.clone() if len(tiles) > 1 else None
+            for i, tile in enumerate(tiles):
+                # tile 0 adapts walk_fc in place (its end state is the
+                # stored frame context); later tiles restart from the
+                # frame-initial state per spec
+                tc = TileCodec(p, walk_fc if i == 0 else fc_init.clone(), tile=tile)
+                out.append(tc.encode(plan))
+            return out
+
+        if payloads is None and not use_lr:
             with profiler.stage("entropy_walk"):
-                payloads = []
-                tiles = p.tiles()
-                fc_init = walk_fc.clone() if len(tiles) > 1 else None
-                for i, tile in enumerate(tiles):
-                    # tile 0 adapts walk_fc in place (its end state is the
-                    # stored frame context); later tiles restart from the
-                    # frame-initial state per spec
-                    tc = TileCodec(p, walk_fc if i == 0 else fc_init.clone(), tile=tile)
-                    payloads.append(tc.encode(plan))
-        tile_payload = payloads if len(payloads) > 1 else payloads[0]
+                payloads = walk_payloads()
 
         # in-loop filters on the encoder's recon (decoder does the same);
         # batched device frames arrive pre-filtered with their parameters
@@ -429,6 +442,7 @@ class Encoder:
 
                     dlf.loop_filter_frame(recon, frame_mi, p.qindex, p.bd, is_key,
                                           levels=p.lf_levels, sharpness=p.lf_sharpness)
+                deblock = [pl.copy() for pl in recon] if use_lr else None
                 if cfg.enable_cdef:
                     from ..filters import cdef as cdef_mod
 
@@ -439,6 +453,38 @@ class Encoder:
                         cdef_mod.cdef_frame(recon, frame_mi, ypri, ysec, upri, usec,
                                             cdef_damping, bd=p.bd)
 
+        if use_lr:
+            # per-unit restoration search on the CDEF output, then the
+            # (deferred) entropy walk with the LR decisions in the plan
+            from ..filters import restoration as lr_mod
+            from .intra_md import rd_lambda
+
+            with profiler.stage("lr_search"):
+                lam = float(rd_lambda(p.qindex, p.bd))
+                lr_types = []
+                plan.lr_units = []
+                for plane in range(3):
+                    sub = 1 if plane else 0
+                    ftype, units = lr_mod.search_plane(
+                        src[plane], recon[plane], deblock[plane],
+                        p.lr_unit_size(plane), (cfg.width + sub) >> sub,
+                        (cfg.height + sub) >> sub, sub, p.bd, plane > 0, lam)
+                    lr_types.append(ftype)
+                    plan.lr_units.append(units)
+                p.lr_types = tuple(lr_types)
+            with profiler.stage("entropy_walk"):
+                payloads = walk_payloads()
+            with profiler.stage("lr_apply"):
+                for plane in range(3):
+                    if p.lr_types[plane] == lr_mod.RESTORE_NONE:
+                        continue
+                    sub = 1 if plane else 0
+                    recon[plane] = lr_mod.apply_lr_plane(
+                        recon[plane], deblock[plane], plan.lr_units[plane],
+                        p.lr_unit_size(plane), (cfg.width + sub) >> sub,
+                        (cfg.height + sub) >> sub, sub, p.bd, plane > 0)
+
+        tile_payload = payloads if len(payloads) > 1 else payloads[0]
         replicate_display_edges(recon, cfg.width, cfg.height)
         slot = disp_idx % 8
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
@@ -450,7 +496,9 @@ class Encoder:
                          lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
                          cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv,
                          primary_ref_frame=primary_ref,
-                         frame_end_update_cdf=cfg.cdf_inheritance)
+                         frame_end_update_cdf=cfg.cdf_inheritance,
+                         lr_types=p.lr_types, lr_unit_shift=p.lr_unit_shift,
+                         lr_uv_shift=p.lr_uv_shift)
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)

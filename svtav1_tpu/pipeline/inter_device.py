@@ -291,7 +291,7 @@ def _flen_maps_from_mi(mi, levels, aw: int, ah: int):
 def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
                               enable_dlf: bool = True, enable_cdef: bool = True,
                               sharpness: int = 0, use_arrays: bool | None = None,
-                              walk_fc=None):
+                              walk_fc=None, apply_filters: bool = True):
     """Unified device inter encoder for one frame: jitted decide (ME + MC +
     RD), host partition DP, wavefront commit with precomputed MC lanes,
     device in-loop filters, vectorized op-stream build + native C walk.
@@ -351,6 +351,14 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
             payloads = [run_tile_ops(p, walk_fc if walk_fc is not None
                                      else FrameContext(p.qindex), ops,
                                      aux["levels_i32"], (r0, r1, c0, c1))]
+
+    if not apply_filters:
+        # caller runs host filters (e.g. loop-restoration configs need the
+        # deblocked intermediate); return the raw device recon
+        recon = [np.asarray(ry[0] if ry.ndim == 3 else ry).astype(np.int32),
+                 np.asarray(ru[0] if ru.ndim == 3 else ru).astype(np.int32),
+                 np.asarray(rv[0] if rv.ndim == 3 else rv).astype(np.int32)]
+        return plan, recon, None, payloads
 
     # in-loop filters on device (DLF edge maps from the final mi state —
     # inter rules need skip/ref/PU edges, unlike the all-intra size maps)
