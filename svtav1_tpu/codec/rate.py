@@ -257,3 +257,57 @@ def symbol_bits(fc_table, symbol: int, nsyms: int) -> float:
     bc = BitCounter()
     bc.encode_symbol_n(symbol, fc_table, nsyms)
     return bc.bits
+
+
+def single_ref_bits(fc, ref: int) -> float:
+    """Single-reference tree bits (write_ref_frames twin, entropy_coding.c:2107)
+    at neutral neighbor-count contexts (1 == balanced)."""
+    from ..constants.av1 import RefFrame as R
+
+    b = symbol_bits(fc["single_ref"][1][0], int(ref >= int(R.BWDREF_FRAME)), 2)
+    if ref >= int(R.BWDREF_FRAME):
+        b += symbol_bits(fc["single_ref"][1][1], int(ref == int(R.ALTREF_FRAME)), 2)
+        if ref != int(R.ALTREF_FRAME):
+            b += symbol_bits(fc["single_ref"][1][5], int(ref == int(R.ALTREF2_FRAME)), 2)
+    else:
+        l3g = int(ref in (int(R.LAST3_FRAME), int(R.GOLDEN_FRAME)))
+        b += symbol_bits(fc["single_ref"][1][2], l3g, 2)
+        if l3g:
+            b += symbol_bits(fc["single_ref"][1][4], int(ref == int(R.GOLDEN_FRAME)), 2)
+        else:
+            b += symbol_bits(fc["single_ref"][1][3], int(ref == int(R.LAST2_FRAME)), 2)
+    return b
+
+
+def txtype_signal_bits(fc, tx_size: int, tx_type: int, is_inter: bool,
+                       y_mode: int = 0) -> float:
+    """Luma transform-type symbol bits (the signal between txb_skip and eob;
+    entropy_coding.c av1_write_tx_type twin). 0 when the set has one entry."""
+    from ..codec.tile_codec import (AV1_EXT_TX_IND, AV1_NUM_EXT_TX_SET,
+                                    EXT_TX_SET_INDEX_INTER, EXT_TX_SET_INDEX_INTRA,
+                                    ext_tx_set_type_inter, ext_tx_set_type_intra)
+    from ..constants.av1 import TX_SIZE_SQR
+
+    set_type = (ext_tx_set_type_inter(tx_size) if is_inter
+                else ext_tx_set_type_intra(tx_size))
+    nsym = int(AV1_NUM_EXT_TX_SET[set_type])
+    if nsym <= 1:
+        return 0.0
+    sym = int(AV1_EXT_TX_IND[set_type][tx_type])
+    sqr = int(TX_SIZE_SQR[tx_size])
+    if is_inter:
+        eset = EXT_TX_SET_INDEX_INTER[set_type]
+        return symbol_bits(fc["inter_ext_tx"][eset][sqr], sym, nsym)
+    eset = EXT_TX_SET_INDEX_INTRA[set_type]
+    return symbol_bits(fc["intra_ext_tx"][eset][sqr][int(y_mode)], sym, nsym)
+
+
+def partition_bits(fc, size: int, split: bool) -> float:
+    """Square partition symbol bits at above/left ctx 0 (the device DP's
+    approximation, device_decide.partition_dp)."""
+    from ..constants.av1 import Partition
+
+    bsl = int(np.log2(size // 8))
+    ctx = bsl * 4  # PARTITION_PLOFFSET
+    sym = int(Partition.PARTITION_SPLIT) if split else int(Partition.PARTITION_NONE)
+    return symbol_bits(fc["partition"][ctx], sym, 10)

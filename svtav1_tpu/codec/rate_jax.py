@@ -17,7 +17,7 @@ import math
 
 import numpy as np
 
-from ..constants.av1 import TX_H, TX_TYPE_CLASS, TX_W, TxSize
+from ..constants.av1 import TX_H, TX_TYPE_CLASS, TX_W, TxSize, TxType
 from . import rate as rate_np
 from . import txb as txb_mod
 
@@ -215,3 +215,191 @@ def mv_joint_cost(fc) -> np.ndarray:
     """(2,2) float32: nmv joint symbol cost indexed [row!=0][col!=0]."""
     j = rate_np.cdf_cost_table(fc["nmv_joints"], 4)
     return np.array([[j[0], j[1]], [j[2], j[3]]], np.float32)
+
+
+def make_rdoq_fn(fc, tx_size: int, plane_type: int,
+                 txb_skip_ctx: int = 0, dc_sign_ctx: int = 0):
+    """Batched device RDOQ — the TPU re-formulation of the reference's
+    per-coefficient trellis (`svt_av1_optimize_b`, full_loop.c:1124).
+
+    The reference walks coefficients serially, carrying exact contexts. On
+    TPU a serial walk over up to 1024 positions inside the commit wavefront
+    would be ruinous, so this uses the classic two-pass frozen-context
+    approximation, entirely as array ops over the whole lane batch:
+
+      pass 1 (eob search): per-position gain of zeroing (distortion delta vs
+        own frozen-context bits) -> reverse-scan suffix sums give the total
+        gain of truncating the block at every possible new eob in one
+        cumsum; pick the argmin (including eob=0 == skip).
+      pass 2 (level-down): with contexts refreshed from the truncated
+        levels, accept per-coefficient level-1 steps where
+        d(dist) + lam * d(bits) < 0 (base/br/golomb/sign tables; the eob
+        position uses the base_eob table and may not drop to zero).
+
+    Distortion is computed in coefficient domain against the unquantized
+    coefficient and mapped to pixel domain by the transform gain
+    2^(7 - 2*tx_scale) (measured exact for the AV1 integer transforms).
+
+    Only TX_CLASS_2D configs are supported (all TX_SEARCH types are 2D and
+    share the default scan). Returns fn(levels, coeff, dq_dc, dq_ac, lam)
+    -> new levels, same shape/dtype, jit-traceable with qindex as data.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    txs_ctx = txb_mod.get_txsize_entropy_ctx(tx_size)
+    adj = txb_mod.adjusted_tx_size(tx_size)
+    h, w = int(TX_H[adj]), int(TX_W[adj])
+    n = h * w
+    # tx_scale is by the ORIGINAL size; for 64-pt the caller passes the
+    # cropped 32x32 levels but quant used ls=2
+    full_w, full_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+    ls = int(full_w * full_h > 256) + int(full_w * full_h > 1024)
+    # coeff-domain -> pixel-domain distortion divisor: ideal 2^(7-2*ls),
+    # measured on single-level steps through the integer inverse transforms
+    # (the per-stage roundings bend it off the ideal, most at 64-pt); the
+    # 1.12 margin biases against the frozen-context/rounding cross terms so
+    # borderline moves that would LOSE true RD are rejected
+    _DIV = {4: 132.0, 8: 124.0, 16: 120.0, 32: 36.0, 64: 6.0}
+    dscale = 1.12 / _DIV[full_w]
+
+    lut = rate_np.cdf_cost_table
+    base_lut = lut(fc["coeff_base"], 4)[txs_ctx, plane_type]  # (42, 4)
+    base_eob_lut = lut(fc["coeff_base_eob"], 3)[txs_ctx, plane_type]  # (4, 3)
+    br_raw = lut(fc["coeff_br"], 4)[min(txs_ctx, int(TxSize.TX_32X32)), plane_type]
+    br_lut = np.zeros((21, 13), np.float32)
+    for r in range(13):
+        cost, rem = np.zeros(21, np.float32), r
+        for _ in range(4):
+            k = min(rem, 3)
+            cost += br_raw[:, k]
+            if k < 3:
+                break
+            rem -= 3
+        br_lut[:, r] = cost
+    skip_lut = lut(fc["txb_skip"], 2)[txs_ctx, txb_skip_ctx]
+    dc_sign_lut = lut(fc["dc_sign"], 2)[plane_type, dc_sign_ctx]
+    eob_cost = _eob_cost_lut(fc, tx_size, int(TxType.DCT_DCT), plane_type)  # (n+1,)
+    ectx_lut = _base_eob_ctx_lut(tx_size)  # (n,)
+
+    scan = txb_mod.get_scan(tx_size, int(TxType.DCT_DCT)).astype(np.int32)
+    iscan = np.argsort(scan).astype(np.int32)
+    nz_off = txb_mod.nz_map_ctx_offset_2d(tx_size).reshape(h, w)
+    rows = np.arange(h)[:, None]
+    cols = np.arange(w)[None, :]
+    br_grp = np.where((rows < 2) & (cols < 2), 7, 14).astype(np.int32)
+    sign_base = np.full(n, 1.0, np.float32)  # AC sign = 1 raw bit
+
+    def _pick2(lut2d, ia, ib):
+        """per-position lut2d[ia, ib] via one-hot matmul (MXU-friendly)."""
+        la, lb = lut2d.shape
+        oh = jax.nn.one_hot(ia * lb + ib, la * lb, dtype=jnp.float32)
+        return jnp.einsum("...pk,k->...p", oh,
+                          jnp.asarray(lut2d.reshape(-1), jnp.float32))
+
+    def fn(levels, coeff, dq_dc, dq_ac, lam):
+        lv = levels.astype(jnp.int32)
+        batch = lv.shape[:-2]
+        nb = len(batch)
+        a0g = jnp.abs(lv)
+        cg = jnp.abs(coeff.astype(jnp.int32))
+        sgn = jnp.where(lv < 0, -1, 1)
+        # keep the coeff sign where the level is 0 (never re-incremented,
+        # so sign only matters for surviving levels)
+        a0 = a0g.reshape(batch + (n,))
+        c_abs = cg.reshape(batch + (n,)).astype(jnp.float32)
+        dqv = jnp.full((n,), dq_ac, jnp.int32).at[0].set(dq_dc)
+
+        def err(a):
+            return (((a * dqv[(None,) * nb]) >> ls)).astype(jnp.float32) - c_abs
+
+        def ctx_maps(ag):
+            P = jnp.pad(jnp.minimum(ag, 127), [(0, 0)] * nb + [(0, 4), (0, 4)])
+            M = jnp.minimum(P, 3)
+            mag = (M[..., 0:h, 1 : w + 1] + M[..., 1 : h + 1, 0:w]
+                   + M[..., 1 : h + 1, 1 : w + 1] + M[..., 0:h, 2 : w + 2]
+                   + M[..., 2 : h + 2, 0:w])
+            bctx = jnp.minimum((mag + 1) >> 1, 4) + nz_off[(None,) * nb]
+            bctx = bctx.reshape(batch + (n,)).at[..., 0].set(0)
+            magb = (P[..., 0:h, 1 : w + 1] + P[..., 1 : h + 1, 0:w]
+                    + P[..., 1 : h + 1, 1 : w + 1])
+            brctx = jnp.minimum((magb + 1) >> 1, 6) + br_grp[(None,) * nb]
+            brctx = brctx.reshape(batch + (n,)).at[..., 0].add(-int(br_grp[0, 0]))
+            return bctx, brctx
+
+        dc_cost = jnp.where(lv.reshape(batch + (n,))[..., 0] < 0,
+                            float(dc_sign_lut[1]), float(dc_sign_lut[0]))
+        sign_cost = jnp.broadcast_to(jnp.asarray(sign_base), batch + (n,))
+        sign_cost = sign_cost.at[..., 0].set(dc_cost)
+
+        def own_cost(a, bctx, brctx):
+            base = _pick2(base_lut, bctx, jnp.minimum(a, 3))
+            brc = jnp.where(a > 2, _pick2(br_lut, brctx, jnp.clip(a - 3, 0, 12)), 0.0)
+            gx = jnp.maximum(a - 14, 1).astype(jnp.float32)
+            gol = jnp.where(a > 14, 2.0 * (jnp.floor(jnp.log2(gx)) + 1.0) - 1.0, 0.0)
+            return base + brc + gol + jnp.where(a > 0, sign_cost, 0.0)
+
+        # ---- pass 1: eob truncation search
+        bctx, brctx = ctx_maps(a0g)
+        e0 = err(a0)
+        zd = (c_abs * c_abs - e0 * e0) * dscale  # dist delta of zeroing
+        n_i = own_cost(a0, bctx, brctx)
+        g = jnp.where(a0 > 0, zd, 0.0) - lam * n_i
+        g_scan = g[..., scan]
+        a_scan = a0[..., scan]
+        bctx_scan = bctx[..., scan]
+        # positions at/after the original eob are not coded at all — they
+        # must not contribute phantom bit savings to the truncation scores
+        eob0_pre = jnp.max(jnp.where(a_scan > 0, jnp.arange(1, n + 1), 0),
+                           axis=-1)
+        g_scan = jnp.where(jnp.arange(n)[(None,) * nb] < eob0_pre[..., None],
+                           g_scan, 0.0)
+        # S[k] = sum_{i >= k} g_scan[i], k in 0..n
+        S = jnp.concatenate([
+            jnp.flip(jnp.cumsum(jnp.flip(g_scan, -1), -1), -1),
+            jnp.zeros(batch + (1,), jnp.float32)], -1)
+        eob0 = eob0_pre
+        # candidate scores: new eob k (last nonzero at scan k-1)
+        a_last = a_scan  # a at scan pos k-1 for candidate k = index k-1
+        beob = _pick2(base_eob_lut, jnp.asarray(ectx_lut)[(None,) * nb],
+                      jnp.maximum(jnp.minimum(a_last, 3) - 1, 0))
+        bnorm = _pick2(base_lut, bctx_scan, jnp.minimum(a_last, 3))
+        ks = jnp.arange(1, n + 1)
+        score_k = (S[..., 1:] + lam * (jnp.asarray(eob_cost[1:])[(None,) * nb]
+                                       + beob - bnorm))
+        valid = (a_scan > 0) & (ks[(None,) * nb] <= eob0[..., None])
+        score_k = jnp.where(valid, score_k, jnp.inf)
+        score_0 = S[..., 0] + lam * float(skip_lut[1] - skip_lut[0])
+        alls = jnp.concatenate([score_0[..., None], score_k], -1)
+        kbest = jnp.argmin(alls, axis=-1)  # 0..n
+        isc = jnp.asarray(iscan)[(None,) * nb]
+        keep = isc < kbest[..., None]
+        a1 = jnp.where(keep, a0, 0)
+
+        # ---- pass 2: level-down with refreshed contexts
+        a1g = a1.reshape(batch + (h, w))
+        bctx, brctx = ctx_maps(a1g)
+        is_eob = isc == (kbest[..., None] - 1)
+        e1 = err(a1)
+        adn = jnp.maximum(a1 - 1, 0)
+        edn = err(adn)
+        dd = (edn * edn - e1 * e1) * dscale
+        c_now = own_cost(a1, bctx, brctx)
+        c_dn = own_cost(adn, bctx, brctx)
+        # eob position: swap the base part for the base_eob table
+        ectx_k = jnp.take(jnp.asarray(ectx_lut),
+                          jnp.maximum(kbest - 1, 0))[..., None]
+        beob_now = _pick2(base_eob_lut, jnp.broadcast_to(ectx_k, a1.shape),
+                          jnp.maximum(jnp.minimum(a1, 3) - 1, 0))
+        beob_dn = _pick2(base_eob_lut, jnp.broadcast_to(ectx_k, a1.shape),
+                         jnp.maximum(jnp.minimum(adn, 3) - 1, 0))
+        b_now = _pick2(base_lut, bctx, jnp.minimum(a1, 3))
+        b_dn = _pick2(base_lut, bctx, jnp.minimum(adn, 3))
+        c_now = jnp.where(is_eob, c_now - b_now + beob_now, c_now)
+        c_dn = jnp.where(is_eob, c_dn - b_dn + beob_dn, c_dn)
+        allow = (a1 > 0) & keep & (~is_eob | (a1 >= 2))
+        better = allow & (dd + lam * (c_dn - c_now) < 0.0)
+        a2 = a1 - better.astype(jnp.int32)
+        return (sgn.reshape(batch + (n,)) * a2).reshape(lv.shape).astype(levels.dtype)
+
+    return fn

@@ -167,6 +167,16 @@ class FrameParams:
     lr_types: tuple = (0, 0, 0)
     lr_unit_shift: int = 0
     lr_uv_shift: int = 1
+    # tx signaling (spec read_tx_mode): 0 = TX_MODE_LARGEST (our encoder),
+    # 1 = TX_MODE_SELECT (per-block tx depth; decode-side support for
+    # reference-encoded streams)
+    tx_mode: int = 0
+    reduced_tx_set: int = 0
+    # sequence flag: directional predictions filter/upsample their edges
+    # (spec 7.11.2.4); our encoder signals 0, reference streams signal 1
+    enable_intra_edge_filter: bool = False
+    # encoder-side knobs (not bitstream syntax)
+    enable_rdoq: bool = True  # batched level/eob optimization in commit
 
     @property
     def lr_active(self) -> bool:
@@ -245,6 +255,7 @@ class BlockDecision:
     levels_u: np.ndarray | None = None
     levels_v: np.ndarray | None = None
     tx_type: int = int(TxType.DCT_DCT)
+    tx_size_y: int = -1  # -1 = MAX_TXSIZE_RECT (TX_MODE_LARGEST); else SELECT
     angle_delta_y: int = 0
     angle_delta_uv: int = 0
     # inter fields
@@ -322,6 +333,10 @@ class TileCodec:
         self.mode_grid = np.full((mr, mc), int(PredMode.DC_PRED), np.int32)
         self.mode_valid = np.zeros((mr, mc), bool)
         self.skip_grid = np.zeros((mr, mc), np.int32)
+        # per-mi effective tx width/height (TX_MODE_SELECT ctx; spec
+        # above/left txfm context). Init value unused (ctx checks have_*).
+        self.above_txfm = np.full(mc, 64, np.int32)
+        self.left_txfm = np.full(mr, 64, np.int32)
         # per-plane entropy ctx (cul_level bytes) per 4x4 unit
         self.above_ctx = [np.zeros(mc, np.int32), np.zeros((mc + 1) >> 1, np.int32), np.zeros((mc + 1) >> 1, np.int32)]
         self.left_ctx = [np.zeros(mr, np.int32), np.zeros((mr + 1) >> 1, np.int32), np.zeros((mr + 1) >> 1, np.int32)]
@@ -563,6 +578,42 @@ class TileCodec:
         left = int(self.skip_grid[mi_row, mi_col - 1]) if mi_col > self.mi_col0 and self.mode_valid[mi_row, mi_col - 1] else 0
         return above + left
 
+    # ------------------------------------------------- TX_MODE_SELECT (read)
+    # spec 5.11.16 read_tx_size / Split_Tx_Size; behavioral reference
+    # entropy_coding.c set_txfm_ctx + get_tx_size_context
+
+    # Split_Tx_Size (spec): indexed by TxSize 0..18
+    SPLIT_TX_SIZE = (0, 0, 1, 2, 3, 0, 0, 1, 1, 2, 2, 3, 3, 5, 6, 7, 8, 9, 10)
+
+    def _read_tx_size(self, dec, mi_row, mi_col, bsize, allow_select):
+        fc = self.fc
+        max_tx = int(MAX_TXSIZE_RECT[bsize])
+        if not allow_select or int(BLOCK_W[bsize]) * int(BLOCK_H[bsize]) <= 16:
+            return max_tx
+        # category / max depth: steps from the max rect tx down to 4x4,
+        # capped at MAX_TX_DEPTH=2 (libaom bsize_to_tx_size_cat / _max_depth)
+        steps, t = 0, max_tx
+        while t != int(TxSize.TX_4X4):
+            steps += 1
+            t = self.SPLIT_TX_SIZE[t]
+        cat = min(steps - 1, 3)
+        max_depth = min(steps, 2)
+        mw, mh = int(TX_W[max_tx]), int(TX_H[max_tx])
+        ha, hl = mi_row > self.mi_row0, mi_col > self.mi_col0
+        a = int(self.above_txfm[mi_col] >= mw) if ha else 0
+        l = int(self.left_txfm[mi_row] >= mh) if hl else 0
+        ctx = (a + l) if (ha and hl) else (a if ha else l)
+        depth = self._sym_r(dec, fc["tx_size"][cat][ctx], max_depth + 1)
+        tx = max_tx
+        for _ in range(depth):
+            tx = self.SPLIT_TX_SIZE[tx]
+        return tx
+
+    def _set_txfm_ctx(self, mi_row, mi_col, bsize, tx_size):
+        bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+        self.above_txfm[mi_col : mi_col + bw4] = int(TX_W[tx_size])
+        self.left_txfm[mi_row : mi_row + bh4] = int(TX_H[tx_size])
+
     def _kf_y_ctx(self, mi_row, mi_col):
         above_mode = int(self.mode_grid[mi_row - 1, mi_col]) if mi_row > self.mi_row0 and self.mode_valid[mi_row - 1, mi_col] else int(PredMode.DC_PRED)
         left_mode = int(self.mode_grid[mi_row, mi_col - 1]) if mi_col > self.mi_col0 and self.mode_valid[mi_row, mi_col - 1] else int(PredMode.DC_PRED)
@@ -752,6 +803,18 @@ class TileCodec:
             else:
                 d.ref_frame = int(RefFrame.INTRA_FRAME)
                 self._code_intra_modes(enc, dec, d, mi_row, mi_col, bsize, key_frame=False)
+
+        # TX_MODE_SELECT: per-block luma tx size (decode-side; our encoder
+        # emits TX_MODE_LARGEST streams). spec read_block_tx_size, intra only
+        # (inter SELECT uses the var-tx recursion — not supported).
+        tx_size_y = int(MAX_TXSIZE_RECT[bsize])
+        if p.tx_mode == 1:
+            assert not d.is_inter, "var-tx (inter TX_MODE_SELECT) unsupported"
+            if dec is not None:
+                tx_size_y = self._read_tx_size(dec, mi_row, mi_col, bsize,
+                                               allow_select=not d.skip)
+            self._set_txfm_ctx(mi_row, mi_col, bsize, tx_size_y)
+        d.tx_size_y = tx_size_y
 
         # update mode/skip grids + per-mi mode info
         self.mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.y_mode

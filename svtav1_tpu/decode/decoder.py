@@ -28,6 +28,11 @@ class SeqInfo:
     enable_cdef: bool = False
     enable_filter_intra: bool = False
     enable_restoration: bool = False
+    enable_ref_frame_mvs: bool = False  # parsed; use must be off per frame
+    enable_intra_edge_filter: bool = False
+    seq_force_screen_content_tools: int = 0  # 0/1 fixed, 2 = per-frame bit
+    seq_force_integer_mv: int = 2
+    enable_superres: bool = False
 
 
 def parse_sequence_header(payload: bytes) -> SeqInfo:
@@ -49,18 +54,25 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     assert r.f(1) == 0  # frame_id_numbers
     assert r.f(1) == 0  # use_128x128_superblock
     enable_filter_intra = bool(r.f(1))
-    r.f(1)  # intra_edge_filter
+    enable_intra_edge_filter = bool(r.f(1))
     r.f(4)  # interintra, masked, warped, dual_filter
     enable_order_hint = bool(r.f(1))
     order_hint_bits = 7
+    enable_ref_frame_mvs = False
     if enable_order_hint:
-        assert r.f(1) == 0  # enable_jnt_comp
-        assert r.f(1) == 0  # enable_ref_frame_mvs
-    if r.f(1) == 0:  # seq_choose_screen_content_tools
-        assert r.f(1) == 0
+        r.f(1)  # enable_jnt_comp (frame header must still pick single-ref)
+        enable_ref_frame_mvs = bool(r.f(1))
+    if r.f(1):  # seq_choose_screen_content_tools
+        seq_force_sct = 2  # SELECT_SCREEN_CONTENT_TOOLS (per-frame bit)
+    else:
+        seq_force_sct = r.f(1)
+    seq_force_imv = 2  # SELECT_INTEGER_MV
+    if seq_force_sct > 0:
+        if r.f(1) == 0:  # seq_choose_integer_mv
+            seq_force_imv = r.f(1)
     if enable_order_hint:
         order_hint_bits = r.f(3) + 1
-    assert r.f(1) == 0  # enable_superres
+    enable_superres = bool(r.f(1))
     enable_cdef = bool(r.f(1))
     enable_restoration = bool(r.f(1))
     high_bd = r.f(1)
@@ -73,7 +85,12 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     return SeqInfo(width=w, height=h, bd=10 if high_bd else 8,
                    enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits,
                    enable_cdef=enable_cdef, enable_filter_intra=enable_filter_intra,
-                   enable_restoration=enable_restoration)
+                   enable_restoration=enable_restoration,
+                   enable_ref_frame_mvs=enable_ref_frame_mvs,
+                   enable_intra_edge_filter=enable_intra_edge_filter,
+                   seq_force_screen_content_tools=seq_force_sct,
+                   seq_force_integer_mv=seq_force_imv,
+                   enable_superres=enable_superres)
 
 
 @dataclass
@@ -113,6 +130,10 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     if not (frame_type == 3 or (frame_type == 0 and show_frame)):
         assert r.f(1) == 0  # error_resilient_mode
     disable_cdf_update = r.f(1)
+    allow_sct = (r.f(1) if seq.seq_force_screen_content_tools == 2
+                 else seq.seq_force_screen_content_tools)
+    if allow_sct and seq.seq_force_integer_mv == 2:
+        r.f(1)  # force_integer_mv (intra frames force it to 1 anyway)
     assert r.f(1) == 0  # frame_size_override
     order_hint = r.f(seq.order_hint_bits) if seq.enable_order_hint else 0
     primary_ref = 7
@@ -124,7 +145,11 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     ref_frame_idx = (0,) * 7
     interp_filter = 0
     if is_intra:
+        if seq.enable_superres:
+            assert r.f(1) == 0, "superres scaling unsupported"  # use_superres
         assert r.f(1) == 0  # render_and_frame_size_different
+        if allow_sct:
+            assert r.f(1) == 0, "intrabc unsupported"  # allow_intrabc
     else:
         if seq.enable_order_hint:
             assert r.f(1) == 0  # frame_refs_short_signaling
@@ -134,6 +159,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
         assert r.f(1) == 0  # is_filter_switchable
         interp_filter = r.f(2)
         assert r.f(1) == 0  # is_motion_mode_switchable
+        if seq.enable_ref_frame_mvs:
+            assert r.f(1) == 0, "MFMV unsupported"  # use_ref_frame_mvs
     frame_end_update_cdf = False
     if not disable_cdf_update:
         frame_end_update_cdf = r.f(1) == 0  # disable_frame_end_update_cdf

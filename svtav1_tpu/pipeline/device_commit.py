@@ -128,14 +128,35 @@ def _pad_rows(a: np.ndarray, k: int):
     return np.concatenate([a, np.zeros((k,) + a.shape[1:], a.dtype)], axis=0)
 
 
+_RDOQ_FN_CACHE: dict = {}
+
+
+def _rdoq_fns(qctx: int, n: int):
+    """(luma_fn, chroma_fn) batched RDOQ per block size, keyed on the
+    coefficient-CDF qindex bucket (same scheme as device_decide._rate_fns)."""
+    key = (qctx, n)
+    if key not in _RDOQ_FN_CACHE:
+        from ..codec import rate_jax
+        from .device_decide import fc_for_qctx
+
+        fc = fc_for_qctx(qctx)
+        bsize = BSIZE_BY_N[n]
+        _RDOQ_FN_CACHE[key] = (
+            rate_jax.make_rdoq_fn(fc, int(MAX_TXSIZE_RECT[bsize]), 0),
+            rate_jax.make_rdoq_fn(fc, int(max_uv_txsize(bsize)), 1,
+                                  txb_skip_ctx=7),
+        )
+    return _RDOQ_FN_CACHE[key]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat,
-                   dqv, cfg):
+                   dqv, lam, cfg):
     """The wavefront loop. `sched_flat` is ONE packed int32 vector (all
     per-size schedules — single h2d transfer); `dqv` = (2,) int32 [dq_dc,
     dq_ac] runtime operands (qindex as data — no per-qindex recompiles);
     `cfg` a hashable static tuple:
-    (F, W, W_eff, R8, C8, bd, nref, which, y0, x0,
+    (F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq,
     ((n, N, N_pad, kmax), ...)). The loop runs W_eff compacted steps over
     `wave_list` (only waves with work — empty anti-diagonals are skipped
     entirely); lanes from all F batched frames share each wave. Inter lanes
@@ -144,7 +165,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
     intra's neighbor recon); their recon still feeds the frontier maps so
     intra neighbors see final pixels. Returns (levels_i16_packed,
     recon planes, skip map)."""
-    F, W, W_eff, R8, C8, bd, nref, which, y0, x0, size_cfgs = cfg
+    F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq, size_cfgs = cfg
     AW, AH = C8 * 8, R8 * 8
     base = 1 << (bd - 1)
     src_y = src_y8.astype(jnp.int32)
@@ -194,20 +215,33 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
 
     dq_dc, dq_ac = dqv[0], dqv[1]
 
-    def select_txfm(resid, pred, tx_idx, n, ntypes):
+    def _quant_rdoq(coeff, ls, rdoq_fn):
+        """Dead-zone quant + (optionally) batched RDOQ on the adjusted-size
+        coefficient region (64-pt txs code only the top-left 32x32)."""
+        lv = jnp.clip(TJ.quantize_j(coeff, dq_dc, dq_ac, ls), -32767, 32767)
+        if rdoq_fn is None:
+            return lv
+        m = lv.shape[-1]
+        if m > 32:
+            sub = rdoq_fn(lv[..., :32, :32], coeff[..., :32, :32],
+                          dq_dc, dq_ac, lam)
+            return jnp.zeros_like(lv).at[..., :32, :32].set(sub)
+        return rdoq_fn(lv, coeff, dq_dc, dq_ac, lam)
+
+    def select_txfm(resid, pred, tx_idx, n, ntypes, rdoq_fn=None):
         """Per-lane 2-D tx among TX_SEARCH via composed DCT/ADST selection
         (2 one-D passes per direction instead of one 2-D network per type)."""
         ls = quant_ops.tx_scale(n, n)
         if ntypes == 1:
             coeff = TJ.fwd_txfm2d_j(resid, int(TxType.DCT_DCT), bd)
-            lv = jnp.clip(TJ.quantize_j(coeff, dq_dc, dq_ac, ls), -32767, 32767)
+            lv = _quant_rdoq(coeff, ls, rdoq_fn)
             dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
             return lv, TJ.inv_txfm2d_add_j(dqc, pred, int(TxType.DCT_DCT), bd)
         # TX_SEARCH order: DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST
         v_adst = (tx_idx == 1) | (tx_idx == 2)
         h_adst = (tx_idx == 1) | (tx_idx == 3)
         coeff = TJ.fwd_txfm2d_sel_j(resid, v_adst, h_adst, bd)
-        lv = jnp.clip(TJ.quantize_j(coeff, dq_dc, dq_ac, ls), -32767, 32767)
+        lv = _quant_rdoq(coeff, ls, rdoq_fn)
         dqc = TJ.dequantize_j(lv, dq_dc, dq_ac, ls, bd)
         return lv, TJ.inv_txfm2d_add_sel_j(dqc, pred, v_adst, h_adst, bd)
 
@@ -281,7 +315,9 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         if nref:
             pred = jnp.where(is_int[:, None, None], dsl(inter_pred[n][0]), pred)
         sb = src_blocks(src_y, x, y, n)
-        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1)
+        rq_y, rq_uv = _rdoq_fns(qctx, n) if rdoq else (None, None)
+        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1,
+                                  rdoq_fn=rq_y)
         if nref:
             # inter chroma tx follows the EFFECTIVE luma type: DCT when the
             # quantized luma is all-zero (tile_codec._chroma_tx_type)
@@ -305,7 +341,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         suv = jnp.concatenate([src_blocks(src_u, xc, yc, nc),
                                src_blocks(src_v, xc, yc, nc)])
         lv_uv, rec_uv = select_txfm(suv - puv, puv, jnp.concatenate([uv_tx_idx, uv_tx_idx]),
-                                    nc, 4 if nc <= 16 else 1)
+                                    nc, 4 if nc <= 16 else 1, rdoq_fn=rq_uv)
         lv_u, lv_v = lv_uv[:kmax], lv_uv[kmax:]
         rec_u, rec_v = rec_uv[:kmax], rec_uv[kmax:]
 
@@ -444,7 +480,10 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     flat_parts.append(wave_list)
     sched_flat = jnp.asarray(np.concatenate([f.astype(np.int32) for f in flat_parts]))
     nref = 0 if refs_dev is None else int(refs_dev[0].shape[0])
-    cfg = (F, W, W_eff, R8, C8, p.bd, nref, which, y0, x0, tuple(size_cfgs))
+    from ..constants.cdf import get_q_ctx as _gqc
+
+    cfg = (F, W, W_eff, R8, C8, p.bd, nref, which, y0, x0, _gqc(p.qindex),
+           bool(p.enable_rdoq), tuple(size_cfgs))
     sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
     su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
@@ -453,10 +492,11 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         refs_dev = (dummy, dummy, dummy)
     from .device_decide import qparams_np
 
-    dqv, _lam = qparams_np(p.qindex, p.bd)
+    dqv, lam = qparams_np(p.qindex, p.bd)
     with profiler.stage("commit/device"):
         levels_packed, ry, ru, rv, skip8 = _commit_device(
-            sy, su, sv, refs_dev[0], refs_dev[1], refs_dev[2], sched_flat, dqv, cfg)
+            sy, su, sv, refs_dev[0], refs_dev[1], refs_dev[2], sched_flat, dqv,
+            lam, cfg)
         levels_packed = np.asarray(levels_packed)
 
     # unpack levels + build per-block outputs

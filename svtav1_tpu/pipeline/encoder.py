@@ -41,6 +41,8 @@ class EncoderConfig:
     # (restoration_pick.c analog). Forces the Python entropy walk (the native
     # C walker does not emit LR syntax yet) and host-side in-loop filters.
     enable_restoration: bool = False
+    # batched device RDOQ in the commit pass (svt_av1_optimize_b analog)
+    enable_rdoq: bool = True
     target_kbps: float = 0.0  # CBR target (kbit/s)
     fps: float = 30.0
     scene_cut: bool = False  # adaptive key frames on scene changes
@@ -201,7 +203,8 @@ class Encoder:
         qindex = self._frame_qindex(True, 0)
         p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
                         tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
-                        frame_is_intra=True, enable_filter_intra=cfg.enable_filter_intra)
+                        frame_is_intra=True, enable_filter_intra=cfg.enable_filter_intra,
+                        enable_rdoq=cfg.enable_rdoq)
         walk_fcs = [FrameContext(qindex) for _ in batch]
         outs = device_commit.encode_intra_frames(
             [src for _, src in batch], p,
@@ -364,7 +367,8 @@ class Encoder:
                         tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
                         frame_is_intra=is_key, order_hint=order_hint,
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
-                        enable_filter_intra=cfg.enable_filter_intra)
+                        enable_filter_intra=cfg.enable_filter_intra,
+                        enable_rdoq=cfg.enable_rdoq)
 
         # frame-initial CDF state: inherit from the primary ref's saved
         # context when available (md_config_process.c:676-695 analog)

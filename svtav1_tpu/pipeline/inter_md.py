@@ -173,7 +173,7 @@ def _inter_candidates(ctx: _Ctx, x: int, y: int, size: int, ref_frame: int):
     fc = ctx.fc
     M = InterMode
     sb = rate_mod.symbol_bits
-    ref_bits = 2.5  # single-ref tree ballpark (ctx-dependent)
+    ref_bits = rate_mod.single_ref_bits(fc, ref_frame)
     b_new = sb(fc["newmv"][stack.new_mv_ctx], 0, 2)
     b_not_new = sb(fc["newmv"][stack.new_mv_ctx], 1, 2)
     b_glob = b_not_new + sb(fc["zeromv"][stack.zero_mv_ctx], 0, 2)
@@ -218,24 +218,38 @@ def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
     finalists; reference product_coding_loop.c md_encode_block)."""
     fc = ctx.fc
     cands = []
+    b_inter = rate_mod.symbol_bits(fc["intra_inter"][0], 1, 2)
     for ref_frame in ctx.refs:
         for mode, mv, rmi, mode_bits in _inter_candidates(ctx, x, y, size, ref_frame):
             d = BlockDecision(y_mode=mode, ref_frame=ref_frame, mv=mv, ref_mv_idx=rmi)
-            d._mode_bits = 1.0 + mode_bits  # + is_inter flag
+            d._mode_bits = b_inter + mode_bits
             cands.append(d)
     bsize = int(BSIZE_OF[size])
     from ..constants.av1 import SIZE_GROUP
 
+    b_intra = rate_mod.symbol_bits(fc["intra_inter"][0], 0, 2)
+    cfl_allowed = int(size <= 32)
     for mode in MODES:
         d = BlockDecision(y_mode=int(mode), uv_mode=int(mode))
-        d._mode_bits = (1.0 + rate_mod.symbol_bits(fc["y_mode"][int(SIZE_GROUP[bsize])], int(mode), 13)
-                        + 2.5)  # + is_inter flag + uv mode ballpark
+        d._mode_bits = (b_intra
+                        + rate_mod.symbol_bits(fc["y_mode"][int(SIZE_GROUP[bsize])], int(mode), 13)
+                        + rate_mod.symbol_bits(fc["uv_mode"][cfl_allowed][int(mode)], int(mode),
+                                               14 if cfl_allowed else 13))
         cands.append(d)
     scored = sorted(cands, key=lambda d: _fast_cost(ctx, x, y, size, d))
+    tx_y = int(MAX_TXSIZE_RECT[bsize])
+
+    def txt_bits(d, zero):
+        # tx type is only signaled when the luma txb is non-zero
+        if zero:
+            return 0.0
+        return rate_mod.txtype_signal_bits(fc, tx_y, int(d.tx_type), d.is_inter,
+                                           int(d.y_mode))
+
     best = None
     for d in scored[:FULL_RD_CANDIDATES]:
         sse, bits, levels, zero, recon_blks = _code_unit(ctx, x, y, size, d, write=False)
-        cost = sse + ctx.lam * bits
+        cost = sse + ctx.lam * (bits + txt_bits(d, zero))
         if best is None or cost < best[0]:
             best = (cost, d, (sse, bits, levels, zero, recon_blks))
     # luma tx-type search on the winner (Appendix-TX-Search analog)
@@ -246,7 +260,7 @@ def _best_for_block(ctx: _Ctx, x: int, y: int, size: int):
         d2 = dataclasses.replace(d, tx_type=tx_type)
         d2._mode_bits = getattr(d, "_mode_bits", 8.0)
         sse, bits, levels, zero, recon_blks = _code_unit(ctx, x, y, size, d2, write=False)
-        cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
+        cost = sse + ctx.lam * (bits + txt_bits(d2, zero))
         if cost < best[0]:
             best = (cost, d2, (sse, bits, levels, zero, recon_blks))
     return best
@@ -325,7 +339,8 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
             r[:] = snap_recon[i]
         ctx.mi.restore(snap_mi)
         half = size // 2
-        cost_split = ctx.lam * 4.0
+        cost_split = ctx.lam * rate_mod.partition_bits(ctx.fc, size, split=True)
+        cost_none = cost_none + ctx.lam * rate_mod.partition_bits(ctx.fc, size, split=False)
         for dy in (0, half):
             for dx in (0, half):
                 cost_split += _code_square(ctx, x + dx, y + dy, half)

@@ -78,7 +78,7 @@ def _code_unit(ctx: _Ctx, x: int, y: int, size: int, mode: int, uv_mode: int, wr
     tx_y = int(MAX_TXSIZE_RECT[int(bsize)])
     tx_uv = int(max_uv_txsize(int(bsize)))
     total_sse = 0.0
-    total_bits = 16.0  # mode signaling ballpark
+    total_bits = 0.0  # mode-signaling bits added by the caller (exact CDFs)
     levels_out = []
     all_zero = True
     planes_recon = []
@@ -146,10 +146,21 @@ def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
             scored.append((sad, dcm, k))
     scored = [(s[0], s[1], s[2] if len(s) > 2 else None) for s in scored]
     scored.sort(key=lambda t: t[0])
+    from ..codec import rate as rate_mod
+
+    tx_y = int(MAX_TXSIZE_RECT[int(BSIZE_OF[size])])
+
+    def txt_bits(tx, mode, zero):
+        # tx type is only signaled when the luma txb is non-zero
+        if zero or ctx.fc is None:
+            return 0.0
+        return rate_mod.txtype_signal_bits(ctx.fc, tx_y, int(tx), False, int(mode))
+
     best = None
     for _, mode, fi in scored[:3]:
+        mbits = _intra_mode_bits(ctx, size, mode, fi)
         sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False, fi_mode=fi)
-        cost = sse + ctx.lam * bits
+        cost = sse + ctx.lam * (bits + mbits + txt_bits(TxType.DCT_DCT, mode, zero))
         if best is None or cost < best[0]:
             best = (cost, mode, levels, zero, int(TxType.DCT_DCT), rb, fi)
     # luma tx-type search on the winning mode
@@ -157,12 +168,38 @@ def _best_mode_for_block(ctx: _Ctx, x: int, y: int, size: int):
 
     mode = best[1]
     if best[6] is None:  # tx-type search skipped for filter-intra winners
+        mbits = _intra_mode_bits(ctx, size, mode, None)
         for tx in tx_type_candidates(size, is_inter=False):
             sse, bits, levels, zero, rb = _code_unit(ctx, x, y, size, mode, mode, write=False, tx_type_y=tx)
-            cost = sse + ctx.lam * (bits + 2.5)  # + tx-type symbol ballpark
+            cost = sse + ctx.lam * (bits + mbits + txt_bits(tx, mode, zero))
             if cost < best[0]:
                 best = (cost, mode, levels, zero, tx, rb, None)
     return best
+
+
+def _intra_mode_bits(ctx: "_Ctx", size: int, mode: int, fi) -> float:
+    """Key-frame mode-signaling bits (ctx-0 approximation, exact CDFs):
+    kf y mode + zero angle deltas for directional modes + uv mode (uv == y)
+    + filter-intra syntax (entropy_coding.c write_intra_* twins)."""
+    fc = ctx.fc
+    if fc is None:
+        return 16.0
+    from ..codec import rate as rate_mod
+
+    bsize = int(BSIZE_OF[size])
+    b = rate_mod.symbol_bits(fc["kf_y_mode"][0][0], int(mode), 13)
+    if is_directional(mode):
+        ad = fc["angle_delta"][int(mode) - int(PredMode.V_PRED)]
+        b += 2.0 * rate_mod.symbol_bits(ad, 3, 7)  # zero delta, y then uv
+    cfl_allowed = int(size <= 32)
+    b += rate_mod.symbol_bits(fc["uv_mode"][cfl_allowed][int(mode)], int(mode),
+                              14 if cfl_allowed else 13)
+    if (ctx.params.enable_filter_intra and int(mode) == int(PredMode.DC_PRED)
+            and size <= 32):
+        b += rate_mod.symbol_bits(fc["filter_intra"][bsize], int(fi is not None), 2)
+        if fi is not None:
+            b += rate_mod.symbol_bits(fc["filter_intra_mode"], int(fi), 5)
+    return b
 
 
 def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
@@ -202,7 +239,13 @@ def _code_square(ctx: _Ctx, x: int, y: int, size: int) -> float:
         for i, r in enumerate(ctx.recon):
             r[:] = snap[i]
         half = size // 2
-        cost_split = ctx.lam * 4.0  # partition signaling ballpark
+        from ..codec import rate as rate_mod
+
+        if ctx.fc is not None:
+            cost_split = ctx.lam * rate_mod.partition_bits(ctx.fc, size, split=True)
+            cost_none = cost_none + ctx.lam * rate_mod.partition_bits(ctx.fc, size, split=False)
+        else:
+            cost_split = ctx.lam * 4.0
         sub_keys = []
         for dy in (0, half):
             for dx in (0, half):

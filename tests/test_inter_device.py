@@ -27,9 +27,9 @@ def moving_clip(w, h, n, seed=7, step=(1, 2), smooth=True):
     return frames
 
 
-def run(frames, w, h, md, qindex=100, keyint=8, minigop=1):
+def run(frames, w, h, md, qindex=100, keyint=8, minigop=1, rdoq=True):
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, keyint=keyint,
-                                minigop=minigop, mode_decision=md))
+                                minigop=minigop, mode_decision=md, enable_rdoq=rdoq))
     dec = Decoder()
     sizes, psnrs = [], []
     pkts = []
@@ -75,9 +75,11 @@ def test_device_inter_odd_dims():
 
 def test_device_vs_numpy_quality():
     """The device path must be within tolerance of the numpy oracle on both
-    PSNR and size (VERDICT r1: no fast-but-dumb / smart-but-slow split)."""
+    PSNR and size (VERDICT r1: no fast-but-dumb / smart-but-slow split).
+    RDOQ (device-only, shifts the operating point) is pinned off here; its
+    BD-domination gate lives in test_rdoq.py."""
     frames = moving_clip(96, 64, 4, step=(1, 2))
     s_np, p_np = run(frames, 96, 64, "numpy", qindex=100, keyint=4)
-    s_dx, p_dx = run(frames, 96, 64, "jax", qindex=100, keyint=4)
+    s_dx, p_dx = run(frames, 96, 64, "jax", qindex=100, keyint=4, rdoq=False)
     assert np.mean(p_dx) > np.mean(p_np) - 1.0, (p_dx, p_np)
     assert sum(s_dx) < 1.35 * sum(s_np), (s_dx, s_np)
