@@ -30,6 +30,7 @@ from .mv import MvCoder
 from .mvp import MiState, TileBounds, find_mv_stack
 
 PARTITION_PLOFFSET = 4
+UV_CFL_PRED = 13  # uv_mode symbol beyond PAETH (spec UV_CFL_PRED)
 INTRA_MODE_CONTEXT = np.array([0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0], np.int32)
 # partition_context_lookup[bsize] -> (above, left)  (definitions.h:1574)
 PARTITION_CTX_LOOKUP = np.array(
@@ -89,10 +90,10 @@ MODE_TO_TXFM = np.array(
 )
 
 
-def chroma_tx_type(uv_mode: int, tx_size: int) -> int:
+def chroma_tx_type(uv_mode: int, tx_size: int, reduced: int = 0) -> int:
     """Chroma intra tx type is derived, not signaled (spec compute_tx_type)."""
     derived = int(MODE_TO_TXFM[uv_mode])
-    set_type = ext_tx_set_type_intra(tx_size)
+    set_type = ext_tx_set_type_intra(tx_size, reduced)
     if not AV1_EXT_TX_USED[set_type][derived]:
         return int(TxType.DCT_DCT)
     return derived
@@ -101,45 +102,54 @@ def chroma_tx_type(uv_mode: int, tx_size: int) -> int:
 SQUARE_BSIZE = {8: BlockSize.BLOCK_8X8, 16: BlockSize.BLOCK_16X16, 32: BlockSize.BLOCK_32X32, 64: BlockSize.BLOCK_64X64}
 
 
-def ext_tx_set_type_intra(tx_size: int) -> int:
+def ext_tx_set_type_intra(tx_size: int, reduced: int = 0) -> int:
     from ..constants.av1 import TX_SIZE_SQR, TX_SIZE_SQR_UP
 
     if int(TX_SIZE_SQR_UP[tx_size]) >= int(TxSize.TX_32X32):
         return EXT_TX_SET_DCTONLY
+    if reduced:
+        return EXT_TX_SET_DTT4_IDTX_1DDCT
     if int(TX_SIZE_SQR[tx_size]) == int(TxSize.TX_16X16):
         return EXT_TX_SET_DTT4_IDTX
     return EXT_TX_SET_DTT4_IDTX_1DDCT
 
 
-def ext_tx_set_type_inter(tx_size: int) -> int:
-    """spec get_ext_tx_set_type, is_inter=1, reduced_tx_set=0."""
+def ext_tx_set_type_inter(tx_size: int, reduced: int = 0) -> int:
+    """spec get_ext_tx_set_type, is_inter=1."""
     from ..constants.av1 import TX_SIZE_SQR, TX_SIZE_SQR_UP
 
     squp = int(TX_SIZE_SQR_UP[tx_size])
     if squp > int(TxSize.TX_32X32):
         return EXT_TX_SET_DCTONLY
-    if squp == int(TxSize.TX_32X32):
+    if squp == int(TxSize.TX_32X32) or reduced:
         return EXT_TX_SET_DCT_IDTX
     if int(TX_SIZE_SQR[tx_size]) == int(TxSize.TX_16X16):
         return EXT_TX_SET_DTT9_IDTX_1DDCT
     return EXT_TX_SET_ALL16
 
 
-def chroma_tx_type_inter(luma_tx_type: int, chroma_tx_size: int) -> int:
+def chroma_tx_type_inter(luma_tx_type: int, chroma_tx_size: int, reduced: int = 0) -> int:
     """Inter chroma derives its tx type from the co-located luma txb, gated
     by membership in the chroma tx size's inter set (spec compute_tx_type)."""
-    set_type = ext_tx_set_type_inter(chroma_tx_size)
+    set_type = ext_tx_set_type_inter(chroma_tx_size, reduced)
     if not AV1_EXT_TX_USED[set_type][luma_tx_type]:
         return int(TxType.DCT_DCT)
     return int(luma_tx_type)
 
 
 def max_uv_txsize(luma_bsize: int) -> int:
-    """Chroma tx size for 4:2:0 given (square) luma block size."""
+    """Chroma tx size for 4:2:0 given the luma block size (spec
+    Max_Tx_Size_Rect of the subsampled plane bsize, clamped to 32)."""
     w = max(int(BLOCK_W[luma_bsize]) // 2, 4)
     h = max(int(BLOCK_H[luma_bsize]) // 2, 4)
     w, h = min(w, 32), min(h, 32)
-    return {(4, 4): TxSize.TX_4X4, (8, 8): TxSize.TX_8X8, (16, 16): TxSize.TX_16X16, (32, 32): TxSize.TX_32X32}[(w, h)]
+    return int({(4, 4): TxSize.TX_4X4, (8, 8): TxSize.TX_8X8,
+                (16, 16): TxSize.TX_16X16, (32, 32): TxSize.TX_32X32,
+                (4, 8): TxSize.TX_4X8, (8, 4): TxSize.TX_8X4,
+                (8, 16): TxSize.TX_8X16, (16, 8): TxSize.TX_16X8,
+                (16, 32): TxSize.TX_16X32, (32, 16): TxSize.TX_32X16,
+                (4, 16): TxSize.TX_4X16, (16, 4): TxSize.TX_16X4,
+                (8, 32): TxSize.TX_8X32, (32, 8): TxSize.TX_32X8}[(w, h)])
 
 
 @dataclass
@@ -258,6 +268,9 @@ class BlockDecision:
     tx_size_y: int = -1  # -1 = MAX_TXSIZE_RECT (TX_MODE_LARGEST); else SELECT
     angle_delta_y: int = 0
     angle_delta_uv: int = 0
+    # CfL (decode-side): signed alpha indices, 0 = inactive channel
+    cfl_alpha_u: int = 0
+    cfl_alpha_v: int = 0
     # inter fields
     ref_frame: int = int(RefFrame.INTRA_FRAME)  # 0 = intra block
     mv: tuple = (0, 0)  # (row, col) 1/8 pel
@@ -331,6 +344,7 @@ class TileCodec:
         self.above_part = np.zeros(mc, np.uint8)
         self.left_part = np.zeros(mr, np.uint8)
         self.mode_grid = np.full((mr, mc), int(PredMode.DC_PRED), np.int32)
+        self.uv_mode_grid = np.full((mr, mc), int(PredMode.DC_PRED), np.int32)
         self.mode_valid = np.zeros((mr, mc), bool)
         self.skip_grid = np.zeros((mr, mc), np.int32)
         # per-mi effective tx width/height (TX_MODE_SELECT ctx; spec
@@ -660,7 +674,12 @@ class TileCodec:
         self.left_ctx[plane][plane_y4 : plane_y4 + h4] = cul_level
 
     def _has_chroma(self, mi_row, mi_col, bsize):
-        return True  # all blocks >= 8x8 are chroma references in 4:2:0
+        """spec HasChroma for 4:2:0: sub-8x8 blocks reference chroma only
+        when they cover the bottom-right of their 8x8 unit."""
+        bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+        ok_r = (mi_row & 1) or not (bh4 & 1)
+        ok_c = (mi_col & 1) or not (bw4 & 1)
+        return bool(ok_r and ok_c)
 
     # --------------------------------------------------------------- encoding
 
@@ -719,12 +738,9 @@ class TileCodec:
                 self._sym_w(enc, self.fc["partition"][ctx], part, 4)
             else:
                 part = self._sym_r(dec, self.fc["partition"][ctx], 4)
-            assert part == int(Partition.PARTITION_NONE), "8x8 is the minimum block in this profile"
-            self._code_block(enc, dec, plan, mi_row, mi_col, bsize)
-            self._update_partition_ctx(mi_row, mi_col, bsize, bsize)
-            return
-
-        if has_rows and has_cols:
+            assert enc is None or part == int(Partition.PARTITION_NONE), \
+                "the encoder emits 8x8 minimum blocks"
+        elif has_rows and has_cols:
             if enc is not None:
                 part = int(plan.partitions[(mi_row, mi_col, bsize)])
                 self._sym_w(enc, self.fc["partition"][ctx], part, nsyms)
@@ -737,26 +753,106 @@ class TileCodec:
         else:
             part = int(Partition.PARTITION_SPLIT)
 
-        if part == int(Partition.PARTITION_NONE):
-            self._code_block(enc, dec, plan, mi_row, mi_col, bsize)
+        from ..constants.av1 import PARTITION_SUBSIZE
+
+        P = Partition
+        B = BlockSize
+        sq = B(bsize)
+        if part == int(P.PARTITION_NONE):
+            self._code_block(enc, dec, plan, mi_row, mi_col, bsize, part)
             self._update_partition_ctx(mi_row, mi_col, bsize, bsize)
-        elif part == int(Partition.PARTITION_SPLIT):
-            sub = PARTITION_SUBSIZE_INT[part][bsize]
-            for dy in (0, half):
-                for dx in (0, half):
-                    self._code_partition(enc, dec, plan, mi_row + dy, mi_col + dx, sub)
+        elif part == int(P.PARTITION_SPLIT):
+            sub = int(PARTITION_SUBSIZE[P.PARTITION_SPLIT][sq])
+            if bsize == int(B.BLOCK_8X8):  # 4x4 leaves: no further syntax
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        self._code_block(enc, dec, plan, mi_row + dy, mi_col + dx, sub, part)
+                self._update_partition_ctx(mi_row, mi_col, sub, bsize)
+            else:
+                for dy in (0, half):
+                    for dx in (0, half):
+                        self._code_partition(enc, dec, plan, mi_row + dy, mi_col + dx, sub)
+        elif part == int(P.PARTITION_HORZ):
+            sub = int(PARTITION_SUBSIZE[P.PARTITION_HORZ][sq])
+            self._code_block(enc, dec, plan, mi_row, mi_col, sub, part)
+            if has_rows:
+                self._code_block(enc, dec, plan, mi_row + half, mi_col, sub, part)
+            self._update_partition_ctx(mi_row, mi_col, sub, bsize)
+        elif part == int(P.PARTITION_VERT):
+            sub = int(PARTITION_SUBSIZE[P.PARTITION_VERT][sq])
+            self._code_block(enc, dec, plan, mi_row, mi_col, sub, part)
+            if has_cols:
+                self._code_block(enc, dec, plan, mi_row, mi_col + half, sub, part)
+            self._update_partition_ctx(mi_row, mi_col, sub, bsize)
+        elif part in (int(P.PARTITION_HORZ_A), int(P.PARTITION_HORZ_B),
+                      int(P.PARTITION_VERT_A), int(P.PARTITION_VERT_B)):
+            sq2 = int(PARTITION_SUBSIZE[P.PARTITION_SPLIT][sq])
+            subh = int(PARTITION_SUBSIZE[P.PARTITION_HORZ][sq])
+            subv = int(PARTITION_SUBSIZE[P.PARTITION_VERT][sq])
+            if part == int(P.PARTITION_HORZ_A):
+                self._code_block(enc, dec, plan, mi_row, mi_col, sq2, part)
+                self._code_block(enc, dec, plan, mi_row, mi_col + half, sq2, part)
+                self._code_block(enc, dec, plan, mi_row + half, mi_col, subh, part)
+                self._update_partition_ctx(mi_row, mi_col, sq2, subh)
+                self._update_partition_ctx(mi_row + half, mi_col, subh, subh)
+            elif part == int(P.PARTITION_HORZ_B):
+                self._code_block(enc, dec, plan, mi_row, mi_col, subh, part)
+                self._code_block(enc, dec, plan, mi_row + half, mi_col, sq2, part)
+                self._code_block(enc, dec, plan, mi_row + half, mi_col + half, sq2, part)
+                self._update_partition_ctx(mi_row, mi_col, subh, subh)
+                self._update_partition_ctx(mi_row + half, mi_col, sq2, subh)
+            elif part == int(P.PARTITION_VERT_A):
+                self._code_block(enc, dec, plan, mi_row, mi_col, sq2, part)
+                self._code_block(enc, dec, plan, mi_row + half, mi_col, sq2, part)
+                self._code_block(enc, dec, plan, mi_row, mi_col + half, subv, part)
+                self._update_partition_ctx(mi_row, mi_col, sq2, subv)
+                self._update_partition_ctx(mi_row, mi_col + half, subv, subv)
+            else:  # VERT_B
+                self._code_block(enc, dec, plan, mi_row, mi_col, subv, part)
+                self._code_block(enc, dec, plan, mi_row, mi_col + half, sq2, part)
+                self._code_block(enc, dec, plan, mi_row + half, mi_col + half, sq2, part)
+                self._update_partition_ctx(mi_row, mi_col, subv, subv)
+                self._update_partition_ctx(mi_row, mi_col + half, sq2, subv)
+        elif part in (int(P.PARTITION_HORZ_4), int(P.PARTITION_VERT_4)):
+            qbs = half // 2
+            if part == int(P.PARTITION_HORZ_4):
+                sub = {int(B.BLOCK_16X16): int(B.BLOCK_16X4),
+                       int(B.BLOCK_32X32): int(B.BLOCK_32X8),
+                       int(B.BLOCK_64X64): int(B.BLOCK_64X16)}[bsize]
+                for i in range(4):
+                    r = mi_row + i * qbs
+                    if i > 0 and r >= p.mi_rows:
+                        break
+                    self._code_block(enc, dec, plan, r, mi_col, sub, part)
+            else:
+                sub = {int(B.BLOCK_16X16): int(B.BLOCK_4X16),
+                       int(B.BLOCK_32X32): int(B.BLOCK_8X32),
+                       int(B.BLOCK_64X64): int(B.BLOCK_16X64)}[bsize]
+                for i in range(4):
+                    c = mi_col + i * qbs
+                    if i > 0 and c >= p.mi_cols:
+                        break
+                    self._code_block(enc, dec, plan, mi_row, c, sub, part)
+            self._update_partition_ctx(mi_row, mi_col, sub, bsize)
         else:
-            raise NotImplementedError(f"partition {part} not in round-1 profile")
+            raise NotImplementedError(f"partition {part} unsupported")
 
     def _bool_partition(self, enc, dec, plan, mi_row, mi_col, bsize, ctx, vert_alike):
         """Boundary partitions: derive a 2-symbol CDF from the partition CDF
-        (reference cabac_context_model.h:716-746). Returns the partition."""
+        (spec split_or_horz / split_or_vert; libaom partition_gather_*_alike).
+
+        vert_alike=False = bottom edge (split_or_horz): the SPLIT probability
+        sums the partitions whose TOP half contains a vertical edge.
+        vert_alike=True = right edge (split_or_vert): partitions whose LEFT
+        half contains a horizontal edge. (The r1-r3 builds had these two sets
+        swapped — self-consistent in-repo but non-conformant; caught by the
+        libaom cross-decode oracle.)"""
         incdf = self.fc["partition"][ctx]
         P = Partition
-        members = [P.PARTITION_VERT, P.PARTITION_SPLIT, P.PARTITION_HORZ_A, P.PARTITION_VERT_A, P.PARTITION_VERT_B] if vert_alike else \
-                  [P.PARTITION_HORZ, P.PARTITION_SPLIT, P.PARTITION_HORZ_A, P.PARTITION_HORZ_B, P.PARTITION_VERT_A]
+        members = [P.PARTITION_HORZ, P.PARTITION_SPLIT, P.PARTITION_HORZ_A, P.PARTITION_HORZ_B, P.PARTITION_VERT_A] if vert_alike else \
+                  [P.PARTITION_VERT, P.PARTITION_SPLIT, P.PARTITION_HORZ_A, P.PARTITION_VERT_A, P.PARTITION_VERT_B]
         if bsize != int(BlockSize.BLOCK_128X128):
-            members.append(P.PARTITION_VERT_4 if vert_alike else P.PARTITION_HORZ_4)
+            members.append(P.PARTITION_HORZ_4 if vert_alike else P.PARTITION_VERT_4)
 
         def element_prob(k):
             prev = 32768 if k == 0 else int(incdf[k - 1])
@@ -774,12 +870,13 @@ class TileCodec:
 
     # ------------------------------------------------------------------ block
 
-    def _code_block(self, enc, dec, plan, mi_row, mi_col, bsize):
+    def _code_block(self, enc, dec, plan, mi_row, mi_col, bsize, partition=0):
         p = self.p
         fc = self.fc
         bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
         key = (mi_row, mi_col, bsize)
         d = plan.blocks[key] if enc is not None else BlockDecision()
+        d._partition = partition  # containing-node partition (tr/bl tables)
 
         # --- skip
         sctx = self._skip_ctx(mi_row, mi_col)
@@ -818,6 +915,7 @@ class TileCodec:
 
         # update mode/skip grids + per-mi mode info
         self.mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.y_mode
+        self.uv_mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.uv_mode
         self.mode_valid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = True
         self.skip_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.skip
         self.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
@@ -831,14 +929,33 @@ class TileCodec:
                 self._reconstruct(dec_levels=None, d=d, mi_row=mi_row, mi_col=mi_col, bsize=bsize)
             return
 
-        tx_size_y = int(MAX_TXSIZE_RECT[bsize])
+        tx_size_y = d.tx_size_y if d.tx_size_y >= 0 else int(MAX_TXSIZE_RECT[bsize])
         tx_size_uv = int(max_uv_txsize(bsize))
+        has_chroma = self._has_chroma(mi_row, mi_col, bsize)
         levels = {}
         for plane, tx_size, lv in ((0, tx_size_y, d.levels_y), (1, tx_size_uv, d.levels_u), (2, tx_size_uv, d.levels_v)):
+            if plane > 0 and not has_chroma:
+                continue
             ss = 0 if plane == 0 else 1
             px4 = mi_col >> ss
             py4 = mi_row >> ss
             plane_type = int(plane > 0)
+            if plane == 0 and dec is not None and tx_size != int(MAX_TXSIZE_RECT[bsize]):
+                # TX_MODE_SELECT sub-block luma txbs (decode-only): raster
+                # loop, per-txb contexts and tx type (spec residual())
+                tw4, th4 = int(TX_W[tx_size]) // 4, int(TX_H[tx_size]) // 4
+                txbs = []
+                for toff_y in range(0, bh4, th4):
+                    for toff_x in range(0, bw4, tw4):
+                        tctx, dctx = self._txb_ctx(0, px4 + toff_x, py4 + toff_y,
+                                                   tx_size, plane_bsize_equal=False)
+                        lv2, cul = self._code_txb(None, dec, d, 0, 0, tx_size,
+                                                  tctx, dctx, None, None)
+                        self._set_txb_ctx(0, px4 + toff_x, py4 + toff_y, tx_size, cul)
+                        txbs.append((toff_y, toff_x,
+                                     int(getattr(self, "_eff_luma_tx", d.tx_type)), lv2))
+                levels[0] = txbs
+                continue
             tctx, dctx = self._txb_ctx(plane, px4, py4, tx_size, plane_bsize_equal=True)
             if enc is not None:
                 adj = txb_mod.adjusted_tx_size(tx_size)
@@ -867,7 +984,8 @@ class TileCodec:
         else:
             d.y_mode = self._sym_r(dec, ycdf, nsy)
 
-        if is_directional(d.y_mode):
+        use_angle_delta = int(BLOCK_W[bsize]) >= 8 and int(BLOCK_H[bsize]) >= 8
+        if is_directional(d.y_mode) and use_angle_delta:
             adcdf = fc["angle_delta"][d.y_mode - int(PredMode.V_PRED)]
             if enc is not None:
                 self._sym_w(enc, adcdf, d.angle_delta_y + 3, 7)
@@ -881,7 +999,20 @@ class TileCodec:
                 self._sym_w(enc, fc["uv_mode"][int(cfl_allowed)][d.y_mode], d.uv_mode, nsyms)
             else:
                 d.uv_mode = self._sym_r(dec, fc["uv_mode"][int(cfl_allowed)][d.y_mode], nsyms)
-            if is_directional(d.uv_mode):
+            if d.uv_mode == UV_CFL_PRED:
+                assert dec is not None, "the encoder does not emit CfL"
+                # spec read_cfl_alphas: joint sign + per-channel alpha index
+                js = self._sym_r(dec, fc["cfl_sign"], 8)
+                sign_u, sign_v = (js + 1) // 3, (js + 1) % 3
+                idx_u = idx_v = 0
+                if sign_u != 0:
+                    idx_u = self._sym_r(dec, fc["cfl_alpha"][js + 1 - 3], 16) + 1
+                if sign_v != 0:
+                    ctx_v = sign_v * 3 + sign_u - 3
+                    idx_v = self._sym_r(dec, fc["cfl_alpha"][ctx_v], 16) + 1
+                d.cfl_alpha_u = idx_u * (1 if sign_u == 2 else -1)
+                d.cfl_alpha_v = idx_v * (1 if sign_v == 2 else -1)
+            elif is_directional(d.uv_mode) and use_angle_delta:
                 adcdf = fc["angle_delta"][d.uv_mode - int(PredMode.V_PRED)]
                 if enc is not None:
                     self._sym_w(enc, adcdf, d.angle_delta_uv + 3, 7)
@@ -1050,7 +1181,9 @@ class TileCodec:
             return self._read_txb_with_txtype(dec, d, plane, plane_type, tx_size, tctx, dctx)
 
     def _txtype_signal_info(self, tx_size, is_inter: bool = False):
-        set_type = ext_tx_set_type_inter(tx_size) if is_inter else ext_tx_set_type_intra(tx_size)
+        red = int(self.p.reduced_tx_set)
+        set_type = (ext_tx_set_type_inter(tx_size, red) if is_inter
+                    else ext_tx_set_type_intra(tx_size, red))
         nsym = AV1_NUM_EXT_TX_SET[set_type]
         if nsym <= 1 or self.p.qindex == 0:
             return None
@@ -1060,9 +1193,13 @@ class TileCodec:
         return set_type, eset, int(TX_SIZE_SQR[tx_size]), nsym
 
     def _chroma_tx_type(self, d, tx_size):
+        red = int(self.p.reduced_tx_set)
         if d.is_inter:
-            return chroma_tx_type_inter(getattr(self, "_eff_luma_tx", int(d.tx_type)), tx_size)
-        return chroma_tx_type(d.uv_mode, tx_size)
+            return chroma_tx_type_inter(getattr(self, "_eff_luma_tx", int(d.tx_type)),
+                                        tx_size, red)
+        # CfL derives its tx type as DC (spec get_uv_mode: UV_CFL -> DC)
+        uvm = int(PredMode.DC_PRED) if d.uv_mode == UV_CFL_PRED else d.uv_mode
+        return chroma_tx_type(uvm, tx_size, red)
 
     def _write_txb_with_txtype(self, enc, d, plane, plane_type, tx_size, tctx, dctx, lv2):
         fc = self.fc
@@ -1120,19 +1257,113 @@ class TileCodec:
         bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
         self.above_ctx[0][mi_col : mi_col + bw4] = 0
         self.left_ctx[0][mi_row : mi_row + bh4] = 0
+        if not self._has_chroma(mi_row, mi_col, bsize):
+            return
         for pl in (1, 2):
             self.above_ctx[pl][mi_col >> 1 : (mi_col >> 1) + max(bw4 >> 1, 1)] = 0
             self.left_ctx[pl][mi_row >> 1 : (mi_row >> 1) + max(bh4 >> 1, 1)] = 0
 
     # ------------------------------------------------------------------ recon
 
+    def _filt_type(self, mi_row, mi_col, plane):
+        """get_filt_type: 1 when the above or left neighbor block is a
+        smooth intra mode (intra_prediction.c:128-144)."""
+        smooth = (int(PredMode.SMOOTH_PRED), int(PredMode.SMOOTH_V_PRED),
+                  int(PredMode.SMOOTH_H_PRED))
+        grid = self.uv_mode_grid if plane else self.mode_grid
+
+        def sm(r, c):
+            return bool(self.mode_valid[r, c]) and int(grid[r, c]) in smooth
+
+        ab = sm(mi_row - 1, mi_col) if mi_row > self.mi_row0 else False
+        le = sm(mi_row, mi_col - 1) if mi_col > self.mi_col0 else False
+        return 1 if (ab or le) else 0
+
+    def _recon_intra_plane_txbs(self, d, mi_row, mi_col, bsize, plane, tx_size,
+                                txbs):
+        """Normative per-txb intra recon (TX_MODE_SELECT and/or intra edge
+        filter): spec residual() -> predict_intra + reconstruct per txb in
+        raster order. `txbs` = [(toff_y4, toff_x4, tx_type, levels|None)]."""
+        p = self.p
+        ss = 0 if plane == 0 else 1
+        rec = self._recon[plane]
+        bw4, bh4 = int(BLOCK_W[bsize]) // 4, int(BLOCK_H[bsize]) // 4
+        pw4, ph4 = max(bw4 >> ss, 1), max(bh4 >> ss, 1)
+        tw, th = int(TX_W[tx_size]), int(TX_H[tx_size])
+        tw4, th4 = tw // 4, th // 4
+        # plane-mi position (rounds sub-8x8 chroma to its covering 8x8 unit)
+        cm_row, cm_col = mi_row >> ss, mi_col >> ss
+        px0, py0 = cm_col * 4, cm_row * 4
+        frame_w = (p.mi_cols * 4) >> ss
+        frame_h = (p.mi_rows * 4) >> ss
+        mode = d.y_mode if plane == 0 else d.uv_mode
+        if plane > 0 and mode == UV_CFL_PRED:
+            mode = int(PredMode.DC_PRED)
+        delta = d.angle_delta_y if plane == 0 else d.angle_delta_uv
+        filt_type = self._filt_type(mi_row, mi_col, plane)
+        fi = d.filter_intra_mode if (plane == 0 and d.use_filter_intra) else None
+        for (ty, tx, tx_type, lv2) in txbs:
+            px, py = px0 + tx * 4, py0 + ty * 4
+            have_top = ty > 0 or cm_row > (self.mi_row0 >> ss)
+            have_left = tx > 0 or cm_col > (self.mi_col0 >> ss)
+            xr = frame_w - (px + tw)
+            yd = frame_h - (py + th)
+            right_av = ((cm_col + tx + tw4) << ss) < self.mi_col1
+            bottom_av = yd > 0 and ((cm_row + ty + th4) << ss) < self.mi_row1
+            part = int(getattr(d, "_partition", 0))
+            tr = intra_ops.intra_has_top_right(bsize, mi_row, mi_col, have_top,
+                                               right_av, part, txw4=tw4,
+                                               row_off=ty, col_off=tx, ss_x=ss)
+            bl = intra_ops.intra_has_bottom_left(bsize, mi_row, mi_col, bottom_av,
+                                                 have_left, part, txh4=th4,
+                                                 row_off=ty, col_off=tx, ss_y=ss)
+            n_top = min(tw, xr + tw) if have_top else 0
+            n_tr = max(min(tw, xr), 0) if tr else 0
+            n_left = min(th, yd + th) if have_left else 0
+            n_bl = max(min(th, yd), 0) if bl else 0
+            pred = intra_ops.predict_unit_normative(
+                rec, px, py, tw, th, p.bd, int(mode), int(delta),
+                n_top, n_tr, n_left, n_bl, filt_type,
+                bool(p.enable_intra_edge_filter), fi_mode=fi)
+            if plane > 0 and d.uv_mode == UV_CFL_PRED:
+                alpha = d.cfl_alpha_u if plane == 1 else d.cfl_alpha_v
+                pred = intra_ops.cfl_apply(pred, self._recon[0], px, py, tw, th,
+                                           alpha, p.bd)
+            if lv2 is None or not np.any(lv2):
+                rec[py : py + th, px : px + tw] = pred
+                continue
+            full = np.zeros((min(th, 64), min(tw, 64)), np.int32)
+            full[: lv2.shape[0], : lv2.shape[1]] = lv2
+            dqc = quant_ops.dequantize_np(full, p.qindex, full.shape[1],
+                                          full.shape[0], p.bd)
+            rec[py : py + th, px : px + tw] = txfm_ops.inv_txfm2d_add_np(
+                dqc[None], pred[None], int(tx_type), p.bd)[0]
+
     def _reconstruct(self, dec_levels, d, mi_row, mi_col, bsize):
         """Decoder-side prediction + dequant + inverse transform + recon."""
         p = self.p
         x, y = mi_col * 4, mi_row * 4
         bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
-        tx_size_y = int(MAX_TXSIZE_RECT[bsize])
+        tx_size_y = d.tx_size_y if d.tx_size_y >= 0 else int(MAX_TXSIZE_RECT[bsize])
         tx_size_uv = int(max_uv_txsize(bsize))
+        if (p.tx_mode == 1 or p.enable_intra_edge_filter) and not d.is_inter:
+            # normative per-txb path (reference-encoded streams)
+            for plane in range(3):
+                if plane and not self._has_chroma(mi_row, mi_col, bsize):
+                    continue
+                tx_size = tx_size_y if plane == 0 else tx_size_uv
+                if plane == 0:
+                    if dec_levels is not None and isinstance(dec_levels.get(0), list):
+                        txbs = dec_levels[0]
+                    else:
+                        lv = None if (d.skip or dec_levels is None) else dec_levels.get(0)
+                        txbs = [(0, 0, int(d.tx_type), lv)]
+                else:
+                    lv = None if (d.skip or dec_levels is None) else dec_levels.get(plane)
+                    txbs = [(0, 0, self._chroma_tx_type(d, tx_size), lv)]
+                self._recon_intra_plane_txbs(d, mi_row, mi_col, bsize, plane,
+                                             tx_size, txbs)
+            return
         for plane in range(3):
             ss = 0 if plane == 0 else 1
             px, py = x >> ss, y >> ss

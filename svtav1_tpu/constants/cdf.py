@@ -147,3 +147,20 @@ class FrameContext:
         fc = object.__new__(FrameContext)
         fc.tables = {k: v.copy() for k, v in self.tables.items()}
         return fc
+
+    def reset_counters(self) -> None:
+        """Zero every cdf's update counter, keeping the probabilities
+        (av1_reset_cdf_symbol_counters: the spec's frame-end context adoption
+        resets counters, so inherited contexts restart at the fast
+        adaptation rate). The counter sits right after the cdf's terminal
+        zero (icdf[nsym-1] == 0, counter at [nsym])."""
+        for v in self.tables.values():
+            if v.ndim == 0 or v.shape[-1] < 2:
+                continue
+            rows = v.reshape(-1, v.shape[-1])
+            has_zero = (rows == 0).any(axis=-1)
+            first_zero = np.argmax(rows == 0, axis=-1)
+            cnt_idx = np.minimum(first_zero + 1, rows.shape[-1] - 1)
+            keep = np.take_along_axis(rows, cnt_idx[:, None], axis=-1)
+            new = np.where(has_zero[:, None], 0, keep)
+            np.put_along_axis(rows, cnt_idx[:, None], new, axis=-1)

@@ -116,6 +116,8 @@ class FrameInfo:
     lr_types: tuple = (0, 0, 0)
     lr_unit_shift: int = 0
     lr_uv_shift: int = 1
+    tx_mode: int = 0
+    reduced_tx_set: int = 0
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
@@ -165,11 +167,15 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     if not disable_cdf_update:
         frame_end_update_cdf = r.f(1) == 0  # disable_frame_end_update_cdf
     assert r.f(1) == 1  # uniform_tile_spacing
+    sb_cols = (seq.width + 63) // 64
+    sb_rows = (seq.height + 63) // 64
+    max_tcl = max(int(np.ceil(np.log2(sb_cols))), 0) if sb_cols > 1 else 0
+    max_trl = max(int(np.ceil(np.log2(sb_rows))), 0) if sb_rows > 1 else 0
     tcl = 0
-    while r.f(1) == 1:
+    while tcl < max_tcl and r.f(1) == 1:
         tcl += 1
     trl = 0
-    while r.f(1) == 1:
+    while trl < max_trl and r.f(1) == 1:
         trl += 1
     if tcl or trl:
         r.f(tcl + trl)  # context_update_tile_id
@@ -213,10 +219,10 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                 lr_unit_shift += r.f(1)
             if any(lr_types[1:]):
                 lr_uv_shift = r.f(1)
-    assert r.f(1) == 0  # tx_mode_select -> LARGEST
+    tx_mode = r.f(1)  # tx_mode_select: 0 LARGEST, 1 SELECT
     if not is_intra:
         assert r.f(1) == 0  # reference_select
-    assert r.f(1) == 0  # reduced_tx_set
+    reduced_tx_set = r.f(1)
     if not is_intra:
         for _ in range(7):
             assert r.f(1) == 0  # is_global
@@ -231,7 +237,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                      lf_sharpness=lf_sharpness, cdef_damping=cdef_damping,
                      cdef_y=cdef_y, cdef_uv=cdef_uv, primary_ref_frame=primary_ref,
                      frame_end_update_cdf=frame_end_update_cdf, lr_types=lr_types,
-                     lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift)
+                     lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
+                     tx_mode=tx_mode, reduced_tx_set=reduced_tx_set)
 
 
 @dataclass
@@ -306,7 +313,9 @@ class Decoder:
                              lf_levels=fi.lf_levels, lf_sharpness=fi.lf_sharpness,
                              enable_filter_intra=seq.enable_filter_intra,
                              lr_types=fi.lr_types, lr_unit_shift=fi.lr_unit_shift,
-                             lr_uv_shift=fi.lr_uv_shift)
+                             lr_uv_shift=fi.lr_uv_shift, tx_mode=fi.tx_mode,
+                             reduced_tx_set=fi.reduced_tx_set,
+                             enable_intra_edge_filter=seq.enable_intra_edge_filter)
         lr_out = None
         if params.lr_active:
             from ..filters import restoration as lr_mod

@@ -235,14 +235,24 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
         # use_ref_frame_mvs: absent (seq enable_ref_frame_mvs = 0)
     if not fr.disable_cdf_update:
         w.f(0 if fr.frame_end_update_cdf else 1, 1)  # disable_frame_end_update_cdf
-    # tile_info() — uniform spacing; min log2 == 0 up to 4096-wide frames
+    # tile_info() — uniform spacing; min log2 == 0 up to 4096-wide frames.
+    # Increment bits exist only while below the max (spec tile_info): no
+    # stop bit when the frame has a single SB column/row or log2 == max.
+    import math
+
+    sb_cols = (seq.width + 63) // 64
+    sb_rows = (seq.height + 63) // 64
+    max_tcl = int(math.ceil(math.log2(sb_cols))) if sb_cols > 1 else 0
+    max_trl = int(math.ceil(math.log2(sb_rows))) if sb_rows > 1 else 0
     w.f(1, 1)  # uniform_tile_spacing_flag
     for _ in range(fr.tile_cols_log2):
         w.f(1, 1)
-    w.f(0, 1)  # increment_tile_cols_log2 stop
+    if fr.tile_cols_log2 < max_tcl:
+        w.f(0, 1)  # increment_tile_cols_log2 stop
     for _ in range(fr.tile_rows_log2):
         w.f(1, 1)
-    w.f(0, 1)  # increment_tile_rows_log2 stop
+    if fr.tile_rows_log2 < max_trl:
+        w.f(0, 1)  # increment_tile_rows_log2 stop
     if fr.tile_cols_log2 or fr.tile_rows_log2:
         w.f(0, fr.tile_cols_log2 + fr.tile_rows_log2)  # context_update_tile_id
         w.f(3, 2)  # tile_size_bytes_minus_1 -> 4-byte LE tile sizes

@@ -801,22 +801,25 @@ static void write_partition_c(Ec *e, TileParams *tp, TileState *st, int mi_row, 
     } else if (!has_rows && !has_cols) {
         /* forced split, no symbol */
     } else {
-        /* gathered bool: split-alike probability */
+        /* gathered bool: split-alike probability (spec split_or_horz /
+           split_or_vert; the sets are the partitions whose VISIBLE half
+           contains a split edge — right edge sums HORZ-ish, bottom edge
+           sums VERT-ish). */
         int32_t p0 = 32768;
-        if (has_rows) { /* right edge: vert-alike */
-            p0 -= cdf_elem_prob(cdf, 2);  /* VERT */
-            p0 -= cdf_elem_prob(cdf, 3);  /* SPLIT */
-            p0 -= cdf_elem_prob(cdf, 4);  /* HORZ_A */
-            p0 -= cdf_elem_prob(cdf, 6);  /* VERT_A */
-            p0 -= cdf_elem_prob(cdf, 7);  /* VERT_B */
-            p0 -= cdf_elem_prob(cdf, 9);  /* VERT_4 */
-        } else { /* bottom edge: horz-alike */
+        if (has_rows) { /* right edge: split_or_vert (horz-alike set) */
             p0 -= cdf_elem_prob(cdf, 1);  /* HORZ */
             p0 -= cdf_elem_prob(cdf, 3);  /* SPLIT */
             p0 -= cdf_elem_prob(cdf, 4);  /* HORZ_A */
             p0 -= cdf_elem_prob(cdf, 5);  /* HORZ_B */
             p0 -= cdf_elem_prob(cdf, 6);  /* VERT_A */
             p0 -= cdf_elem_prob(cdf, 8);  /* HORZ_4 */
+        } else { /* bottom edge: split_or_horz (vert-alike set) */
+            p0 -= cdf_elem_prob(cdf, 2);  /* VERT */
+            p0 -= cdf_elem_prob(cdf, 3);  /* SPLIT */
+            p0 -= cdf_elem_prob(cdf, 4);  /* HORZ_A */
+            p0 -= cdf_elem_prob(cdf, 6);  /* VERT_A */
+            p0 -= cdf_elem_prob(cdf, 7);  /* VERT_B */
+            p0 -= cdf_elem_prob(cdf, 9);  /* VERT_4 */
         }
         int32_t g[3] = {32768 - p0, 0, 0};
         ec_encode_symbol(e, g, 2, part == 3, 0);

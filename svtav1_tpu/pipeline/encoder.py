@@ -511,8 +511,12 @@ class Encoder:
 
         self.dpb[disp_idx] = {"planes": recon, "order_hint": order_hint, "slot": slot}
         # store the frame context with every refreshed slot: tile 0's
-        # adapted end state when frame_end_update_cdf, else the initial
+        # adapted end state when frame_end_update_cdf, else the initial.
+        # The adopted context restarts its update counters (spec frame-end
+        # context adoption; av1_reset_cdf_symbol_counters)
         saved_ctx = walk_fc if cfg.cdf_inheritance else None
+        if saved_ctx is not None:
+            saved_ctx.reset_counters()
         if is_key:
             self._cdf_slots = [saved_ctx] * 8
         else:
