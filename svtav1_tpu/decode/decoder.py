@@ -359,6 +359,14 @@ class Decoder:
         # disable_frame_end_update_cdf (spec decode_frame_wrapup)
         saved_ctx = (fc0 if (fi.frame_end_update_cdf and not fi.disable_cdf_update)
                      else fc_init)
+        # The adopted context restarts its adaptation counters, exactly as
+        # the encoder does when storing (spec frame-end context adoption /
+        # av1_reset_cdf_symbol_counters). Without this, adaptation *rates*
+        # diverge on the first frame that inherits this context and the
+        # parse desyncs. reset_counters is idempotent, so re-resetting a
+        # context that was already stored reset (fc_init aliasing a slot)
+        # is safe.
+        saved_ctx.reset_counters()
 
         if any(fi.lf_levels):
             from ..filters import dlf

@@ -22,7 +22,7 @@ def _int_range(lo, hi):
     return parse
 
 
-def _choice(*allowed):
+def _int_choice(*allowed):
     def parse(v):
         x = int(v)
         if x not in allowed:
@@ -40,7 +40,7 @@ def _bool(v):
     raise ParamError(f"not a boolean: {v}")
 
 
-def _choice(*opts):
+def _str_choice(*opts):
     def parse(v):
         if v not in opts:
             raise ParamError(f"expected one of {opts}, got {v}")
@@ -54,19 +54,24 @@ _PARAMS = {
     "width": ("width", _int_range(8, 16384)),
     "height": ("height", _int_range(8, 8704)),
     "qp": ("qindex", _int_range(1, 255)),  # 0 would be CodedLossless (unsupported syntax)
-    "crf": ("qindex", _int_range(1, 255)),  # CQP profile: crf maps to qindex
-    "input-depth": ("bd", _choice(8, 10)),
+    "crf": ("qindex", _int_range(1, 255)),  # sets the CRF target qindex (use rc=crf)
+    "input-depth": ("bd", _int_choice(8, 10)),
     "keyint": ("keyint", _int_range(1, 1 << 16)),
-    "hierarchical-levels": ("minigop", lambda v: 1 << _int_range(0, 2)(v)),
+    "hierarchical-levels": ("minigop", lambda v: 1 << _int_range(0, 3)(v)),
     "tile-columns": ("tile_cols_log2", _int_range(0, 4)),
     "tile-rows": ("tile_rows_log2", _int_range(0, 4)),
     "enable-dlf": ("enable_dlf", _bool),
     "enable-cdef": ("enable_cdef", _bool),
-    "rc": ("rc_mode", _choice("cqp", "cbr")),
+    "enable-restoration": ("enable_restoration", _bool),
+    "enable-rdoq": ("enable_rdoq", _bool),
+    "enable-tf": ("enable_tf", _bool),
+    "rc": ("rc_mode", _str_choice("cqp", "cbr", "crf", "vbr")),
     "tbr": ("target_kbps", lambda v: float(v)),
     "fps": ("fps", lambda v: float(v)),
     "scd": ("scene_cut", _bool),
-    "mode-decision": ("mode_decision", _choice("numpy", "jax")),
+    "lookahead": ("lookahead", _int_range(2, 120)),
+    "intra-batch": ("intra_batch", _int_range(1, 64)),
+    "mode-decision": ("mode_decision", _str_choice("numpy", "jax")),
 }
 
 
