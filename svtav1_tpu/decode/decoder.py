@@ -226,9 +226,12 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     if not is_intra:
         for _ in range(7):
             assert r.f(1) == 0  # is_global
+    # spec 5.10.1: the frame header byte-aligns BEFORE the tile group; the
+    # tile group's tile_start_and_end_present_flag then re-aligns (5.11.1)
+    r.byte_alignment()
     if tcl or trl:
         assert r.f(1) == 0  # tile_start_and_end_present_flag
-    r.byte_alignment()
+        r.byte_alignment()
     return FrameInfo(qindex=qindex, disable_cdf_update=bool(disable_cdf_update),
                      header_bytes=r.pos // 8, tile_cols_log2=tcl, tile_rows_log2=trl,
                      frame_type=frame_type, show_frame=bool(show_frame), order_hint=order_hint,

@@ -322,9 +322,13 @@ def frame_obu(seq: SequenceConfig, fr: FrameConfig, tile_payloads) -> bytes:
         tile_payloads = [tile_payloads]
     w = frame_header_bits(seq, fr)
     ntiles = len(tile_payloads)
+    # spec 5.10.1 frame_obu: frame_header_obu, byte_alignment, THEN
+    # tile_group_obu — whose tile_start_and_end_present_flag (must be 0 for
+    # OBU_FRAME) is followed by its own byte_alignment (5.11.1)
+    w.byte_alignment()
     if ntiles > 1:
         w.f(0, 1)  # tile_start_and_end_present_flag (OBU_FRAME: full group)
-    w.byte_alignment()
+        w.byte_alignment()
     body = bytearray(w.bytes())
     for i, tp in enumerate(tile_payloads):
         if i < ntiles - 1:

@@ -70,6 +70,30 @@ def available() -> bool:
     return lib is not None and hasattr(lib, "aom_codec_av1_dx")
 
 
+def verify_tus(tus, expected_shown) -> int:
+    """Decode a list of TU byte strings through libaom and assert each shown
+    frame equals the expected (y, u, v) int planes bit-exactly (display
+    crop, display order). Returns the number of frames checked; 0 when
+    libaom is unavailable (callers treat that as skip — the in-repo decoder
+    comparison still runs). Reference analog: test/e2e_test/RefDecoder.h:30
+    ("reference tool of conformance")."""
+    if not available():
+        return 0
+    dec = AomDecoder()
+    shown = []
+    for tu in tus:
+        shown.extend(dec.decode(tu))
+    assert len(shown) == len(expected_shown), \
+        f"libaom produced {len(shown)} frames, expected {len(expected_shown)}"
+    for d, ((y, u, v), exp) in enumerate(zip(shown, expected_shown)):
+        for pl, (got, want) in enumerate(zip((y, u, v), exp)):
+            want = np.asarray(want, np.int32)
+            got = got[: want.shape[0], : want.shape[1]]
+            assert np.array_equal(got, want), \
+                f"libaom mismatch frame {d} plane {pl}"
+    return len(shown)
+
+
 class AomDecoder:
     """Minimal stateful AV1 decoder over libaom's C API."""
 

@@ -13,6 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the big jitted frame programs recompile only
@@ -20,3 +21,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# ---------------------------------------------------------------- test tiers
+# e2e/compile-heavy modules are marked slow so `pytest -m "not slow"` is a
+# fast smoke tier (reference analog: unit vs E2E gtest binary split,
+# test/Readme.md). Module-level marking keeps the opt-out in one place.
+_SLOW_MODULES = {
+    "test_e2e_intra", "test_e2e_inter", "test_hierarchical",
+    "test_cdf_inheritance", "test_inter_device", "test_tpl_crf",
+    "test_rdoq", "test_restoration", "test_multichip", "test_10bit",
+    "test_device_path_quality", "test_intra_batch", "test_filter_intra",
+    "test_dims", "test_mctf", "test_vbr", "test_compound",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -30,9 +30,11 @@ def moving_clip(w, h, n, seed=7, step=(1, 2)):
 
 
 def roundtrip(frames, w, h, qindex=100, keyint=8):
+    from svtav1_tpu.utils import aomdec
+
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, keyint=keyint))
     dec = Decoder()
-    sizes, psnrs = [], []
+    sizes, psnrs, tus, shown = [], [], [], []
     for i, (y, u, v) in enumerate(frames):
         tu, recon = enc.encode_frame(y, u, v)
         dy, du, dv, drecon = dec.decode_tu(tu)
@@ -41,6 +43,10 @@ def roundtrip(frames, w, h, qindex=100, keyint=8):
         mse = ((dy.astype(float) - y) ** 2).mean()
         psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
         sizes.append(len(tu))
+        tus.append(tu)
+        shown.append((recon[0][:h, :w], recon[1][: (h + 1) // 2, : (w + 1) // 2],
+                      recon[2][: (h + 1) // 2, : (w + 1) // 2]))
+    aomdec.verify_tus(tus, shown)  # independent conformance oracle
     return sizes, psnrs
 
 

@@ -18,12 +18,15 @@ def synth_frame(w, h, seed=0, noise=4.0):
 
 
 def roundtrip(w, h, qindex, seed=0):
+    from svtav1_tpu.utils import aomdec
+
     y, u, v = synth_frame(w, h, seed)
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex))
     tu, recon = enc.encode_frame(y, u, v)
     dy, du, dv, drecon = decode_temporal_unit(tu)
     for i in range(3):
         assert np.array_equal(recon[i], drecon[i]), f"plane {i} recon mismatch"
+    aomdec.verify_tus([tu], [(dy, du, dv)])  # independent conformance oracle
     mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
     psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
     return len(tu), psnr, (dy, du, dv)
@@ -67,5 +70,8 @@ def test_tiles_roundtrip(tcl, trl):
     dy, du, dv, drecon = decode_temporal_unit(tu)
     for i in range(3):
         assert np.array_equal(recon[i], drecon[i])
+    from svtav1_tpu.utils import aomdec
+
+    aomdec.verify_tus([tu], [(dy, du, dv)])  # tile streams through libaom too
     mse = ((dy.astype(float) - y.astype(float)) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / mse) > 30.0

@@ -50,7 +50,7 @@ def _run(frames, w, h, minigop, keyint=64, qindex=100):
     for f in frames:
         packets += enc.send_frame(*f)
     packets += enc.flush()
-    displayed, total = [], 0
+    displayed, shown_yuv, total = [], [], 0
     for pkt in packets:
         dy, du, dv, drecon = dec.decode_tu(pkt.tu)
         if pkt.recon is not None:
@@ -59,8 +59,12 @@ def _run(frames, w, h, minigop, keyint=64, qindex=100):
         assert (dy is not None) == (pkt.shown_disp_idx is not None)
         if dy is not None:
             displayed.append(dy)
+            shown_yuv.append((dy, du, dv))
         total += len(pkt.tu)
     assert len(displayed) == len(frames)
+    from svtav1_tpu.utils import aomdec
+
+    aomdec.verify_tus([pkt.tu for pkt in packets], shown_yuv)  # libaom oracle
     psnrs = []
     for i, dy in enumerate(displayed):
         mse = ((dy.astype(float) - frames[i][0]) ** 2).mean()

@@ -78,7 +78,7 @@ def _roundtrip(frames, w, h, rdoq, qindex=120, keyint=4):
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=qindex, keyint=keyint,
                                 mode_decision="jax", enable_rdoq=rdoq))
     dec = Decoder()
-    total, psnrs = 0, []
+    total, psnrs, tus, shown = 0, [], [], []
     for i, (y, u, v) in enumerate(frames):
         tu, recon = enc.encode_frame(y, u, v)
         dy, du, dv, drecon = dec.decode_tu(tu)
@@ -88,6 +88,11 @@ def _roundtrip(frames, w, h, rdoq, qindex=120, keyint=4):
         mse = ((dy.astype(float) - y) ** 2).mean()
         psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
         total += len(tu)
+        tus.append(tu)
+        shown.append((dy, du, dv))
+    from svtav1_tpu.utils import aomdec
+
+    aomdec.verify_tus(tus, shown)  # independent conformance oracle
     return total, float(np.mean(psnrs))
 
 
