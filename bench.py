@@ -90,13 +90,12 @@ def main() -> None:
         return dict(fps=nframes / dt, warm=warm, bpf=total_bytes / nframes,
                     psnr=psnr_y(shown, frames), stages=profiler.report())
 
+    # PRIMARY metric (inter) runs FIRST and its JSON line prints the moment
+    # it is ready — a driver timeout during the secondary intra pass still
+    # leaves a complete result on stdout (VERDICT r3 weak #2).
     shown_recon: dict = {}
-    batch = int(os.environ.get("BENCH_BATCH", 8))
-    intra = run_config(dict(intra_batch=batch))
-    shown_recon = {}
     inter = run_config(dict(keyint=nframes))  # 1 key + P frames
-
-    print(json.dumps({
+    result = {
         "metric": f"inter (keyint={nframes}) encode fps {w}x{h} q{qindex} (full pipeline, 1 chip)",
         "value": round(inter["fps"], 4),
         "unit": "frames/s",
@@ -108,6 +107,15 @@ def main() -> None:
         "ref_bytes_per_frame": round(REF["inter_bytes"], 1),
         "warmup_s": round(inter["warm"], 1),
         "stages_s": inter["stages"],
+    }
+    print(json.dumps(result), flush=True)
+    if os.environ.get("BENCH_SKIP_INTRA", "0") == "1":
+        return
+
+    shown_recon = {}
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    intra = run_config(dict(intra_batch=batch))
+    result.update({
         "intra_fps": round(intra["fps"], 4),
         "intra_vs_baseline": round(intra["fps"] / REF["intra_fps"], 5),
         "intra_psnr_db": round(intra["psnr"], 3),
@@ -116,7 +124,8 @@ def main() -> None:
         "intra_ref_bytes_per_frame": round(REF["intra_bytes"], 1),
         "intra_warmup_s": round(intra["warm"], 1),
         "intra_stages_s": intra["stages"],
-    }))
+    })
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

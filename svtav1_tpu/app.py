@@ -28,8 +28,15 @@ def main(argv=None) -> int:
     ap.add_argument("--keyint", type=int, default=1, help="key frame interval (1 = all-intra)")
     ap.add_argument("--minigop", type=int, default=1, choices=[1, 2, 4],
                     help="mini-GoP size (1 = low-delay, >1 = hierarchical-B)")
-    ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr", "crf"],
-                    help="rate control mode (crf = TPL r0-based q assignment)")
+    ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr", "crf", "vbr"],
+                    help="rate control mode (crf = TPL r0 q assignment, vbr = bits/MB model)")
+    ap.add_argument("--enable-tf", action="store_true",
+                    help="MCTF temporal filtering of key frames")
+    ap.add_argument("--enable-restoration", action="store_true",
+                    help="loop restoration (Wiener/SGR per-unit RDO)")
+    ap.add_argument("--no-rdoq", action="store_true", help="disable device RDOQ")
+    ap.add_argument("--tile-columns", type=int, default=0, help="log2 tile columns")
+    ap.add_argument("--tile-rows", type=int, default=0, help="log2 tile rows")
     ap.add_argument("--tbr", type=float, default=0.0, help="CBR target bitrate (kbit/s)")
     ap.add_argument("--lookahead", type=int, default=16, help="CRF TPL window (frames)")
     ap.add_argument("--scd", action="store_true", help="scene change detection (adaptive keys)")
@@ -57,7 +64,11 @@ def main(argv=None) -> int:
                                 keyint=args.keyint, minigop=args.minigop, bd=bd,
                                 rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),
                                 scene_cut=args.scd, intra_batch=args.intra_batch,
-                                lookahead=args.lookahead))
+                                lookahead=args.lookahead, enable_tf=args.enable_tf,
+                                enable_restoration=args.enable_restoration,
+                                enable_rdoq=not args.no_rdoq,
+                                tile_cols_log2=args.tile_columns,
+                                tile_rows_log2=args.tile_rows))
     dec = Decoder()
     tus = []
     recons = []

@@ -111,25 +111,39 @@ def me_fullpel_frame(src_y, ref_y, sb_rows: int, sb_cols: int, l2_radius: int = 
     # shared windows: 8x8 SAD maps summed up the quad-tree (per-size argmin).
     # TWO candidate centers per SB — the pyramid winner and zero MV (the
     # reference always keeps a (0,0) candidate; guards against pyramid
-    # aliasing on periodic content and static regions).
+    # aliasing on periodic content and static regions). Leaf windows are
+    # STATIC slices of one shared (64+2r)^2 window per SB: the zero-center
+    # window comes from an edge-padded plane with no gather at all, the
+    # MV-center window is one small per-SB gather — dynamic-gather traffic
+    # is the decide pass's real cost on TPU.
     r = leaf_radius
     D = 2 * r + 1
     src8 = src_y.reshape(sb_rows, 8, 8, sb_cols, 8, 8)  # (Rsb, 8r, 8px, Csb, 8c, 8px)
     src8 = src8.transpose(0, 3, 1, 4, 2, 5).reshape(B * 64, 8, 8)
-    y8 = (rr * 64)[:, None] + jnp.arange(0, 64, 8)[None, :]  # (B, 8)
-    x8 = (cc * 64)[:, None] + jnp.arange(0, 64, 8)[None, :]
-    ys = (y8[:, :, None] + jnp.zeros((1, 1, 8), jnp.int32)).reshape(-1)
-    xs = (x8[:, None, :] + jnp.zeros((1, 8, 1), jnp.int32)).reshape(-1)
-    ctr = jnp.repeat(mv_sb, 64, axis=0)
-    zero = jnp.zeros((B, 2), jnp.int32)
+    wsz = 64 + 2 * r
 
-    def leaf_maps(center):
-        win8 = gather_windows(ref_y, ys + center[:, 0] - r, xs + center[:, 1] - r,
-                              8 + 2 * r, 8 + 2 * r)
-        return sad_maps(src8, win8, 8, r).reshape(sb_rows, sb_cols, 8, 8, D, D)
+    def leaf_windows_of(sbwin):
+        """(B_sb, 64+2r, 64+2r) SB windows -> (B_sb*64, 8+2r, 8+2r) leaf
+        windows via static slice stacking."""
+        rows = jnp.stack([sbwin[:, 8 * i : 8 * i + 8 + 2 * r] for i in range(8)], 1)
+        both = jnp.stack([rows[..., 8 * j : 8 * j + 8 + 2 * r] for j in range(8)], 2)
+        return both.reshape(B * 64, 8 + 2 * r, 8 + 2 * r)
 
-    centers = (mv_sb, zero)
-    maps = [leaf_maps(jnp.repeat(c, 64, axis=0)) for c in centers]
+    # zero-center: edge-padded plane, overlapping windows by static slices
+    padded = jnp.pad(ref_y, ((r, r), (r, r)), mode="edge")
+    prow = jnp.stack([padded[64 * i : 64 * i + wsz] for i in range(sb_rows)])
+    win_zero = jnp.stack([prow[:, :, 64 * j : 64 * j + wsz] for j in range(sb_cols)], 1)
+    win_zero = win_zero.reshape(B, wsz, wsz)
+    # MV-center: one gather per SB
+    win_mv = gather_windows(ref_y, rr * 64 + mv_sb[:, 0] - r,
+                            cc * 64 + mv_sb[:, 1] - r, wsz, wsz)
+
+    def leaf_maps(sbwin):
+        return sad_maps(src8, leaf_windows_of(sbwin), 8, r) \
+            .reshape(sb_rows, sb_cols, 8, 8, D, D)
+
+    centers = (mv_sb, jnp.zeros((B, 2), jnp.int32))
+    maps = [leaf_maps(win_mv), leaf_maps(win_zero)]
 
     out = {}
     for n in SIZES:
@@ -205,6 +219,104 @@ def mc_lanes(ref, ys, xs, mv_q16_y, mv_q16_x, n_h: int, n_w: int, which: int, bd
     if bits > 0:
         res = (res + (1 << (bits - 1))) >> bits
     return jnp.clip(res, 0, (1 << bd) - 1)
+
+
+def extract_patches(ref, ys, xs, h: int, w: int):
+    """(B,) top-left plane coords -> (B, h, w) patches with spec edge
+    replication (per-index clip). ONE of these per block replaces the
+    per-candidate gathers of the subpel search — TPU lowers dynamic 2-D
+    gathers to a slow path, so gather traffic is the cost that matters."""
+    H, W = ref.shape
+    gy = jnp.clip(ys[:, None] + jnp.arange(h)[None, :], 0, H - 1)
+    gx = jnp.clip(xs[:, None] + jnp.arange(w)[None, :], 0, W - 1)
+    return ref[gy[:, :, None], gx[:, None, :]].astype(jnp.int32)
+
+
+def _mc_patch_static(patch, idy: int, idx: int, sy: int, sx: int, n: int,
+                     which: int, bd: int):
+    """Normative 8-tap MC from a shared (B, n+8, n+8) patch at a STATIC
+    integer shift (idy, idx in {-1, 0} relative to the patch's full-pel
+    origin) and STATIC subpel phase (sy, sx in 0..15). Bit-exact with
+    mc_lanes for the same absolute MV; all addressing is static slicing
+    and the filter kernels are compile-time constants."""
+    from .convolve import filter_for_dim
+
+    fx = filter_kernels(filter_for_dim(which, n))[sx]  # (8,) host constants
+    fy = filter_kernels(filter_for_dim(which, n))[sy]
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    r0, c0 = 1 + idy, 1 + idx  # patch rows [-4 .. n+3] -> tap base iy-3
+    sub = patch[:, r0 : r0 + n + 7, c0 : c0 + n + 7]
+    acc = jnp.full(sub.shape[:1] + (n + 7, n), 1 << (bd + FILTER_BITS - 1), jnp.int32)
+    for k in range(8):
+        if fx[k]:
+            acc = acc + int(fx[k]) * sub[:, :, k : k + n]
+    im = (acc + (1 << (ROUND0 - 1))) >> ROUND0
+    acc = jnp.full(sub.shape[:1] + (n, n), 1 << offset_bits, jnp.int32)
+    for k in range(8):
+        if fy[k]:
+            acc = acc + int(fy[k]) * im[:, k : k + n, :]
+    res = ((acc + (1 << (ROUND1 - 1))) >> ROUND1) \
+        - ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
+    bits = 2 * FILTER_BITS - ROUND0 - ROUND1
+    if bits > 0:
+        res = (res + (1 << (bits - 1))) >> bits
+    return jnp.clip(res, 0, (1 << bd) - 1)
+
+
+def subpel_pred_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
+    """Two-step (half, quarter pel) 9-point refinement that ALSO returns the
+    winner's normative prediction.
+
+    Gather-lean reformulation of subpel_refine_lanes: every candidate of
+    both steps reads the SAME (n+8)^2 patch per block (subpel deltas stay
+    within one integer pel), its integer shift and phase are static per
+    candidate, so the 18 MC evaluations are static slices with constant
+    kernels — ONE dynamic gather per block instead of 18. Returns
+    (mv8 (B, 2), pred (B, n, n)) with pred == mc_lanes(ref, mv8)."""
+    B, n = src_b.shape[0], src_b.shape[-1]
+    patch = extract_patches(ref, ys + mv_fp[:, 0] - 4, xs + mv_fp[:, 1] - 4,
+                            n + 8, n + 8)
+
+    # every reachable total delta lies on the even 1/8-pel lattice
+    # {-6..6}^2: MC each of the 49 points ONCE (static slice + constant
+    # kernels), then run the two sequential argmin stages over the
+    # precomputed SAD grid.
+    lat = (-6, -4, -2, 0, 2, 4, 6)
+    preds = {}
+    sads = {}
+    for dy8 in lat:
+        for dx8 in lat:
+            fy0, fx0 = 2 * dy8, 2 * dx8  # 1/16-pel
+            p = _mc_patch_static(patch, fy0 >> 4, fx0 >> 4, fy0 & 15, fx0 & 15,
+                                 n, which, bd)
+            preds[(dy8, dx8)] = p
+            sads[(dy8, dx8)] = jnp.sum(jnp.abs(p - src_b), axis=(-2, -1))
+
+    # step 1: half-pel 9 points (first-occurrence argmin order as the
+    # sequential search)
+    step1 = [(dy, dx) for dy in (-4, 0, 4) for dx in (-4, 0, 4)]
+    sads1 = jnp.stack([sads[d] for d in step1])
+    k1 = jnp.argmin(sads1, axis=0)  # (B,)
+    oh1 = jax.nn.one_hot(k1, 9, dtype=jnp.int32)  # (B, 9)
+    d1 = jnp.asarray(np.array(step1, np.int32))[k1]  # (B, 2)
+    best_sad = jnp.min(sads1, axis=0)
+    best_pred = sum(preds[step1[c]] * oh1[:, c, None, None] for c in range(9))
+    best_d = d1
+
+    # step 2: quarter-pel points around the step-1 winner — per static
+    # offset, blend the 9 possible totals by one-hot(k1); no gathers.
+    for o2 in [(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]:
+        if o2 == (0, 0):
+            continue
+        pred_o = sum(preds[(d1y + o2[0], d1x + o2[1])] * oh1[:, c, None, None]
+                     for c, (d1y, d1x) in enumerate(step1))
+        sad_o = sum(sads[(d1y + o2[0], d1x + o2[1])] * oh1[:, c]
+                    for c, (d1y, d1x) in enumerate(step1))
+        take = sad_o < best_sad
+        best_sad = jnp.where(take, sad_o, best_sad)
+        best_d = jnp.where(take[:, None], d1 + jnp.asarray(o2, jnp.int32), best_d)
+        best_pred = jnp.where(take[:, None, None], pred_o, best_pred)
+    return mv_fp * 8 + best_d, best_pred
 
 
 def subpel_refine_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):

@@ -50,17 +50,27 @@ def _next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+_SENTINEL = np.int32(1 << 20)  # pad-lane coord: gathers clamp, scatters drop
+
+
 def _build_schedule(leaves_per_frame, dec_per_frame, region):
-    """Sort all frames' leaves by wave per size; return per-size host arrays.
+    """Split each size's leaves into an INTER segment (no neighbor
+    dependence — committed in one batched step before the wavefront) and an
+    INTRA segment sorted by anti-diagonal wave. Returns per-size host arrays
+    laid out [inter (NI) | intra by wave (NW)] plus segment counts.
 
     `region` = (x0, y0, w, h) pixels; coords are (f, REGION-LOCAL r8, c8).
     Independent intra frames share one wavefront schedule — lanes from every
     frame batch together at each wave. Returns {n: dict(coords (N,3),
-    mode (N,), tx (N,), uv_tx (N,), ref (N,), mv (N,2), offsets (W+1,),
-    kmax)} and W. Inter leaves carry ref >= 0 (index into the stacked ref
-    planes) and their 1/8-pel MV; intra leaves have ref == -1.
+    mode (N,), tx (N,), uv_tx (N,), ref (N,), mv (N,2), offsets (W+1,)
+    INTRA-relative, NI, NW, kmax)} and W.
 
-    Fully vectorized (numpy lexsort + fancy gathers) — no per-leaf Python."""
+    Wave safety with the split: an intra block's above/left/topleft
+    providers are written either in the inter phase (before any wave) or at
+    a strictly smaller wave (see module NOTES) — so removing inter lanes
+    from the wavefront preserves the dependence order while collapsing the
+    serial wave count of P/B frames to the (few) waves that contain intra
+    blocks. Fully vectorized (numpy lexsort + fancy gathers)."""
     x0, y0, rw, rh = region
     R8, C8 = rh // 8, rw // 8
     W = R8 + C8 + 7  # max wave = (R8-1) + (C8-1) + 8 - 1 => W-1
@@ -83,14 +93,7 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
         fs = np.concatenate(fs_l)
         r8 = np.concatenate(r8_l)
         c8 = np.concatenate(c8_l)
-        wave = r8 + c8 + (n8 - 1)
-        order = np.lexsort((c8, r8, fs, wave))
-        fs, r8, c8, wave = fs[order], r8[order], c8[order], wave[order]
         N = len(fs)
-        coords = np.stack([fs, r8, c8], axis=1).astype(np.int32)
-        counts = np.bincount(wave, minlength=W).astype(np.int64)
-        offsets = np.zeros(W + 1, np.int32)
-        np.cumsum(counts, out=offsets[1:])
         rs, cs = r8 * 8 // n, c8 * 8 // n
         has_inter = "ref" in dec_per_frame[0][n]
 
@@ -118,14 +121,26 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
         # inter uv tx assumes nonzero luma; the device swaps to DCT when the
         # quantized luma comes out all-zero (tile_codec._chroma_tx_type rule)
         uv_tx = np.where(ref >= 0, inter_map[tx], intra_map[np.where(ref >= 0, 0, mode)])
-        out[n] = dict(coords=coords, mode=np.where(ref >= 0, 0, mode), tx=tx,
-                      uv_tx=uv_tx, ref=ref, mv=mv,
-                      offsets=offsets, kmax=int(counts.max()))
+        mode = np.where(ref >= 0, 0, mode)
+
+        is_int = ref >= 0
+        wave = r8 + c8 + (n8 - 1)
+        # order: inter first (raster), then intra by (wave, f, r8, c8)
+        seg = is_int.astype(np.int32) * -1 + 1  # inter -> 0, intra -> 1
+        order = np.lexsort((c8, r8, fs, np.where(is_int, 0, wave), seg))
+        fs, r8, c8 = fs[order], r8[order], c8[order]
+        mode, tx, uv_tx = mode[order], tx[order], uv_tx[order]
+        ref, mv, wave = ref[order], mv[order], wave[order]
+        NI = int(is_int.sum())
+        NW = N - NI
+        counts = np.bincount(wave[NI:], minlength=W).astype(np.int64)
+        offsets = np.zeros(W + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        coords = np.stack([fs, r8, c8], axis=1).astype(np.int32)
+        out[n] = dict(coords=coords, mode=mode, tx=tx, uv_tx=uv_tx, ref=ref,
+                      mv=mv, offsets=offsets, NI=NI, NW=NW,
+                      kmax=int(counts.max()) if NW else 0)
     return out, W
-
-
-def _pad_rows(a: np.ndarray, k: int):
-    return np.concatenate([a, np.zeros((k,) + a.shape[1:], a.dtype)], axis=0)
 
 
 _RDOQ_FN_CACHE: dict = {}
@@ -152,19 +167,21 @@ def _rdoq_fns(qctx: int, n: int):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat,
                    dqv, lam, cfg):
-    """The wavefront loop. `sched_flat` is ONE packed int32 vector (all
+    """Two-phase commit. `sched_flat` is ONE packed int32 vector (all
     per-size schedules — single h2d transfer); `dqv` = (2,) int32 [dq_dc,
     dq_ac] runtime operands (qindex as data — no per-qindex recompiles);
     `cfg` a hashable static tuple:
     (F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq,
-    ((n, N, N_pad, kmax), ...)). The loop runs W_eff compacted steps over
-    `wave_list` (only waves with work — empty anti-diagonals are skipped
-    entirely); lanes from all F batched frames share each wave. Inter lanes
-    (nref > 0, schedule ref >= 0) take precomputed batched MC predictions
-    (no wavefront dependence — the one true sequential dependence in AV1 is
-    intra's neighbor recon); their recon still feeds the frontier maps so
-    intra neighbors see final pixels. Returns (levels_i16_packed,
-    recon planes, skip map)."""
+    ((n, NI_pad, NW_pad, kmax), ...)) — only POW2 BUCKETS of the segment
+    sizes are static, so leaf-count drift between frames rarely recompiles.
+
+    Phase A commits every INTER lane of every size in one batched step
+    (precomputed normative MC, no neighbor dependence) and writes their
+    recon into the frontier maps. Phase B runs the wavefront fori_loop over
+    the W_eff compacted waves that contain INTRA work only — for a typical
+    P/B frame that collapses the serial wave count from R8+C8 to a handful.
+    Pad lanes carry sentinel coords (gathers clamp, scatters drop). Returns
+    (levels_i16_packed, recon planes, skip map)."""
     F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq, size_cfgs = cfg
     AW, AH = C8 * 8, R8 * 8
     base = 1 << (bd - 1)
@@ -176,7 +193,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
     # sentinel wave W reads cnt = 0)
     sched = {}
     pos = 0
-    for n, N, N_pad, kmax in size_cfgs:
+    for n, NI_pad, NW_pad, kmax in size_cfgs:
+        N_pad = NI_pad + NW_pad
         s = {}
         s["coords"] = sched_flat[pos : pos + N_pad * 3].reshape(N_pad, 3); pos += N_pad * 3
         s["mode"] = sched_flat[pos : pos + N_pad]; pos += N_pad
@@ -188,8 +206,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         sched[n] = s
     wave_list = sched_flat[pos : pos + W_eff]; pos += W_eff
 
-    # precomputed inter predictions per size (batched normative MC; F == 1
-    # for inter frames — refs are frame-specific)
+    # precomputed inter predictions per size over the INTER segment only
+    # (batched normative MC; F == 1 for inter frames — refs are frame-specific)
     inter_pred = {}
     if nref:
         from ..ops import me_jax
@@ -197,13 +215,15 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         refs_y = refs_y8.astype(jnp.int32)
         refs_u = refs_u8.astype(jnp.int32)
         refs_v = refs_v8.astype(jnp.int32)
-        for n, N, N_pad, kmax in size_cfgs:
+        for n, NI_pad, NW_pad, kmax in size_cfgs:
+            if not NI_pad:
+                continue
             s = sched[n]
             nc = n // 2
-            ridx = jnp.maximum(s["ref"], 0)
-            ys = y0 + s["coords"][:, 1] * 8
-            xs = x0 + s["coords"][:, 2] * 8
-            mvy, mvx = s["mv"][:, 0], s["mv"][:, 1]
+            ridx = jnp.maximum(s["ref"][:NI_pad], 0)
+            ys = y0 + jnp.minimum(s["coords"][:NI_pad, 1], R8) * 8
+            xs = x0 + jnp.minimum(s["coords"][:NI_pad, 2], C8) * 8
+            mvy, mvx = s["mv"][:NI_pad, 0], s["mv"][:NI_pad, 1]
             inter_pred[n] = (
                 me_jax.mc_lanes(refs_y, ys, xs, mvy * 2, mvx * 2, n, n, which, bd,
                                 ref_idx=ridx),
@@ -258,7 +278,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         cu=jnp.zeros((F, R8, C8), jnp.int32),
         cv=jnp.zeros((F, R8, C8), jnp.int32),
     )
-    for n, N, N_pad, kmax in size_cfgs:
+    for n, NI_pad, NW_pad, kmax in size_cfgs:
+        N_pad = NI_pad + NW_pad
         adj, nc = min(n, 32), n // 2
         state[f"ly{n}"] = jnp.zeros((N_pad, adj, adj), jnp.int32)
         state[f"lu{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
@@ -266,6 +287,76 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         state[f"ry{n}"] = jnp.zeros((N_pad, n, n), jnp.int32)
         state[f"ru{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
         state[f"rv{n}"] = jnp.zeros((N_pad, nc, nc), jnp.int32)
+
+    def frontier_write(st, fidx, r8, c8, x, y, n, rec_y, rec_u, rec_v):
+        """Masked frontier + corner updates for one lane batch (pad lanes
+        carry sentinel coords -> every scatter drops them)."""
+        n8, nc = n // 8, n // 2
+        xc, yc = c8 * 4, r8 * 4
+        rb = r8 + n8 - 1
+        cb = c8 + n8 - 1
+        fi = fidx[:, None]
+        st["by"] = st["by"].at[fi, rb[:, None], x[:, None] + jnp.arange(n)[None, :]] \
+            .set(rec_y[:, -1, :], mode="drop")
+        st["ry"] = st["ry"].at[fi, cb[:, None], y[:, None] + jnp.arange(n)[None, :]] \
+            .set(rec_y[:, :, -1], mode="drop")
+        st["bu"] = st["bu"].at[fi, rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_u[:, -1, :], mode="drop")
+        st["ru"] = st["ru"].at[fi, cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_u[:, :, -1], mode="drop")
+        st["bv"] = st["bv"].at[fi, rb[:, None], xc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_v[:, -1, :], mode="drop")
+        st["rv"] = st["rv"].at[fi, cb[:, None], yc[:, None] + jnp.arange(nc)[None, :]] \
+            .set(rec_v[:, :, -1], mode="drop")
+        # corner maps: this block's per-cell bottom-right pixels
+        rr8 = r8[:, None, None] + jnp.arange(n8)[None, :, None]
+        cc8 = c8[:, None, None] + jnp.arange(n8)[None, None, :]
+        fi3 = fidx[:, None, None]
+        st["cy"] = st["cy"].at[fi3, rr8, cc8].set(rec_y[:, 7::8, 7::8], mode="drop")
+        st["cu"] = st["cu"].at[fi3, rr8, cc8].set(rec_u[:, 3::4, 3::4], mode="drop")
+        st["cv"] = st["cv"].at[fi3, rr8, cc8].set(rec_v[:, 3::4, 3::4], mode="drop")
+        return st
+
+    def src_blocks_of(plane, fidx, xx, yy, m):
+        return plane[fidx[:, None, None],
+                     yy[:, None, None] + jnp.arange(m)[None, :, None],
+                     xx[:, None, None] + jnp.arange(m)[None, None, :]]
+
+    def inter_step_size(st, n, NI_pad):
+        """Phase A: commit this size's inter lanes in one batched step."""
+        s = sched[n]
+        nc = n // 2
+        rc = s["coords"][:NI_pad]
+        fidx, r8, c8 = rc[:, 0], rc[:, 1], rc[:, 2]
+        tx_idx = s["tx"][:NI_pad]
+        uv_tx_idx = s["uv_tx"][:NI_pad]
+        x, y = jnp.minimum(c8, C8) * 8, jnp.minimum(r8, R8) * 8
+        pred, pred_u, pred_v = inter_pred[n]
+        sb = src_blocks_of(src_y, fidx, x, y, n)
+        rq_y, rq_uv = _rdoq_fns(qctx, n) if rdoq else (None, None)
+        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1,
+                                  rdoq_fn=rq_y)
+        # inter chroma tx follows the EFFECTIVE luma type: DCT when the
+        # quantized luma is all-zero (tile_codec._chroma_tx_type)
+        luma_zero = jnp.sum(jnp.abs(lv_y), axis=(-2, -1)) == 0
+        uv_tx_idx = jnp.where(luma_zero, 0, uv_tx_idx)
+        xc, yc = x // 2, y // 2
+        suv = jnp.concatenate([src_blocks_of(src_u, fidx, xc, yc, nc),
+                               src_blocks_of(src_v, fidx, xc, yc, nc)])
+        puv = jnp.concatenate([pred_u, pred_v])
+        lv_uv, rec_uv = select_txfm(suv - puv, puv,
+                                    jnp.concatenate([uv_tx_idx, uv_tx_idx]),
+                                    nc, 4 if nc <= 16 else 1, rdoq_fn=rq_uv)
+        lv_u, lv_v = lv_uv[:NI_pad], lv_uv[NI_pad:]
+        rec_u, rec_v = rec_uv[:NI_pad], rec_uv[NI_pad:]
+        adj = min(n, 32)
+        st[f"ly{n}"] = st[f"ly{n}"].at[:NI_pad].set(lv_y[:, :adj, :adj])
+        st[f"lu{n}"] = st[f"lu{n}"].at[:NI_pad].set(lv_u)
+        st[f"lv{n}"] = st[f"lv{n}"].at[:NI_pad].set(lv_v)
+        st[f"ry{n}"] = st[f"ry{n}"].at[:NI_pad].set(rec_y)
+        st[f"ru{n}"] = st[f"ru{n}"].at[:NI_pad].set(rec_u)
+        st[f"rv{n}"] = st[f"rv{n}"].at[:NI_pad].set(rec_v)
+        return frontier_write(st, fidx, r8, c8, x, y, n, rec_y, rec_u, rec_v)
 
     def wave_step_size(w, st, n, N_pad, kmax):
         s = sched[n]
@@ -285,8 +376,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         mode = dsl(s["mode"])
         tx_idx = dsl(s["tx"])
         uv_tx_idx = dsl(s["uv_tx"])
-        is_int = dsl(s["ref"]) >= 0
-        x, y = c8 * 8, r8 * 8
+        x, y = jnp.minimum(c8, C8) * 8, jnp.minimum(r8, R8) * 8
         ha, hl = r8 > 0, c8 > 0
 
         def edges_from(bmap, rmap, cmap, xx, yy, m):
@@ -309,23 +399,17 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
                          xx[:, None, None] + jnp.arange(m)[None, None, :]]
 
         bi = jnp.arange(kmax)
-        # luma
+        # luma (wavefront lanes are intra-only: inter lanes committed in
+        # phase A feed the frontier maps these reads see)
         ar, lc, tl = edges_from(st["by"], st["ry"], st["cy"], x, y, n)
         pred = _predict_modes(ar, lc, tl, ha, hl, n)[bi, mode]
-        if nref:
-            pred = jnp.where(is_int[:, None, None], dsl(inter_pred[n][0]), pred)
         sb = src_blocks(src_y, x, y, n)
         rq_y, rq_uv = _rdoq_fns(qctx, n) if rdoq else (None, None)
         lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1,
                                   rdoq_fn=rq_y)
-        if nref:
-            # inter chroma tx follows the EFFECTIVE luma type: DCT when the
-            # quantized luma is all-zero (tile_codec._chroma_tx_type)
-            luma_zero = jnp.sum(jnp.abs(lv_y), axis=(-2, -1)) == 0
-            uv_tx_idx = jnp.where(is_int & luma_zero, 0, uv_tx_idx)
         # chroma (uv_mode = y mode; tx type derived per mode) — u and v are
         # stacked into one 2K-lane batch so every op runs once
-        xc, yc = c8 * 4, r8 * 4
+        xc, yc = x // 2, y // 2
         aru, lcu, tlu = edges_from(st["bu"], st["ru"], st["cu"], xc, yc, nc)
         arv, lcv, tlv = edges_from(st["bv"], st["rv"], st["cv"], xc, yc, nc)
         ac = jnp.concatenate([aru, arv])
@@ -334,10 +418,6 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         ha2, hl2 = jnp.concatenate([ha, ha]), jnp.concatenate([hl, hl])
         mode2 = jnp.concatenate([mode, mode])
         puv = _predict_modes(ac, lcc, tlc, ha2, hl2, nc)[jnp.arange(2 * kmax), mode2]
-        if nref:
-            puv = jnp.where(jnp.concatenate([is_int, is_int])[:, None, None],
-                            jnp.concatenate([dsl(inter_pred[n][1]), dsl(inter_pred[n][2])]),
-                            puv)
         suv = jnp.concatenate([src_blocks(src_u, xc, yc, nc),
                                src_blocks(src_v, xc, yc, nc)])
         lv_uv, rec_uv = select_txfm(suv - puv, puv, jnp.concatenate([uv_tx_idx, uv_tx_idx]),
@@ -384,49 +464,59 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         st["cv"] = st["cv"].at[fi3, rr8, cc8].set(rec_v[:, 3::4, 3::4], mode="drop")
         return st
 
-    def body(i, st):
-        w = wave_list[i]
-        for n, N, N_pad, kmax in size_cfgs:
-            st = wave_step_size(w, st, n, N_pad, kmax)
-        return st
+    # phase A: all inter lanes, one batched step per size
+    st = state
+    for n, NI_pad, NW_pad, kmax in size_cfgs:
+        if NI_pad:
+            st = inter_step_size(st, n, NI_pad)
 
-    st = jax.lax.fori_loop(0, W_eff, body, state)
+    # phase B: wavefront over the waves that contain intra work
+    if any(NW_pad for _n, _ni, NW_pad, _k in size_cfgs):
+        def body(i, st):
+            w = wave_list[i]
+            for n, NI_pad, NW_pad, kmax in size_cfgs:
+                if NW_pad:
+                    st = wave_step_size(w, st, n, NI_pad + NW_pad, kmax)
+            return st
 
-    # assemble recon planes on device (one scatter per size/plane) and pack
-    # every output into two transfer buffers
+        st = jax.lax.fori_loop(0, W_eff, body, st)
+
+    # assemble recon planes on device (one scatter per size/plane; sentinel
+    # pad-lane coords drop) and pack every output into two transfer buffers
     ry = jnp.zeros((F, AH, AW), jnp.int32)
     ru = jnp.zeros((F, AH // 2, AW // 2), jnp.int32)
     rv = jnp.zeros((F, AH // 2, AW // 2), jnp.int32)
     levels_parts = []
-    for n, N, N_pad, kmax in size_cfgs:
+    for n, NI_pad, NW_pad, kmax in size_cfgs:
         nc = n // 2
-        coords = sched[n]["coords"][:N]
+        coords = sched[n]["coords"]
         fi, r8, c8 = coords[:, 0, None, None], coords[:, 1], coords[:, 2]
         yy = (r8 * 8)[:, None, None] + jnp.arange(n)[None, :, None]
         xx = (c8 * 8)[:, None, None] + jnp.arange(n)[None, None, :]
-        ry = ry.at[fi, yy, xx].set(st[f"ry{n}"][:N])
+        ry = ry.at[fi, yy, xx].set(st[f"ry{n}"], mode="drop")
         yyc = (r8 * 4)[:, None, None] + jnp.arange(nc)[None, :, None]
         xxc = (c8 * 4)[:, None, None] + jnp.arange(nc)[None, None, :]
-        ru = ru.at[fi, yyc, xxc].set(st[f"ru{n}"][:N])
-        rv = rv.at[fi, yyc, xxc].set(st[f"rv{n}"][:N])
-        levels_parts += [st[f"ly{n}"][:N].astype(jnp.int16).ravel(),
-                         st[f"lu{n}"][:N].astype(jnp.int16).ravel(),
-                         st[f"lv{n}"][:N].astype(jnp.int16).ravel()]
+        ru = ru.at[fi, yyc, xxc].set(st[f"ru{n}"], mode="drop")
+        rv = rv.at[fi, yyc, xxc].set(st[f"rv{n}"], mode="drop")
+        levels_parts += [st[f"ly{n}"].astype(jnp.int16).ravel(),
+                         st[f"lu{n}"].astype(jnp.int16).ravel(),
+                         st[f"lv{n}"].astype(jnp.int16).ravel()]
     levels_packed = jnp.concatenate(levels_parts) if levels_parts else jnp.zeros(0, jnp.int16)
 
     # per-8px-cell skip map (all planes' levels zero) for CDEF unit selection
     skip8 = jnp.zeros((F, R8, C8), bool)
-    for n, N, N_pad, kmax in size_cfgs:
+    for n, NI_pad, NW_pad, kmax in size_cfgs:
         n8 = n // 8
-        coords = sched[n]["coords"][:N]
-        blk_skip = ((jnp.sum(jnp.abs(st[f"ly{n}"][:N]), axis=(1, 2))
-                     + jnp.sum(jnp.abs(st[f"lu{n}"][:N]), axis=(1, 2))
-                     + jnp.sum(jnp.abs(st[f"lv{n}"][:N]), axis=(1, 2))) == 0)
+        N_pad = NI_pad + NW_pad
+        coords = sched[n]["coords"]
+        blk_skip = ((jnp.sum(jnp.abs(st[f"ly{n}"]), axis=(1, 2))
+                     + jnp.sum(jnp.abs(st[f"lu{n}"]), axis=(1, 2))
+                     + jnp.sum(jnp.abs(st[f"lv{n}"]), axis=(1, 2))) == 0)
         fi = coords[:, 0, None, None]
         rr = coords[:, 1, None, None] + jnp.arange(n8)[None, :, None]
         cc = coords[:, 2, None, None] + jnp.arange(n8)[None, None, :]
         skip8 = skip8.at[fi, rr, cc].set(
-            jnp.broadcast_to(blk_skip[:, None, None], (N, n8, n8)))
+            jnp.broadcast_to(blk_skip[:, None, None], (N_pad, n8, n8)), mode="drop")
     return levels_packed, ry, ru, rv, skip8
 
 
@@ -455,21 +545,31 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     flat_parts = []
     wave_used = np.zeros(W, bool)
     for n, s in sched_np.items():
-        N = len(s["coords"])
-        kmax = _next_pow2(s["kmax"])
-        N_pad = _next_pow2(N) + kmax
-        size_cfgs.append((n, N, N_pad, kmax))
-        offs = np.concatenate([s["offsets"], s["offsets"][-1:]])  # sentinel w=W
+        NI, NW = s["NI"], s["NW"]
+        kmax = _next_pow2(s["kmax"]) if NW else 0
+        NI_pad = _next_pow2(NI) if NI else 0
+        NW_pad = (_next_pow2(NW) + kmax) if NW else 0
+        N_pad = NI_pad + NW_pad
+        size_cfgs.append((n, NI_pad, NW_pad, kmax))
+
+        def pad_seg(a, fill=0):
+            """[inter NI | pad→NI_pad | intra NW | pad→N_pad] layout."""
+            outv = np.full((N_pad,) + a.shape[1:], fill, a.dtype)
+            outv[:NI] = a[:NI]
+            outv[NI_pad : NI_pad + NW] = a[NI:]
+            return outv
+
+        s["coords"] = pad_seg(s["coords"], fill=_SENTINEL)
+        s["mode"] = pad_seg(s["mode"])
+        s["tx"] = pad_seg(s["tx"])
+        s["uv_tx"] = pad_seg(s["uv_tx"])
+        s["ref"] = pad_seg(s["ref"], fill=-1)
+        s["mv"] = pad_seg(s["mv"])
+        s["NI_pad"], s["NW_pad"] = NI_pad, NW_pad
+        offs = NI_pad + np.concatenate([s["offsets"], s["offsets"][-1:]])
         wave_used |= np.diff(s["offsets"]) > 0
-        flat_parts += [
-            _pad_rows(s["coords"], N_pad - N).ravel(),
-            _pad_rows(s["mode"], N_pad - N),
-            _pad_rows(s["tx"], N_pad - N),
-            _pad_rows(s["uv_tx"], N_pad - N),
-            _pad_rows(s["ref"], N_pad - N),
-            _pad_rows(s["mv"], N_pad - N).ravel(),
-            offs,
-        ]
+        flat_parts += [s["coords"].ravel(), s["mode"], s["tx"], s["uv_tx"],
+                       s["ref"], s["mv"].ravel(), offs.astype(np.int32)]
     waves = np.nonzero(wave_used)[0].astype(np.int32)
     W_eff = min(_next_pow2(max(len(waves), 1)), W)
     wave_list = np.full(W_eff, W, np.int32)  # pad with the empty sentinel wave
@@ -535,6 +635,8 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         fs, r8, c8 = s["coords"][:, 0], s["coords"][:, 1], s["coords"][:, 2]
         skip = ((np.abs(ly).sum((1, 2)) + np.abs(lu).sum((1, 2)) + np.abs(lvv).sum((1, 2))) == 0)
         for i in range(N):
+            if fs[i] >= F:
+                continue  # sentinel pad lane
             mi_row = (y0 // 8 + int(r8[i])) * 2
             mi_col = (x0 // 8 + int(c8[i])) * 2
             sk = bool(skip[i])

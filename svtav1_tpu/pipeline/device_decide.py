@@ -200,7 +200,7 @@ def intra_txtype_cost_const(fc, n: int) -> np.ndarray:
 
 def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
                        n: int, qctx: int, dq, bd: int, is_key: bool, R: int, C: int,
-                       lam):
+                       lam, nmodes: int = 13):
     """Batched open-loop intra decision for all (R, C) blocks of size n of
     all F frames (src planes are (F, H, W) — independent intra frames batch
     together to amortize the per-wave/per-call costs of this deployment's
@@ -229,12 +229,16 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
         return above, left, tl
 
     above, left, tl = edges(src_y, n)
-    preds = _predict_modes(above, left, tl, ha, hl, n)  # (B, 13, n, n)
+    preds = _predict_modes(above, left, tl, ha, hl, n, nmodes=nmodes)  # (B, nm, n, n)
     srcb = _blocks_of(src_y, n, R, C)
     resid = srcb[:, None] - preds
 
     rate_fns = _rate_fns(qctx, n)
-    penB = jnp.broadcast_to(pen.reshape(1, R * C, 13), (F, R * C, 13)).reshape(B, 13)
+    pen = pen[..., :nmodes]
+    mode_cost = mode_cost[:nmodes]
+    txt_cost = txt_cost[:nmodes]
+    penB = jnp.broadcast_to(pen.reshape(1, R * C, nmodes),
+                            (F, R * C, nmodes)).reshape(B, nmodes)
     lv, dqc, rate = _eval_txfm(resid, int(TxType.DCT_DCT), dq, bd, n, rate_fns["y"][0])
     rec = _recon(dqc, preds, int(TxType.DCT_DCT), bd)
     dist = jnp.sum((rec - srcb[:, None]).astype(jnp.float32) ** 2, axis=(-2, -1))
@@ -261,8 +265,8 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
     # chroma (uv_mode = y mode), cost at derived-DCT approximation
     au, lu_, tlu = edges(src_u, nc)
     av, lv_, tlv = edges(src_v, nc)
-    pu = _predict_modes(au, lu_, tlu, ha, hl, nc)[bi, best_mode]
-    pv = _predict_modes(av, lv_, tlv, ha, hl, nc)[bi, best_mode]
+    pu = _predict_modes(au, lu_, tlu, ha, hl, nc, nmodes=nmodes)[bi, best_mode]
+    pv = _predict_modes(av, lv_, tlv, ha, hl, nc, nmodes=nmodes)[bi, best_mode]
     for srcc, predc in ((src_u, pu), (src_v, pv)):
         sb = _blocks_of(srcc, nc, R, C)
         lvc, dqcc, ratec = _eval_txfm(sb - predc, int(TxType.DCT_DCT), dq, bd, nc,

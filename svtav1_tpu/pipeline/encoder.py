@@ -55,6 +55,10 @@ class EncoderConfig:
     # end-of-frame CDFs with every refreshed DPB slot (the reference seeds
     # from the primary ref: md_config_process.c:676-695; spec primary_ref_frame)
     cdf_inheritance: bool = True
+    # MCTF: motion-compensated temporal filtering of scheduled key frames
+    # (ALT-REF filter analog, temporal_filtering.c:2752) — filters the
+    # SOURCE with +-N neighbors before encoding; needs keyint > 1
+    enable_tf: bool = False
 
 
 @dataclass
@@ -144,17 +148,71 @@ class Encoder:
         if cfg.rc_mode == "cbr":
             assert cfg.target_kbps > 0, "cbr needs target_kbps"
             self.rc = rc.CbrController(cfg.target_kbps * 1000.0, cfg.fps, cfg.qindex)
+        elif cfg.rc_mode == "vbr":
+            assert cfg.target_kbps > 0, "vbr needs target_kbps"
+            self.rc = rc.VbrController(cfg.target_kbps * 1000.0, cfg.fps, cfg.qindex,
+                                       keyint=cfg.keyint, minigop=cfg.minigop,
+                                       bd=cfg.bd)
+            self.rc.set_frame_geometry(cfg.width, cfg.height)
         self.scene = rc.SceneDetector() if cfg.scene_cut else None
         # CRF: TPL lookahead queue of (disp, src, is_key) + anchor source for
         # window chaining (rc_process.c crf_qindex_calc / src_ops TPL group)
         self._crf = cfg.rc_mode == "crf"
         self._crf_pending: list = []
         self._anchor_src = None
+        # MCTF lookahead queue (scheduled keys filtered with +-N neighbors)
+        self._tf = cfg.enable_tf and cfg.keyint > 1
+        self._tf_q: list = []
+        self._tf_hist: list = []
+        self._tf_emitted = 0
 
     # ------------------------------------------------------------------- API
 
+    TF_PAST, TF_FUT = 2, 3  # MCTF window (reference derive_tf_window_params)
+
     def send_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> list:
-        """Feed one display-order frame; returns ready packets."""
+        """Feed one display-order frame; returns ready packets. With MCTF
+        enabled, frames pass through a short lookahead queue so scheduled
+        key frames can be filtered with future neighbors."""
+        if not self._tf:
+            return self._send_frame_inner(y, u, v)
+        self._tf_q.append((np.asarray(y, np.int32), np.asarray(u, np.int32),
+                           np.asarray(v, np.int32)))
+        return self._tf_drain(final=False)
+
+    def _tf_drain(self, final: bool) -> list:
+        from ..ops import tf_jax
+
+        cfg = self.cfg
+        packets = []
+        while self._tf_q:
+            d = self._tf_emitted
+            is_sched_key = d % cfg.keyint == 0
+            head = self._tf_q[0]
+            if is_sched_key:
+                if not final and len(self._tf_q) < 1 + self.TF_FUT:
+                    break
+                neigh = list(self._tf_hist) + list(self._tf_q[1 : 1 + self.TF_FUT])
+                if neigh:
+                    h, w = head[0].shape
+                    H64, W64 = -(-h // 64) * 64, -(-w // 64) * 64
+
+                    def pad64(fr):
+                        return [pad_to_aligned(fr[0], W64, H64),
+                                pad_to_aligned(fr[1], W64 // 2, H64 // 2),
+                                pad_to_aligned(fr[2], W64 // 2, H64 // 2)]
+
+                    f = tf_jax.filter_frame(pad64(head), [pad64(x) for x in neigh],
+                                            cfg.qindex, cfg.bd)
+                    head = (f[0][:h, :w], f[1][: h // 2, : w // 2],
+                            f[2][: h // 2, : w // 2])
+            self._tf_hist.append(self._tf_q.pop(0))
+            self._tf_hist = self._tf_hist[-self.TF_PAST:]
+            self._tf_emitted += 1
+            packets += self._send_frame_inner(*head)
+        return packets
+
+    def _send_frame_inner(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> list:
         cfg = self.cfg
         d = self.next_disp
         self.next_disp += 1
@@ -185,11 +243,14 @@ class Encoder:
         return packets
 
     def flush(self) -> list:
+        packets = []
+        if self._tf and self._tf_q:
+            packets += self._tf_drain(final=True)
         if self._batching and self._ibatch:
-            return self._encode_intra_batch()
+            return packets + self._encode_intra_batch()
         if self._crf:
-            return self._drain_crf(final=True)
-        return self._drain_pending()
+            return packets + self._drain_crf(final=True)
+        return packets + self._drain_pending()
 
     def _encode_intra_batch(self) -> list:
         """Encode the queued all-intra frames through the batched device
@@ -222,7 +283,7 @@ class Encoder:
     def encode_frame(self, y, u, v):
         """Synchronous helper for low-delay configs (minigop == 1):
         returns (tu_bytes, recon_planes) for this display frame."""
-        assert self.cfg.minigop == 1
+        assert self.cfg.minigop == 1 and not self._tf
         pkts = self.send_frame(y, u, v)
         assert len(pkts) == 1
         return pkts[0].tu, pkts[0].recon

@@ -101,13 +101,15 @@ def _mv_rate(mv, pred, joint, comp):
 def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
                        mv_by_ref, pred_by_ref, intra_out, consts,
                        n: int, qctx: int, dq, bd: int, R: int, C: int, lam,
-                       which: int):
+                       which: int, mc_by_ref=None):
     """Inter candidate evaluation for the (R, C) grid at size n, merged with
     the intra decision `intra_out` = (cost, mode, tx) from device_decide.
 
     mv_by_ref: list of (B, 2) subpel MVs per reference; pred_by_ref: list of
-    (B, 2) MV-rate predictors (SB-level MV proxy). Returns (cost, is_inter,
-    mode, tx, ref, mvy, mvx) flattened (R*C,) arrays."""
+    (B, 2) MV-rate predictors (SB-level MV proxy); mc_by_ref: matching
+    (B, n, n) normative predictions from the subpel search (gather-free
+    reuse — me_jax.subpel_pred_lanes). Returns (cost, is_inter, mode, tx,
+    ref, mvy, mvx) flattened (R*C,) arrays."""
     B = R * C
     nc = n // 2
     r_idx = jnp.repeat(jnp.arange(R), C)
@@ -119,7 +121,9 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     joint, comp, cand_bits, txt_cost = consts
 
     # candidates: NEWMV per ref + GLOBALMV on ref 0, folded into the lane
-    # axis (one MC + one transform chain for ALL candidates)
+    # axis (one transform chain for ALL candidates). NEWMV predictions are
+    # reused from the subpel search; GLOBALMV (zero MV) is a static block
+    # copy — no dynamic MC gathers remain on the luma path.
     zero = jnp.zeros((B, 2), jnp.int32)
     cand_mv = jnp.concatenate([*mv_by_ref, zero])  # (NC*B, 2)
     cand_ref = jnp.concatenate(
@@ -131,9 +135,12 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     cand_mbits = jnp.concatenate(bits_list)
     NC = len(mv_by_ref) + 1
 
-    pred = me_jax.mc_lanes(refs_y, jnp.tile(ys, NC), jnp.tile(xs, NC),
-                           cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
-                           which, bd, ref_idx=cand_ref)
+    if mc_by_ref is not None:
+        pred = jnp.concatenate([*mc_by_ref, _blocks_of(refs_y[0][None], n, R, C)])
+    else:
+        pred = me_jax.mc_lanes(refs_y, jnp.tile(ys, NC), jnp.tile(xs, NC),
+                               cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
+                               which, bd, ref_idx=cand_ref)
     src_nc = jnp.tile(srcb, (NC, 1, 1))
     lv, dqc, rate = _eval_txfm(src_nc - pred, int(TxType.DCT_DCT), dq, bd, n,
                                rate_fns["y"][0])
@@ -228,8 +235,10 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
         refs_v = refs_v8.astype(jnp.int32)
         sy_me = jnp.pad(sy[0], ((0, pad_h), (0, pad_w)), mode="edge")
 
-        # per-ref ME: full-pel per size + subpel refinement
+        # per-ref ME: full-pel per size + subpel refinement (the refinement
+        # also yields each winner's normative prediction for RD reuse)
         mv_by_ref = {n: [] for n in sizes}
+        mc_by_ref = {n: [] for n in sizes}
         sb_pred = []
         for ri in range(nref):
             ref_me = jnp.pad(refs_y[ri], ((0, pad_h), (0, pad_w)), mode="edge")
@@ -240,17 +249,21 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
                 r_idx = jnp.repeat(jnp.arange(R), C)
                 c_idx = jnp.tile(jnp.arange(C), R)
                 srcb = _blocks_of(sy, n, R, C)
-                mv8 = me_jax.subpel_refine_lanes(srcb, refs_y[ri], r_idx * n,
-                                                 c_idx * n, fp, which, bd)
+                mv8, mc8 = me_jax.subpel_pred_lanes(srcb, refs_y[ri], r_idx * n,
+                                                    c_idx * n, fp, which, bd)
                 mv_by_ref[n].append(jnp.clip(mv8, -MAX_MV_ABS, MAX_MV_ABS))
+                mc_by_ref[n].append(mc8)
 
         packed = []
         for n, R, C in sizes and layout:
             pen, mode_cost, txt_cost = intra_consts[n]
+            # reduced intra class in inter frames: the 7 non-directional
+            # modes (the reference likewise restricts intra injection in
+            # inter frames — mode_decision.c intra candidate classes)
             intra_out = _decide_intra_size(
                 sy, su, sv, jnp.asarray(pen),
                 jnp.asarray(mode_cost), jnp.asarray(txt_cost), n, qctx, dq, bd,
-                False, R, C, lam)
+                False, R, C, lam, nmodes=7)
             # MV-rate predictor proxy: the SB-level MV over each block
             k = 64 // n
             preds = []
@@ -261,7 +274,7 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
             cost, is_inter, mode, tx, ref, mvy, mvx = _decide_inter_size(
                 sy[0], su[0], sv[0], refs_y, refs_u, refs_v,
                 mv_by_ref[n], preds, intra_out, consts, n, qctx, dq, bd, R, C,
-                lam, which)
+                lam, which, mc_by_ref=mc_by_ref[n])
             packed += [cost, is_inter.astype(jnp.float32), mode.astype(jnp.float32),
                        tx.astype(jnp.float32), ref.astype(jnp.float32),
                        mvy.astype(jnp.float32), mvx.astype(jnp.float32)]

@@ -28,8 +28,12 @@ def _smooth_weights(n: int) -> np.ndarray:
     return SM_WEIGHTS[n]
 
 
-def _predict_modes(above, left, topleft, have_above, have_left, n: int, dc_only: bool = False):
-    """above/left (B, n), topleft (B,) -> (B, 13|1, n, n) in MODES order."""
+def _predict_modes(above, left, topleft, have_above, have_left, n: int, dc_only: bool = False,
+                   nmodes: int = 13):
+    """above/left (B, n), topleft (B,) -> (B, nmodes|1, n, n) in MODES order.
+    nmodes=7 stops before the directional modes (the inter decide's reduced
+    intra candidate class — mirrors the reference's restricted intra
+    injection in inter frames, mode_decision.c candidate classes)."""
     B = above.shape[0]
     ha = have_above.astype(jnp.int32)
     hl = have_left.astype(jnp.int32)
@@ -66,17 +70,19 @@ def _predict_modes(above, left, topleft, have_above, have_left, n: int, dc_only:
     smooth_h = jnp.broadcast_to((ww * l + (256 - ww) * right + 128) >> 8, (B, n, n))
 
     out = [dc_pred, v_pred, h_pred, smooth, smooth_v, smooth_h, paeth]
-    # true-directional modes D45,D135,D113,D157,D203,D67 with REPLICATED
-    # extensions (offered only where has_tr/has_bl are false, so the decoder
-    # reproduces the same replicated edges)
-    from ..ops.intra import MODE_ANGLE, dr_pred
-    from ..constants.av1 import PredMode as _PM
+    if nmodes > 7:
+        # true-directional modes D45,D135,D113,D157,D203,D67 with REPLICATED
+        # extensions (offered only where has_tr/has_bl are false, so the
+        # decoder reproduces the same replicated edges)
+        from ..ops.intra import MODE_ANGLE, dr_pred
+        from ..constants.av1 import PredMode as _PM
 
-    above_ext = jnp.concatenate([above, jnp.broadcast_to(above[:, -1:], (B, n))], axis=1)
-    left_ext = jnp.concatenate([left, jnp.broadcast_to(left[:, -1:], (B, n))], axis=1)
-    for m in (_PM.D45_PRED, _PM.D135_PRED, _PM.D113_PRED, _PM.D157_PRED, _PM.D203_PRED, _PM.D67_PRED):
-        out.append(dr_pred(above_ext, left_ext, topleft, MODE_ANGLE[int(m)], n, n, xp=jnp))
-    return jnp.stack(out, axis=1)
+        above_ext = jnp.concatenate([above, jnp.broadcast_to(above[:, -1:], (B, n))], axis=1)
+        left_ext = jnp.concatenate([left, jnp.broadcast_to(left[:, -1:], (B, n))], axis=1)
+        for m in (_PM.D45_PRED, _PM.D135_PRED, _PM.D113_PRED, _PM.D157_PRED,
+                  _PM.D203_PRED, _PM.D67_PRED):
+            out.append(dr_pred(above_ext, left_ext, topleft, MODE_ANGLE[int(m)], n, n, xp=jnp))
+    return jnp.stack(out[:nmodes], axis=1)
 
 
 def _mode_penalty_grid(p, y0, x0, R, C, n, region, region_mi_end):
