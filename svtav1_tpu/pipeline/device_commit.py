@@ -89,6 +89,14 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
             r8_l.append(la[sel, 0] // 2 - y0 // 8)
             c8_l.append(la[sel, 1] // 2 - x0 // 8)
         if not fs_l:
+            # emit an empty entry so the set of sizes (and the commit
+            # program's static cfg) never depends on content
+            if rh >= n and rw >= n:
+                out[n] = dict(coords=np.zeros((0, 3), np.int32),
+                              mode=np.zeros(0, np.int32), tx=np.zeros(0, np.int32),
+                              uv_tx=np.zeros(0, np.int32), ref=np.zeros(0, np.int32),
+                              mv=np.zeros((0, 2), np.int32),
+                              offsets=np.zeros(W + 1, np.int32), NI=0, NW=0, kmax=0)
             continue
         fs = np.concatenate(fs_l)
         r8 = np.concatenate(r8_l)
@@ -544,11 +552,24 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     size_cfgs = []
     flat_parts = []
     wave_used = np.zeros(W, bool)
+    nref_frame = refs_dev is not None
     for n, s in sched_np.items():
         NI, NW = s["NI"], s["NW"]
-        kmax = _next_pow2(s["kmax"]) if NW else 0
-        NI_pad = _next_pow2(NI) if NI else 0
-        NW_pad = (_next_pow2(NW) + kmax) if NW else 0
+        # geometry-static paddings (compile once per geometry): inter
+        # frames budget the full grid for the batched inter phase and 1/8
+        # of it for the intra wavefront; content only escalates the bucket
+        # (rare recompile) — never shrinks it (VERDICT r3: per-frame
+        # leaf-count drift recompiled the commit program every frame)
+        Rn, Cn = rh // n, rw // n
+        grid = max(Rn * Cn * F, 1)
+        diag = max(min(Rn, Cn) * F, 1)
+        if nref_frame:
+            kfloor, wfloor = max(diag // 8, 8), max(grid // 8, 64)
+        else:
+            kfloor, wfloor = diag, grid
+        kmax = _next_pow2(max(s["kmax"], kfloor))
+        NI_pad = _next_pow2(grid) if nref_frame else 0
+        NW_pad = _next_pow2(max(NW, wfloor)) + kmax
         N_pad = NI_pad + NW_pad
         size_cfgs.append((n, NI_pad, NW_pad, kmax))
 
@@ -571,7 +592,10 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         flat_parts += [s["coords"].ravel(), s["mode"], s["tx"], s["uv_tx"],
                        s["ref"], s["mv"].ravel(), offs.astype(np.int32)]
     waves = np.nonzero(wave_used)[0].astype(np.int32)
-    W_eff = min(_next_pow2(max(len(waves), 1)), W)
+    # intra frames touch nearly every wave -> fix W_eff = W (static); inter
+    # frames compact to a pow2 bucket with a floor of 32
+    wefloor = 32 if nref_frame else W
+    W_eff = min(_next_pow2(max(len(waves), wefloor)), W)
     wave_list = np.full(W_eff, W, np.int32)  # pad with the empty sentinel wave
     wave_list[: min(len(waves), W_eff)] = waves[:W_eff]
     if len(waves) > W_eff:  # only possible when W_eff == W: identity schedule

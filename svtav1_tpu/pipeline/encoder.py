@@ -59,6 +59,9 @@ class EncoderConfig:
     # (ALT-REF filter analog, temporal_filtering.c:2752) — filters the
     # SOURCE with +-N neighbors before encoding; needs keyint > 1
     enable_tf: bool = False
+    # max reference frames per inter frame (reference uses up to 7;
+    # 3 = LAST + GOLDEN (last key / mini-GoP anchor) + ALTREF (future))
+    n_refs: int = 3
 
 
 @dataclass
@@ -119,7 +122,7 @@ class Encoder:
         # 4:2:0 needs even dims; sources are padded to the mi-aligned size
         # (always a multiple of 8) and cropped at display per the spec
         assert cfg.width % 2 == 0 and cfg.height % 2 == 0, "4:2:0 requires even dims"
-        assert cfg.minigop in (1, 2, 4)  # 8 needs a smarter DPB slot policy
+        assert cfg.minigop in (1, 2, 4, 8)  # dyadic mini-GoPs (5L max)
         self.cfg = cfg
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
                                   enable_cdef=cfg.enable_cdef,
@@ -165,6 +168,8 @@ class Encoder:
         self._tf_q: list = []
         self._tf_hist: list = []
         self._tf_emitted = 0
+        self._golden_disp = None  # last key's display idx (GOLDEN ref)
+        self._slot_occupant: dict = {}  # DPB slot -> display idx
 
     # ------------------------------------------------------------------- API
 
@@ -358,20 +363,47 @@ class Encoder:
         base = self.anchor
         sched = gop.schedule_minigop(base, len(frames))
         hl = int(np.log2(max(self.cfg.minigop, 1)))
+        # liveness-based DPB slot assignment over slots 0..6 (slot 7 is the
+        # GOLDEN key): a slot is reusable when its occupant is neither a
+        # ref of a not-yet-coded frame, nor awaiting show_existing, nor the
+        # mini-GoP's outgoing anchor (pic_manager availability analog)
+        needed_after = [set() for _ in sched]
+        need: set = {frames[-1][0]}
+        for i in range(len(sched) - 1, -1, -1):
+            needed_after[i] = set(need)
+            f = sched[i]
+            need.update(x for x in (f.past_idx, f.future_idx) if x is not None)
+            need.update(f.show_existing)
+            if f.show is False:
+                need.add(f.disp_idx)  # hidden frame awaits its display
         packets = []
-        for f in sched:
+        for i, f in enumerate(sched):
+            if f.disp_idx not in needed_after[i] and f.show:
+                slot = None  # shown now, referenced never: skip the refresh
+            else:
+                # the GOLDEN key always has slot 7 (outside this allocator),
+                # so its copies in 0..6 are reusable; every other live ref
+                # is in needed_after by construction
+                keep = needed_after[i] - {self._golden_disp}
+                slot = next(s for s in range(7)
+                            if self._slot_occupant.get(s) is None
+                            or self._slot_occupant[s] not in keep)
+                self._slot_occupant[slot] = f.disp_idx
             q = None
             if r0_by_disp is not None:
                 q = tpl_mod.crf_qindex(self.cfg.qindex, r0_by_disp.get(f.disp_idx, 1.0),
                                        False, f.layer, hl, self.cfg.bd)
             pkt = self._encode_one(f.disp_idx, srcs[f.disp_idx], False, f.show, f.layer,
-                                   f.past_idx, f.future_idx, qindex_override=q)
+                                   f.past_idx, f.future_idx, qindex_override=q,
+                                   dpb_slot=slot)
             packets.append(pkt)
             for se in f.show_existing:
                 packets.append(self._show_existing(se))
         self.anchor = frames[-1][0]
-        # drop DPB entries older than the new anchor (refs no longer needed)
-        for k in [k for k in self.dpb if k < self.anchor]:
+        # drop DPB entries older than the new anchor (refs no longer
+        # needed), except the GOLDEN key the sequence still references
+        g = getattr(self, "_golden_disp", None)
+        for k in [k for k in self.dpb if k < self.anchor and k != g]:
             del self.dpb[k]
         return packets
 
@@ -400,7 +432,7 @@ class Encoder:
 
     def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
                     past_idx, future_idx, plan_recon=None, filt=None,
-                    qindex_override=None, walk_fc=None) -> Packet:
+                    qindex_override=None, walk_fc=None, dpb_slot="auto") -> Packet:
         cfg = self.cfg
         order_hint = disp_idx & 0x7F
         qindex = (qindex_override if qindex_override is not None
@@ -412,10 +444,26 @@ class Encoder:
             past = self.dpb[past_idx]
             fut = self.dpb[future_idx] if future_idx is not None else None
             refs = {int(RefFrame.LAST_FRAME): past["planes"]}
+            entries = {int(RefFrame.LAST_FRAME): past}
             if fut is not None:
                 refs[int(RefFrame.ALTREF_FRAME)] = fut["planes"]
+                entries[int(RefFrame.ALTREF_FRAME)] = fut
+            # GOLDEN = the sequence's last key / mini-GoP anchor when it is a
+            # distinct frame (multi-ref single prediction; the reference uses
+            # up to 7 refs, av1_generate_rps_info)
+            g = getattr(self, "_golden_disp", None)
+            if (cfg.n_refs >= 3 and g is not None and g in self.dpb
+                    and g not in (past_idx, future_idx)):
+                gold = self.dpb[g]
+                refs[int(RefFrame.GOLDEN_FRAME)] = gold["planes"]
+                entries[int(RefFrame.GOLDEN_FRAME)] = gold
             for ref in range(1, 8):
-                ent = fut if (ref >= int(RefFrame.BWDREF_FRAME) and fut is not None) else past
+                if ref in entries:
+                    ent = entries[ref]
+                elif ref >= int(RefFrame.BWDREF_FRAME) and fut is not None:
+                    ent = fut
+                else:
+                    ent = past
                 ref_hints[ref] = ent["order_hint"]
                 ref_slot[ref - 1] = ent["slot"]
 
@@ -551,12 +599,26 @@ class Encoder:
 
         tile_payload = payloads if len(payloads) > 1 else payloads[0]
         replicate_display_edges(recon, cfg.width, cfg.height)
-        slot = disp_idx % 8
+        # keys park in slot 7 (they refresh all slots anyway) so the GOLDEN
+        # reference survives the rotating non-key slots 0..6; mini-GoP
+        # scheduling passes liveness-assigned slots (or None = droppable,
+        # refresh_frame_flags 0)
+        refresh = True
+        if dpb_slot == "auto":
+            slot = 7 if is_key else disp_idx % 7
+        elif dpb_slot is None:
+            slot, refresh = 0, False
+        else:
+            slot = dpb_slot
+        if is_key:
+            self._golden_disp = disp_idx
+            self._slot_occupant = {s: disp_idx for s in range(7)}
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
                          show_frame=show,
                          tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
                          frame_type=0 if is_key else 1, order_hint=order_hint,
-                         refresh_frame_flags=0xFF if is_key else (1 << slot),
+                         refresh_frame_flags=(0xFF if is_key
+                                              else (1 << slot) if refresh else 0),
                          ref_frame_idx=tuple(ref_slot),
                          lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
                          cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv,
@@ -580,7 +642,7 @@ class Encoder:
             saved_ctx.reset_counters()
         if is_key:
             self._cdf_slots = [saved_ctx] * 8
-        else:
+        elif refresh:
             self._cdf_slots[slot] = saved_ctx
         if self.rc is not None:
             self.rc.update(len(tu) * 8.0)

@@ -45,21 +45,42 @@ from .device_decide import SIZES, TX_SEARCH, _blocks_of, _eval_txfm, _rate_fns
 MAX_MV_ABS = 4094  # 1/8-pel component clamp (within spec MV range, even)
 
 
-def inter_cand_cost_const(fc) -> dict:
+def single_ref_tree_bits(fc, ref_id: int) -> float:
+    """single-ref tree signaling bits for one RefFrame id, with the
+    empty-neighbor-count context approximation (every _ref_ctx() = 1 —
+    tile_codec._ref_ctx with zero counts)."""
+    sb = rate_np.symbol_bits
+    bits = 0.0
+    bit0 = ref_id >= int(RefFrame.BWDREF_FRAME)
+    bits += sb(fc["single_ref"][1][0], int(bit0), 2)
+    if bit0:
+        b = ref_id == int(RefFrame.ALTREF_FRAME)
+        bits += sb(fc["single_ref"][1][1], int(b), 2)
+        if not b:
+            bits += sb(fc["single_ref"][1][5], int(ref_id == int(RefFrame.ALTREF2_FRAME)), 2)
+    else:
+        b = ref_id in (int(RefFrame.LAST3_FRAME), int(RefFrame.GOLDEN_FRAME))
+        bits += sb(fc["single_ref"][1][2], int(b), 2)
+        if b:
+            bits += sb(fc["single_ref"][1][4], int(ref_id == int(RefFrame.GOLDEN_FRAME)), 2)
+        else:
+            bits += sb(fc["single_ref"][1][3], int(ref_id == int(RefFrame.LAST2_FRAME)), 2)
+    return bits
+
+
+def inter_cand_cost_const(fc, ref_ids) -> dict:
     """Mode-signaling bit constants for the decide pass (ctx-0 / empty
     neighbor-ref-count approximations; exact contexts are applied by the
-    tile walk): is_inter flag + single-ref tree + {new,glob} mode flags."""
+    tile walk): is_inter flag + single-ref tree per ref + {new,glob} mode
+    flags. ref_ids: the RefFrame id per stacked ref index."""
     sb = rate_np.symbol_bits
     is_inter_b = sb(fc["intra_inter"][0], 1, 2)
-    # empty neighbor counts -> every _ref_ctx() = 1 (tile_codec._ref_ctx)
-    b_last = sb(fc["single_ref"][1][0], 0, 2)
-    b_alt = sb(fc["single_ref"][1][0], 1, 2) + sb(fc["single_ref"][1][1], 1, 2)
     b_new = sb(fc["newmv"][0], 0, 2)
     b_glob = sb(fc["newmv"][0], 1, 2) + sb(fc["zeromv"][0], 0, 2)
+    ref_bits = [single_ref_tree_bits(fc, int(r)) for r in ref_ids]
     return dict(
-        new_last=is_inter_b + b_last + b_new,
-        new_alt=is_inter_b + b_alt + b_new,
-        glob_last=is_inter_b + b_last + b_glob,
+        new=[is_inter_b + rb + b_new for rb in ref_bits],
+        glob=is_inter_b + ref_bits[0] + b_glob,
     )
 
 
@@ -128,10 +149,9 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     cand_mv = jnp.concatenate([*mv_by_ref, zero])  # (NC*B, 2)
     cand_ref = jnp.concatenate(
         [jnp.full(B, ri, jnp.int32) for ri in range(len(mv_by_ref))] + [jnp.zeros(B, jnp.int32)])
-    bits_list = [(cand_bits["new_last"] if ri == 0 else cand_bits["new_alt"])
-                 + _mv_rate(mv, pred_by_ref[ri], joint, comp)
+    bits_list = [cand_bits["new"][ri] + _mv_rate(mv, pred_by_ref[ri], joint, comp)
                  for ri, mv in enumerate(mv_by_ref)]
-    bits_list.append(jnp.full(B, cand_bits["glob_last"], jnp.float32))
+    bits_list.append(jnp.full(B, cand_bits["glob"], jnp.float32))
     cand_mbits = jnp.concatenate(bits_list)
     NC = len(mv_by_ref) + 1
 
@@ -196,7 +216,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
 
 @functools.lru_cache(maxsize=32)
 def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
-                      which: int):
+                      which: int, ref_ids: tuple = (1, 7)):
     """Whole-frame inter decide program: ME + subpel + per-size inter/intra
     RD. Per-frame CDF constants are baked in per qctx BUCKET; qindex enters
     as runtime operands (dqv, lam) so hierarchical layer offsets do not
@@ -215,7 +235,7 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
     intra_consts = {n: (_penalty_grid_np(p, 0, 0, ah // n, aw // n, n, (0, 0), mi_end),
                         intra_mode_cost_const(fc, n, False),
                         intra_txtype_cost_const(fc, n)) for n in sizes}
-    cand_bits = inter_cand_cost_const(fc)
+    cand_bits = inter_cand_cost_const(fc, ref_ids[:nref])
     inter_txt = {n: inter_txtype_cost_const(fc, n) for n in sizes}
     joint = jnp.asarray(rate_jax.mv_joint_cost(fc))
     comp = jnp.asarray(rate_jax.mv_component_cost_lut(fc, MAX_MV_ABS))
@@ -338,7 +358,7 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
                          for pl in range(3))
 
     with profiler.stage("decide"):
-        dec = decide_inter_frame(src_dev, refs_dev, p, which)
+        dec = decide_inter_frame(src_dev, refs_dev, p, which, ref_ids=ref_ids)
     with profiler.stage("partition_dp"):
         partitions, leaves, tree = device_decide.partition_dp(dec, p, fc, lam, region)
     plan = Plan()
@@ -403,14 +423,16 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
     return plan, recon, filt, payloads
 
 
-def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int) -> dict:
+def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int,
+                       ref_ids=(1, 7)) -> dict:
     """Run the jitted decide; returns {n: dict(cost, mode, tx, is_inter, ref,
     mvy, mvx)} numpy grids over the full aligned frame."""
     from ..constants.cdf import get_q_ctx
 
     p = params
     run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
-                                    refs_dev[0].shape[0], which)
+                                    refs_dev[0].shape[0], which,
+                                    ref_ids=tuple(int(r) for r in ref_ids))
     dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
     flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev, dqv, lam_op))
     out = {}

@@ -13,15 +13,21 @@ from svtav1_tpu.utils import aomdec
 
 
 def _clip(w, h, n, seed=11):
+    """Translation + fresh per-frame noise: the noise keeps the content
+    able to absorb bits at ANY target (a purely predictable clip makes
+    VBR undershoot by design — that would test the content, not the RC)."""
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 255, (h + 4 * n, w + 4 * n), np.int32)
     base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)
             + np.roll(base, (1, 1), (0, 1))) // 4
     out = []
     for t in range(n):
-        y = base[t : t + h, 2 * t : 2 * t + w].astype(np.int32)
-        u = (base[t : t + h : 2, 2 * t : 2 * t + w : 2] // 2 + 64).astype(np.int32)
-        v = (base[t : t + h : 2, 2 * t : 2 * t + w : 2] // 3 + 80).astype(np.int32)
+        y = (base[t : t + h, 2 * t : 2 * t + w]
+             + rng.integers(-10, 11, (h, w))).clip(0, 255).astype(np.int32)
+        u = (base[t : t + h : 2, 2 * t : 2 * t + w : 2] // 2 + 64
+             + rng.integers(-6, 7, (h // 2, w // 2))).clip(0, 255).astype(np.int32)
+        v = (base[t : t + h : 2, 2 * t : 2 * t + w : 2] // 3 + 80
+             + rng.integers(-6, 7, (h // 2, w // 2))).clip(0, 255).astype(np.int32)
         out.append((y, u, v))
     return out
 
