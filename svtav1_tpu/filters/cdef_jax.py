@@ -126,6 +126,80 @@ def _filter_cells_j(plane, ys, xs, m, dirs, pri, sec, pri_damping, sec_damping,
     return jnp.clip(y, mn, mx)
 
 
+def _tap_stack_j(plane, dirmap, m: int):
+    """Gather-free tap extraction for a whole (F, H, W) plane whose every
+    m x m cell has direction dirmap (F, H, W broadcast per cell, int32).
+
+    The 12 CDEF tap positions come from a STATIC 8x2x2 offset table indexed
+    by the per-cell direction — so the plane is shifted statically for all
+    8 directions and each pixel selects its direction's value (TPU lowers
+    dynamic 2-D gathers to a slow path; selects fuse on the VPU).
+    Returns (x0, [(pv, kind)...]) with kind 'p'/'s' and tap index k."""
+    import jax.numpy as jnp
+
+    F, H, W = plane.shape
+    B = 2
+    P = jnp.pad(plane, ((0, 0), (B, B), (B, B)), constant_values=CDEF_VERY_LARGE)
+
+    def shifted(dy, dx):
+        return P[:, B + dy : B + dy + H, B + dx : B + dx + W]
+
+    def select(dir_index_of):
+        """per-pixel select of shifted planes: offsets[d] = table row of
+        dir_index_of(d); one where-accumulate over the 8 directions."""
+        outs = []
+        for k in range(2):
+            for sgn in (1, -1):
+                acc = None
+                for d in range(8):
+                    dy, dx = (int(v) * sgn for v in CDEF_DIRS[dir_index_of(d)][k])
+                    sp = shifted(dy, dx)
+                    acc = sp if acc is None else jnp.where(dirmap == d, sp, acc)
+                outs.append((acc, k))
+        return outs
+
+    pri = select(lambda d: d)
+    sec = select(lambda d: (d + 2) & 7) + select(lambda d: (d - 2) & 7)
+    return plane, pri, sec
+
+
+def _filter_from_taps_j(x0, pri_taps, sec_taps, pri, sec, pri_damping, sec_damping,
+                        coeff_shift: int):
+    """Apply the CDEF accumulation given precomputed tap planes (full
+    frame). pri/sec: per-pixel (broadcastable) strengths. Bit-exact with
+    _filter_cells_j / cdef._apply_taps."""
+    import jax.numpy as jnp
+
+    def constrain(diff, s, damping):
+        shift = jnp.maximum(0, damping - _msb_j(s))
+        ad = jnp.abs(diff)
+        mag = jnp.minimum(ad, jnp.maximum(0, s - (ad >> shift)))
+        return jnp.sign(diff) * jnp.where(s > 0, mag, 0)
+
+    taps_sel = (pri >> coeff_shift) & 1
+    sum_ = jnp.zeros_like(x0)
+    mx = x0
+    mn = x0
+    for pv, k in pri_taps:
+        ptap = jnp.where(taps_sel == 0, int(PRI_TAPS[0, k]), int(PRI_TAPS[1, k]))
+        sum_ = sum_ + ptap * constrain(pv - x0, pri, pri_damping)
+        mx = jnp.maximum(mx, jnp.where(pv == CDEF_VERY_LARGE, mx, pv))
+        mn = jnp.minimum(mn, pv)
+    for sv, k in sec_taps:
+        sum_ = sum_ + int(SEC_TAPS[0, k]) * constrain(sv - x0, sec, sec_damping)
+        mx = jnp.maximum(mx, jnp.where(sv == CDEF_VERY_LARGE, mx, sv))
+        mn = jnp.minimum(mn, sv)
+    y = x0 + ((8 + sum_ - (sum_ < 0)) >> 4)
+    return jnp.clip(y, mn, mx)
+
+
+def _upsample_cells_j(cellvals, m: int, H: int, W: int):
+    """(F, R, C) per-cell values -> (F, H, W) per-pixel map."""
+    import jax.numpy as jnp
+
+    return jnp.repeat(jnp.repeat(cellvals, m, axis=1), m, axis=2)
+
+
 def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 8,
                   damping: int | None = None):
     """Search + apply CDEF for a batch of frames, all on device.
@@ -134,7 +208,11 @@ def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 
     int32 source luma; nonskip8 (F, R8, C8) bool. Pass `damping` directly
     (preferred — only 4 values, so jit callers avoid per-qindex recompiles)
     or `qindex` to derive it. Returns (new_planes, strengths (F, 4) int32
-    [y_pri, y_sec, uv_pri, uv_sec], damping)."""
+    [y_pri, y_sec, uv_pri, uv_sec], damping).
+
+    Tap planes are extracted ONCE (static shifts + direction selects) and
+    shared by every ladder candidate and the final apply — the search loop
+    is constrain+accumulate only."""
     import jax.numpy as jnp
 
     if damping is None:
@@ -143,28 +221,28 @@ def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 
     F, H, W = planes[0].shape
     R8, C8 = H // 8, W // 8
     NU = R8 * C8
-    ys = (np.repeat(np.arange(R8), C8) * 8).astype(np.int32)
-    xs = (np.tile(np.arange(C8), R8) * 8).astype(np.int32)
     mask = nonskip8.reshape(F, NU)
 
     cells = planes[0].reshape(F, R8, 8, C8, 8).transpose(0, 1, 3, 2, 4).reshape(F, NU, 8, 8)
     dirs, variances = find_dir_j(cells >> coeff_shift)
-
-    srcc = src_y.reshape(F, R8, 8, C8, 8).transpose(0, 1, 3, 2, 4).reshape(F, NU, 8, 8)
+    dirmap = _upsample_cells_j(dirs.reshape(F, R8, C8), 8, H, W)
+    varmap = _upsample_cells_j(variances.reshape(F, R8, C8), 8, H, W)
+    x0, pri_taps, sec_taps = _tap_stack_j(planes[0], dirmap, 8)
+    maskmap = _upsample_cells_j(mask.reshape(F, R8, C8), 8, H, W)
 
     # strength search: evaluate the candidate ladder on every non-skip unit
     sses = []
     for y_pri, y_sec in SEARCH_CANDIDATES:
         if y_pri == 0 and y_sec == 0:
-            res = cells
+            res = x0
         else:
-            t = _adjust_strength_j(y_pri << coeff_shift, variances)
-            d = jnp.where(y_pri > 0, dirs, 0)
-            res = _filter_cells_j(planes[0], ys, xs, 8, d, t,
-                                  np.full((F, 1), (y_sec << coeff_shift), np.int32),
-                                  damping + coeff_shift, damping + coeff_shift, coeff_shift)
-        e = ((res - srcc).astype(jnp.float32) ** 2).sum(axis=(-2, -1))
-        sses.append(jnp.sum(e * mask, axis=-1))
+            t = _adjust_strength_j(y_pri << coeff_shift, varmap)
+            res = _filter_from_taps_j(x0, pri_taps, sec_taps, t,
+                                      jnp.int32(y_sec << coeff_shift),
+                                      damping + coeff_shift, damping + coeff_shift,
+                                      coeff_shift)
+        e = (res - src_y).astype(jnp.float32) ** 2
+        sses.append(jnp.sum(e * maskmap, axis=(-2, -1)))
     sses = jnp.stack(sses, axis=-1)  # (F, n_cand)
     best = jnp.argmin(sses, axis=-1)  # (F,)
     cand = jnp.asarray(np.array(SEARCH_CANDIDATES, np.int32))  # (n_cand, 2)
@@ -173,31 +251,29 @@ def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 
     uv_pri = y_pri >> 1
     uv_sec = y_sec >> 1  # ladder sec values are 0/1/2 -> >>1 gives 0/1, never 3
 
-    # final apply (per-frame dynamic strengths)
-    t = _adjust_strength_j((y_pri << coeff_shift)[:, None], variances)
-    dy = jnp.where((y_pri > 0)[:, None], dirs, 0)
-    res_y = _filter_cells_j(planes[0], ys, xs, 8, dy, t, (y_sec << coeff_shift)[:, None],
-                            damping + coeff_shift, damping + coeff_shift, coeff_shift)
-    apply_y = mask & ((y_pri > 0) | (y_sec > 0))[:, None]
-    new_y = _scatter_cells_j(planes[0], res_y, ys, xs, 8, apply_y)
+    # final apply (per-frame dynamic strengths; tap planes reused)
+    t = _adjust_strength_j((y_pri << coeff_shift)[:, None, None], varmap)
+    res_y = _filter_from_taps_j(x0, pri_taps, sec_taps, t,
+                                (y_sec << coeff_shift)[:, None, None],
+                                damping + coeff_shift, damping + coeff_shift, coeff_shift)
+    apply_y = maskmap.astype(bool) & ((y_pri > 0) | (y_sec > 0))[:, None, None]
+    new_y = jnp.where(apply_y, res_y, planes[0])
 
-    duv = jnp.where((uv_pri > 0)[:, None], dirs, 0)
-    apply_uv = mask & ((uv_pri > 0) | (uv_sec > 0))[:, None]
-    pri_uv = jnp.broadcast_to((uv_pri << coeff_shift)[:, None], (F, NU))
-    new_u = _scatter_cells_j(planes[1],
-                             _filter_cells_j(planes[1], ys // 2, xs // 2, 4, duv, pri_uv,
-                                             (uv_sec << coeff_shift)[:, None],
-                                             damping + coeff_shift - 1, damping + coeff_shift - 1,
-                                             coeff_shift),
-                             ys // 2, xs // 2, 4, apply_uv)
-    new_v = _scatter_cells_j(planes[2],
-                             _filter_cells_j(planes[2], ys // 2, xs // 2, 4, duv, pri_uv,
-                                             (uv_sec << coeff_shift)[:, None],
-                                             damping + coeff_shift - 1, damping + coeff_shift - 1,
-                                             coeff_shift),
-                             ys // 2, xs // 2, 4, apply_uv)
+    Hc, Wc = H // 2, W // 2
+    dirmap_c = _upsample_cells_j(dirs.reshape(F, R8, C8), 4, Hc, Wc)
+    maskmap_c = _upsample_cells_j(mask.reshape(F, R8, C8), 4, Hc, Wc).astype(bool)
+    apply_uv = maskmap_c & ((uv_pri > 0) | (uv_sec > 0))[:, None, None]
+    pri_uv = (uv_pri << coeff_shift)[:, None, None]
+    sec_uv = (uv_sec << coeff_shift)[:, None, None]
+    outs_uv = []
+    for pl in (planes[1], planes[2]):
+        xc, pri_t, sec_t = _tap_stack_j(pl, dirmap_c, 4)
+        res_c = _filter_from_taps_j(xc, pri_t, sec_t, pri_uv, sec_uv,
+                                    damping + coeff_shift - 1,
+                                    damping + coeff_shift - 1, coeff_shift)
+        outs_uv.append(jnp.where(apply_uv, res_c, pl))
     strengths = jnp.stack([y_pri, y_sec, uv_pri, uv_sec], axis=-1)
-    return [new_y, new_u, new_v], strengths, damping
+    return [new_y, outs_uv[0], outs_uv[1]], strengths, damping
 
 
 def _scatter_cells_j(plane, cells, ys, xs, m, apply_mask):

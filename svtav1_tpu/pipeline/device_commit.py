@@ -568,7 +568,10 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         else:
             kfloor, wfloor = diag, grid
         kmax = _next_pow2(max(s["kmax"], kfloor))
-        NI_pad = _next_pow2(grid) if nref_frame else 0
+        # inter phase A: half-grid capacity, escalating to the full grid
+        # only when a size covers more than half the frame (2 variants max)
+        icap = max(_next_pow2(grid) // 2, 64)
+        NI_pad = (icap if NI <= icap else _next_pow2(grid)) if nref_frame else 0
         NW_pad = _next_pow2(max(NW, wfloor)) + kmax
         N_pad = NI_pad + NW_pad
         size_cfgs.append((n, NI_pad, NW_pad, kmax))
@@ -612,7 +615,7 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     if refs_dev is None:
-        dummy = jnp.zeros((1, 8, 8), jnp.uint8)
+        dummy = jnp.zeros((1, 8, 8), jnp.uint8 if p.bd == 8 else jnp.int16)
         refs_dev = (dummy, dummy, dummy)
     from .device_decide import qparams_np
 
@@ -727,9 +730,10 @@ def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
             planes, src_y8.astype(jnp.int32), ~skip8, damping=damping, bd=bd)
     else:
         strengths = jnp.zeros((F, 4), jnp.int32)
-    packed = jnp.concatenate([planes[0].astype(jnp.uint8).ravel(),
-                              planes[1].astype(jnp.uint8).ravel(),
-                              planes[2].astype(jnp.uint8).ravel()])
+    odt = jnp.uint8 if bd == 8 else jnp.int16
+    packed = jnp.concatenate([planes[0].astype(odt).ravel(),
+                              planes[1].astype(odt).ravel(),
+                              planes[2].astype(odt).ravel()])
     return packed, strengths
 
 
@@ -858,9 +862,10 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
                            int(strengths[f, 2]), int(strengths[f, 3]), damping))
                 for f in range(F)]
     else:
-        packed = jnp.concatenate([ry.astype(jnp.uint8).ravel(),
-                                  ru.astype(jnp.uint8).ravel(),
-                                  rv.astype(jnp.uint8).ravel()])
+        odt = jnp.uint8 if p.bd == 8 else jnp.int16
+        packed = jnp.concatenate([ry.astype(odt).ravel(),
+                                  ru.astype(odt).ravel(),
+                                  rv.astype(odt).ravel()])
     packed = np.asarray(packed)
 
     ysz, csz = ah * aw, (ah // 2) * (aw // 2)

@@ -139,7 +139,7 @@ class Encoder:
         self.pending: list = []  # buffered (disp_idx, src_planes)
         self._ibatch: list = []  # all-intra device batch queue
         self._batching = (cfg.intra_batch > 1 and cfg.keyint <= 1
-                          and cfg.mode_decision == "jax" and cfg.bd == 8
+                          and cfg.mode_decision == "jax"
                           and cfg.rc_mode == "cqp" and not cfg.scene_cut
                           and not cfg.enable_restoration)
         self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
@@ -448,12 +448,14 @@ class Encoder:
             if fut is not None:
                 refs[int(RefFrame.ALTREF_FRAME)] = fut["planes"]
                 entries[int(RefFrame.ALTREF_FRAME)] = fut
-            # GOLDEN = the sequence's last key / mini-GoP anchor when it is a
-            # distinct frame (multi-ref single prediction; the reference uses
-            # up to 7 refs, av1_generate_rps_info)
+            # GOLDEN = the sequence's last key (multi-ref single prediction;
+            # the reference uses up to 7 refs, av1_generate_rps_info). Kept
+            # even when it coincides with LAST so the frame pipeline's ref
+            # count — and the compiled program family — stays constant
+            # across the GOP.
             g = getattr(self, "_golden_disp", None)
             if (cfg.n_refs >= 3 and g is not None and g in self.dpb
-                    and g not in (past_idx, future_idx)):
+                    and g != future_idx):
                 gold = self.dpb[g]
                 refs[int(RefFrame.GOLDEN_FRAME)] = gold["planes"]
                 entries[int(RefFrame.GOLDEN_FRAME)] = gold
@@ -497,7 +499,7 @@ class Encoder:
             if len(plan_recon) > 2:
                 payloads = plan_recon[2]
         elif is_key:
-            if cfg.mode_decision == "jax" and cfg.bd == 8:
+            if cfg.mode_decision == "jax":
                 from . import device_commit
 
                 plan, recon, filt, payloads = device_commit.encode_intra_frames(
@@ -506,9 +508,9 @@ class Encoder:
                     enable_dlf=cfg.enable_dlf, enable_cdef=cfg.enable_cdef,
                     walk_fcs=[walk_fc],
                     use_arrays=False if use_lr else None)[0]
-            else:  # 10-bit uses the numpy reference path (device twin: r2)
+            else:
                 plan, recon = intra_md.encode_intra_frame(src, p)
-        elif cfg.mode_decision == "jax" and cfg.bd == 8:
+        elif cfg.mode_decision == "jax":
             from . import inter_device
 
             plan, recon, filt, payloads = inter_device.encode_inter_frame_device(

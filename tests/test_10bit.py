@@ -60,3 +60,26 @@ def test_y4m_10bit_roundtrip(tmp_path):
     assert (w, h, bd) == (16, 16, 10)
     assert np.array_equal(rd[0][0], frames[0][0])
     assert np.array_equal(rd[0][2], frames[0][2])
+
+
+def test_10bit_device_path():
+    """10-bit through the jax device pipeline (intra + inter + filters),
+    conformant via both decoders (the device path was 8-bit only in r3)."""
+    from svtav1_tpu.utils import aomdec
+
+    w, h = 96, 64
+    frames = _clip10(w, h, 4)
+    enc = Encoder(EncoderConfig(width=w, height=h, qindex=100, keyint=4, bd=10,
+                                mode_decision="jax"))
+    dec = Decoder()
+    tus, shown = [], []
+    for i, (y, u, v) in enumerate(frames):
+        tu, recon = enc.encode_frame(y, u, v)
+        dy, du, dv, drec = dec.decode_tu(tu)
+        for pl in range(3):
+            assert np.array_equal(recon[pl], drec[pl]), (i, pl)
+        mse = ((dy.astype(float) - y) ** 2).mean()
+        assert 10 * np.log10(1023 ** 2 / max(mse, 1e-9)) > 30.0
+        tus.append(tu)
+        shown.append((dy, du, dv))
+    aomdec.verify_tus(tus, shown)
