@@ -65,6 +65,7 @@ _PARAMS = {
     "enable-restoration": ("enable_restoration", _bool),
     "enable-rdoq": ("enable_rdoq", _bool),
     "enable-tf": ("enable_tf", _bool),
+    "n-refs": ("n_refs", _int_range(1, 3)),
     "rc": ("rc_mode", _str_choice("cqp", "cbr", "crf", "vbr")),
     "tbr": ("target_kbps", lambda v: float(v)),
     "fps": ("fps", lambda v: float(v)),
