@@ -568,10 +568,12 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         else:
             kfloor, wfloor = diag, grid
         kmax = _next_pow2(max(s["kmax"], kfloor))
-        # inter phase A: half-grid capacity, escalating to the full grid
-        # only when a size covers more than half the frame (2 variants max)
-        icap = max(_next_pow2(grid) // 2, 64)
-        NI_pad = (icap if NI <= icap else _next_pow2(grid)) if nref_frame else 0
+        # inter phase A: exact pow2 bucket with a grid/8 floor — sizes with
+        # few chosen leaves pin at the floor (no recompiles), only the
+        # frame's dominant size steps between pow2 buckets; compute follows
+        # the true lane count instead of a fixed half-grid
+        ifloor = max(_next_pow2(grid) // 8, 64)
+        NI_pad = max(_next_pow2(max(NI, 1)), ifloor) if nref_frame else 0
         NW_pad = _next_pow2(max(NW, wfloor)) + kmax
         N_pad = NI_pad + NW_pad
         size_cfgs.append((n, NI_pad, NW_pad, kmax))

@@ -16,10 +16,18 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the big jitted frame programs recompile only
-# when code/shapes change, not on every suite run
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu"))
+# persistent compile cache: PER-SESSION tmpdir. A shared on-disk cache
+# segfaults inside compilation_cache.get_executable_and_time when entries
+# were written by a concurrent process (torn writes) or another machine
+# type (cpu_aot_loader feature-mismatch SIGILL) — observed as a
+# deterministic suite crash in r4. Within-session reuse still works via
+# jax's in-memory cache + this private dir.
+import tempfile  # noqa: E402
+
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if not _cache_dir:
+    _cache_dir = tempfile.mkdtemp(prefix="jax_cache_test_")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # ---------------------------------------------------------------- test tiers
