@@ -28,11 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
-# persistent XLA compile cache: the big jitted frame programs (decide /
-# commit / filters) compile once per shape-bucket per machine, not per run
-jax.config.update("jax_compilation_cache_dir", os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache by default: executable deserialization on
+# this host is unreliable (cpu_aot_loader machine-feature mismatch can
+# SIGSEGV on load — see tests/conftest.py), and the driver benches fresh
+# code every round so a cache saves nothing. Opt in via env if needed.
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from svtav1_tpu.pipeline.encoder import Encoder, EncoderConfig  # noqa: E402
 from svtav1_tpu.utils import profiler  # noqa: E402
