@@ -24,9 +24,12 @@ def _build() -> bool:
     try:
         src_mtime = os.path.getmtime(_SRC)
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
-            subprocess.run(["gcc", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
+            # pid-unique tmp: concurrent builders (pytest-xdist workers)
+            # must not write the same intermediate; os.replace is atomic
+            tmp = f"{_SO}.{os.getpid()}.tmp"
+            subprocess.run(["gcc", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
                            check=True, capture_output=True)
-            os.replace(_SO + ".tmp", _SO)
+            os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.CalledProcessError):
         return False

@@ -93,8 +93,8 @@ class VbrController:
         cls = 0 if is_key else 1 + min(layer, 2)
         base_target = self._scale * self._BOOST[cls]
         # spread the accumulated budget error over ~a window of frames
-        target = base_target + np.clip(self.budget_err / max(self.keyint // 2, 4),
-                                       -0.5 * base_target, 2.0 * base_target)
+        target = base_target + np.clip(self.budget_err / max(self.keyint // 4, 2),
+                                       -0.6 * base_target, 1.5 * base_target)
         target = max(target, self.avg_target * 0.05)
         # regulate q: smallest q whose projection fits the target (the
         # projection is monotonically decreasing in q)
@@ -122,9 +122,9 @@ class VbrController:
         self._last = None
         self.budget_err += base_target - actual_bits
         ratio = actual_bits / max(projected, 1.0)
-        # damped, step-limited correction factor update (rc_process.c:2236)
+        # step-limited correction factor update (rc_process.c:2236)
         ratio = float(np.clip(ratio, 0.5, 2.0))
-        self.cf[is_key] = float(np.clip(self.cf[is_key] * ratio ** 0.75,
+        self.cf[is_key] = float(np.clip(self.cf[is_key] * ratio,
                                         self._MIN_CF, self._MAX_CF))
 
 
