@@ -26,7 +26,7 @@ def main(argv=None) -> int:
     ap.add_argument("--recon", default=None, help="write decoder-checked recon .y4m")
     ap.add_argument("--md", default="numpy", choices=["numpy", "jax"], help="mode decision backend")
     ap.add_argument("--keyint", type=int, default=1, help="key frame interval (1 = all-intra)")
-    ap.add_argument("--minigop", type=int, default=1, choices=[1, 2, 4],
+    ap.add_argument("--minigop", type=int, default=1, choices=[1, 2, 4, 8],
                     help="mini-GoP size (1 = low-delay, >1 = hierarchical-B)")
     ap.add_argument("--rc", default="cqp", choices=["cqp", "cbr", "crf", "vbr"],
                     help="rate control mode (crf = TPL r0 q assignment, vbr = bits/MB model)")
@@ -57,9 +57,6 @@ def main(argv=None) -> int:
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
-    if bd > 8 and args.md == "jax":
-        print("10-bit uses the numpy mode-decision path", file=sys.stderr)
-        args.md = "numpy"
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
                                 keyint=args.keyint, minigop=args.minigop, bd=bd,
                                 rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),

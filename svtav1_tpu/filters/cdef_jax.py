@@ -245,6 +245,12 @@ def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 
         sses.append(jnp.sum(e * maskmap, axis=(-2, -1)))
     sses = jnp.stack(sses, axis=-1)  # (F, n_cand)
     best = jnp.argmin(sses, axis=-1)  # (F,)
+    # The final apply below omits the decoder's "dir = 0 when pri_strength
+    # == 0" forcing (filters/cdef.py:198,206): it is unreachable only while
+    # the ladder never yields pri == 0 with sec > 0 — at luma directly, and
+    # at chroma after the uv = y >> 1 derivation. Keep that invariant.
+    assert all(p > 0 or s == 0 for p, s in SEARCH_CANDIDATES), SEARCH_CANDIDATES
+    assert all((p >> 1) > 0 or (s >> 1) == 0 for p, s in SEARCH_CANDIDATES)
     cand = jnp.asarray(np.array(SEARCH_CANDIDATES, np.int32))  # (n_cand, 2)
     y_pri = cand[best, 0]
     y_sec = cand[best, 1]

@@ -27,11 +27,13 @@ from . import me_jax
 TF_BLOCK = 16  # ME/MC granularity (reference filters 32x32 with 16 subblocks)
 
 
-def estimate_noise_j(y):
+def estimate_noise_j(y, bd: int = 8):
     """Frame noise sigma via the median-absolute-Laplacian estimator the
     reference uses (temporal_filtering.c estimate_noise: |L| * sqrt(pi/2) /
     6 averaged over non-edge pixels; mean replaces median — same scale on
-    iid noise)."""
+    iid noise). The edge-gradient threshold scales with bit depth (the
+    reference shifts its EDGE_THRESHOLD by bd-8) so 10-bit frames classify
+    flat pixels at the same luminance contrast as 8-bit."""
     y = y.astype(jnp.float32)
     lap = (4.0 * y[1:-1, 1:-1]
            - 2.0 * (y[1:-1, :-2] + y[1:-1, 2:] + y[:-2, 1:-1] + y[2:, 1:-1])
@@ -39,7 +41,7 @@ def estimate_noise_j(y):
     # edge mask: skip high-gradient pixels so texture doesn't read as noise
     gx = jnp.abs(y[1:-1, 2:] - y[1:-1, :-2])
     gy = jnp.abs(y[2:, 1:-1] - y[:-2, 1:-1])
-    flat = (gx + gy) < 40.0
+    flat = (gx + gy) < 40.0 * (1 << (bd - 8))
     cnt = jnp.maximum(jnp.sum(flat), 1)
     return jnp.sum(jnp.abs(lap) * flat) / cnt * jnp.float32(np.sqrt(np.pi / 2) / 6.0)
 
@@ -70,7 +72,7 @@ def _tf_jit(H: int, W: int, K: int, bd: int):
         cy = cy8.astype(jnp.int32)
         cu = cu8.astype(jnp.int32)
         cv = cv8.astype(jnp.int32)
-        sigma = jnp.maximum(estimate_noise_j(cy), 0.5)
+        sigma = jnp.maximum(estimate_noise_j(cy, bd), 0.5 * (1 << (bd - 8)))
         r_idx = jnp.repeat(jnp.arange(R), C)
         c_idx = jnp.tile(jnp.arange(C), R)
         srcb = cy.reshape(R, TF_BLOCK, C, TF_BLOCK).transpose(0, 2, 1, 3) \
@@ -119,9 +121,10 @@ def _tf_jit(H: int, W: int, K: int, bd: int):
     return run
 
 
-def tf_strength(qindex: int) -> float:
-    """q-derived filter strength (q_decay shape: stronger at high q)."""
-    return 1.0 + qindex / 48.0
+def tf_strength(qindex: int, bd: int = 8) -> float:
+    """q-derived filter strength (q_decay shape: stronger at high q),
+    in sample units — scales with bit depth like sigma."""
+    return (1.0 + qindex / 48.0) * (1 << (bd - 8))
 
 
 def filter_frame(center, neighbors, qindex: int, bd: int = 8):
@@ -137,5 +140,5 @@ def filter_frame(center, neighbors, qindex: int, bd: int = 8):
     ny = np.stack([np.asarray(f[0], dt) for f in neighbors])
     nu = np.stack([np.asarray(f[1], dt) for f in neighbors])
     nv = np.stack([np.asarray(f[2], dt) for f in neighbors])
-    y, u, v = run(cy, cu, cv, ny, nu, nv, np.float32(tf_strength(qindex)))
+    y, u, v = run(cy, cu, cv, ny, nu, nv, np.float32(tf_strength(qindex, bd)))
     return [np.asarray(y), np.asarray(u), np.asarray(v)]

@@ -151,6 +151,37 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
     return out, W
 
 
+def finish_levels(aux: dict) -> None:
+    """Complete the commit's level fetch: pull the packed int16 buffer off
+    device (if still a future), expand to the int32 view + per-size slab
+    offsets + per-block skip flags the op-stream builder needs. Idempotent
+    on the host side; call once per commit."""
+    from ..utils import profiler
+
+    if "levels_raw" in aux:
+        levels_packed = aux.pop("levels_raw")
+    else:
+        with profiler.stage("levels_d2h"):
+            levels_packed = np.asarray(aux.pop("levels_dev"))
+    _t_unpack = time.perf_counter()
+    levels_i32 = levels_packed.astype(np.int32)
+    level_base = {}
+    off = 0
+    for n, s in aux["sched"].items():
+        N = len(s["coords"])
+        adj, nc = min(n, 32), n // 2
+        bY, bU, bV = off, off + N * adj * adj, off + N * (adj * adj + nc * nc)
+        level_base[n] = (bY, bU, bV)
+        off += N * (adj * adj + 2 * nc * nc)
+        ya = np.abs(levels_i32[bY:bU].reshape(N, adj * adj)).sum(1)
+        ua = np.abs(levels_i32[bU:bV].reshape(N, nc * nc)).sum(1)
+        va = np.abs(levels_i32[bV : bV + N * nc * nc].reshape(N, nc * nc)).sum(1)
+        s["skip"] = (ya + ua + va) == 0
+    aux["levels_i32"] = levels_i32
+    aux["level_base"] = level_base
+    profiler.add("commit/unpack_plan", time.perf_counter() - _t_unpack)
+
+
 _RDOQ_FN_CACHE: dict = {}
 
 
@@ -529,7 +560,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
 
 
 def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, region,
-                   refs_dev=None, ref_ids=None, which: int = 0, array_out: bool = False):
+                   refs_dev=None, ref_ids=None, which: int = 0, array_out: bool = False,
+                   fetch_levels: bool = True):
     """Commit the decided leaves of one region: fills plans in place and
     returns the region's DEVICE recon planes + skip map (ry, ru, rv, skip8).
 
@@ -626,30 +658,21 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         levels_packed, ry, ru, rv, skip8 = _commit_device(
             sy, su, sv, refs_dev[0], refs_dev[1], refs_dev[2], sched_flat, dqv,
             lam, cfg)
-        levels_packed = np.asarray(levels_packed)
+        if fetch_levels or not array_out:
+            levels_packed = np.asarray(levels_packed)
 
-    # unpack levels + build per-block outputs
-    _t_unpack = time.perf_counter()
     if array_out:
-        # vectorized path: ONE int32 view of the whole level buffer + per-size
-        # slab offsets + per-block skip (no per-leaf Python; the op stream is
-        # built later by codec/array_plan.build_tile_ops)
-        levels_i32 = levels_packed.astype(np.int32)
-        level_base = {}
-        off = 0
-        for n, s in sched_np.items():
-            N = len(s["coords"])
-            adj, nc = min(n, 32), n // 2
-            bY, bU, bV = off, off + N * adj * adj, off + N * (adj * adj + nc * nc)
-            level_base[n] = (bY, bU, bV)
-            off += N * (adj * adj + 2 * nc * nc)
-            ya = np.abs(levels_i32[bY:bU].reshape(N, adj * adj)).sum(1)
-            ua = np.abs(levels_i32[bU:bV].reshape(N, nc * nc)).sum(1)
-            va = np.abs(levels_i32[bV : bV + N * nc * nc].reshape(N, nc * nc)).sum(1)
-            s["skip"] = (ya + ua + va) == 0
-        profiler.add("commit/unpack_plan", time.perf_counter() - _t_unpack)
-        aux = dict(sched=sched_np, levels_i32=levels_i32, level_base=level_base,
-                   ref_ids=ref_ids)
+        # vectorized path: the op stream is built later by
+        # codec/array_plan.build_tile_ops from the aux dict. With
+        # fetch_levels=False the d2h stays a device future (`levels_dev`)
+        # so the pipelined caller can overlap the fetch with the next
+        # frame's device work (finish_levels completes it).
+        aux = dict(sched=sched_np, ref_ids=ref_ids)
+        if fetch_levels:
+            aux["levels_raw"] = levels_packed
+            finish_levels(aux)
+        else:
+            aux["levels_dev"] = levels_packed
         return ry, ru, rv, skip8, aux
     off = 0
     for n, s in sched_np.items():
@@ -691,13 +714,17 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "sharpness", "bd", "damping",
-                                             "enable_cdef", "flen_shapes"))
+                                             "enable_cdef", "flen_shapes", "disp_dims"))
 def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
-                   levels, sharpness, bd, damping, enable_cdef, flen_shapes):
+                   levels, sharpness, bd, damping, enable_cdef, flen_shapes,
+                   disp_dims=None):
     """In-loop filters on device: DLF (by-q levels) then CDEF search+apply.
     flen_flat packs the six DLF filter-length maps (shapes static); `damping`
     is the CDEF damping (the only qindex-derived static — 4 values).
-    Returns (packed uint8 recon, cdef strengths (F, 4))."""
+    disp_dims=(width, height): overwrite mi-alignment padding with replicated
+    display-edge pixels (spec 7.11.3.4 MC clamp; encoder.replicate_display_edges
+    twin) so the output can enter a device-resident DPB directly.
+    Returns (packed uint8 recon, cdef strengths (F, 4), [y, u, v] planes)."""
     from ..filters import cdef_jax, dlf_jax
 
     F = ry.shape[0]
@@ -732,11 +759,22 @@ def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
             planes, src_y8.astype(jnp.int32), ~skip8, damping=damping, bd=bd)
     else:
         strengths = jnp.zeros((F, 4), jnp.int32)
+    if disp_dims is not None:
+        w, h = disp_dims
+        out = []
+        for pi, pl in enumerate(planes):
+            pw, ph = (w, h) if pi == 0 else (w >> 1, h >> 1)
+            if pw < pl.shape[2]:
+                pl = pl.at[:, :, pw:].set(pl[:, :, pw - 1 : pw])
+            if ph < pl.shape[1]:
+                pl = pl.at[:, ph:, :].set(pl[:, ph - 1 : ph, :])
+            out.append(pl)
+        planes = out
     odt = jnp.uint8 if bd == 8 else jnp.int16
-    packed = jnp.concatenate([planes[0].astype(odt).ravel(),
-                              planes[1].astype(odt).ravel(),
-                              planes[2].astype(odt).ravel()])
-    return packed, strengths
+    planes = [pl.astype(odt) for pl in planes]
+    packed = jnp.concatenate([planes[0].ravel(), planes[1].ravel(),
+                              planes[2].ravel()])
+    return packed, strengths, planes
 
 
 def _size_maps(leaves, F: int, R8: int, C8: int) -> np.ndarray:
@@ -855,9 +893,9 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
         flen_shapes = tuple(x.shape for x in flens)
         flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]))
         damping = cdef_mod.pick_damping(p.qindex)
-        packed, strengths = _filter_device(ry, ru, rv, src_dev[0], skip8, flen_flat,
-                                           tuple(levels), sharpness, p.bd, damping,
-                                           enable_cdef, flen_shapes)
+        packed, strengths, _pl = _filter_device(ry, ru, rv, src_dev[0], skip8, flen_flat,
+                                                tuple(levels), sharpness, p.bd, damping,
+                                                enable_cdef, flen_shapes)
         strengths = np.asarray(strengths)
         filt = [dict(lf_levels=tuple(levels),
                      cdef=(int(strengths[f, 0]), int(strengths[f, 1]),

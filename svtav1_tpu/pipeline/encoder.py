@@ -81,8 +81,9 @@ def mi_from_plan(plan, params: FrameParams):
     plan.materialize()
     mi = MiState(params.mi_rows, params.mi_cols)
     for (r, c, bsize), d in plan.blocks.items():
-        mi.set_block(r, c, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
-                     (int(d.mv[0]), int(d.mv[1])), skip=d.skip)
+        mi.set_block(r, c, bsize, d.y_mode, d.ref_frame, int(d.ref_frame1),
+                     (int(d.mv[0]), int(d.mv[1])),
+                     mv1=(int(d.mv1[0]), int(d.mv1[1])), skip=d.skip)
     return mi
 
 
@@ -170,6 +171,15 @@ class Encoder:
         self._tf_emitted = 0
         self._golden_disp = None  # last key's display idx (GOLDEN ref)
         self._slot_occupant: dict = {}  # DPB slot -> display idx
+        # frame pipeline: FIFO of in-flight work; at most ONE frame's device
+        # programs outstanding. Host entropy walk / OBU packing of frame N
+        # runs while the device executes frame N+1's decide (the throughput
+        # half of the reference SRM's job — stage overlap across pictures)
+        self._pipe: list = []
+        self._pipeline_ok = (cfg.mode_decision == "jax"
+                             and not cfg.enable_restoration
+                             and cfg.tile_cols_log2 == 0
+                             and cfg.tile_rows_log2 == 0)
 
     # ------------------------------------------------------------------- API
 
@@ -238,6 +248,7 @@ class Encoder:
             return packets
         if is_key:
             packets += self._drain_pending()
+            packets += self._pipe_drain()
             packets.append(self._encode_one(d, src, True, True, 0, None, None))
             self.anchor = d
             return packets
@@ -254,8 +265,8 @@ class Encoder:
         if self._batching and self._ibatch:
             return packets + self._encode_intra_batch()
         if self._crf:
-            return packets + self._drain_crf(final=True)
-        return packets + self._drain_pending()
+            return packets + self._drain_crf(final=True) + self._pipe_drain()
+        return packets + self._drain_pending() + self._pipe_drain()
 
     def _encode_intra_batch(self) -> list:
         """Encode the queued all-intra frames through the batched device
@@ -289,7 +300,7 @@ class Encoder:
         """Synchronous helper for low-delay configs (minigop == 1):
         returns (tu_bytes, recon_planes) for this display frame."""
         assert self.cfg.minigop == 1 and not self._tf
-        pkts = self.send_frame(y, u, v)
+        pkts = self.send_frame(y, u, v) + self._pipe_drain()
         assert len(pkts) == 1
         return pkts[0].tu, pkts[0].recon
 
@@ -319,6 +330,7 @@ class Encoder:
         while self._crf_pending and (final or len(self._crf_pending) >= la):
             pend = self._crf_pending
             if pend[0][2]:  # key frame: window starts at the key itself
+                packets += self._pipe_drain()
                 window = [s[0] for (_d, s, _k) in pend[:la]]
                 r0s = self._tpl_r0(window)
                 d, src, _ = pend.pop(0)
@@ -385,20 +397,24 @@ class Encoder:
                 # so its copies in 0..6 are reusable; every other live ref
                 # is in needed_after by construction
                 keep = needed_after[i] - {self._golden_disp}
-                slot = next(s for s in range(7)
-                            if self._slot_occupant.get(s) is None
-                            or self._slot_occupant[s] not in keep)
+                slot = next((s for s in range(7)
+                             if self._slot_occupant.get(s) is None
+                             or self._slot_occupant[s] not in keep), None)
+                if slot is None:
+                    raise RuntimeError(
+                        f"live reference set {sorted(keep)} exceeds the 7 "
+                        "rotating DPB slots (scheduler kept too many frames "
+                        "alive; dyadic minigop<=8 never does this)")
                 self._slot_occupant[slot] = f.disp_idx
             q = None
             if r0_by_disp is not None:
                 q = tpl_mod.crf_qindex(self.cfg.qindex, r0_by_disp.get(f.disp_idx, 1.0),
                                        False, f.layer, hl, self.cfg.bd)
-            pkt = self._encode_one(f.disp_idx, srcs[f.disp_idx], False, f.show, f.layer,
-                                   f.past_idx, f.future_idx, qindex_override=q,
-                                   dpb_slot=slot)
-            packets.append(pkt)
+            packets += self._encode_push(f.disp_idx, srcs[f.disp_idx], f.show, f.layer,
+                                         f.past_idx, f.future_idx, qindex_override=q,
+                                         dpb_slot=slot)
             for se in f.show_existing:
-                packets.append(self._show_existing(se))
+                packets += self._push_done(self._show_existing(se))
         self.anchor = frames[-1][0]
         # drop DPB entries older than the new anchor (refs no longer
         # needed), except the GOLDEN key the sequence still references
@@ -430,9 +446,11 @@ class Encoder:
         tu = temporal_delimiter_obu() + show_existing_frame_obu(slot)
         return Packet(tu=tu, shown_disp_idx=disp_idx)
 
-    def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
-                    past_idx, future_idx, plan_recon=None, filt=None,
-                    qindex_override=None, walk_fc=None, dpb_slot="auto") -> Packet:
+    def _frame_setup(self, disp_idx: int, is_key: bool, layer: int,
+                     past_idx, future_idx, qindex_override) -> dict:
+        """Per-frame header/reference setup shared by the synchronous and
+        pipelined encode paths: qindex, ref map (id -> DPB planes), ref
+        slots/hints, loop-filter levels, FrameParams."""
         cfg = self.cfg
         order_hint = disp_idx & 0x7F
         qindex = (qindex_override if qindex_override is not None
@@ -480,6 +498,148 @@ class Encoder:
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
                         enable_filter_intra=cfg.enable_filter_intra,
                         enable_rdoq=cfg.enable_rdoq)
+        return dict(p=p, refs=refs, ref_slot=ref_slot, order_hint=order_hint,
+                    qindex=qindex)
+
+    # --------------------------------------------------- pipelined inter path
+
+    def _dpb_assign(self, disp_idx: int, is_key: bool, dpb_slot):
+        """DPB slot + refresh flag; updates GOLDEN bookkeeping for keys."""
+        refresh = True
+        if dpb_slot == "auto":
+            slot = 7 if is_key else disp_idx % 7
+        elif dpb_slot is None:
+            slot, refresh = 0, False
+        else:
+            slot = dpb_slot
+        if is_key:
+            self._golden_disp = disp_idx
+            self._slot_occupant = {s: disp_idx for s in range(7)}
+        return slot, refresh
+
+    def _stack_refs(self, refs: dict, bd: int):
+        """(NREF, ...) device plane stacks from DPB entries (device odt
+        arrays from pipelined frames, numpy int32 from sync/key frames)."""
+        import jax
+        import jax.numpy as jnp
+
+        dt = np.uint8 if bd == 8 else np.int16
+        ref_ids = sorted(refs.keys())
+        out = []
+        for pl in range(3):
+            parts = []
+            for r in ref_ids:
+                x = refs[r][pl]
+                if isinstance(x, np.ndarray):
+                    x = jax.device_put(np.asarray(x, dt))
+                parts.append(x)
+            out.append(jnp.stack(parts))
+        return tuple(out), ref_ids
+
+    def _pipe_drain(self) -> list:
+        """Finish every queued pipeline item in order."""
+        items, self._pipe = self._pipe, []
+        out = []
+        for kind, payload in items:
+            out.append(payload if kind == "done" else self._pipe_finish(payload))
+        return out
+
+    def _push_done(self, pkt: Packet) -> list:
+        """Order an already-built packet behind any in-flight frame."""
+        if self._pipe:
+            self._pipe.append(("done", pkt))
+            return []
+        return [pkt]
+
+    def _encode_push(self, disp_idx: int, src: list, show: bool, layer: int,
+                     past_idx, future_idx, qindex_override=None,
+                     dpb_slot="auto") -> list:
+        """Pipelined inter encode: dispatch this frame's decide, drain older
+        host work (overlapping the device), then dispatch commit + filters
+        and queue the host finish. Falls back to the synchronous path when
+        the config can't pipeline (numpy MD, restoration, tiles, rate
+        control with per-frame feedback)."""
+        cfg = self.cfg
+        if not (self._pipeline_ok and self.rc is None):
+            out = self._pipe_drain()
+            out.append(self._encode_one(disp_idx, src, False, show, layer,
+                                        past_idx, future_idx,
+                                        qindex_override=qindex_override,
+                                        dpb_slot=dpb_slot))
+            return out
+        from . import inter_device
+
+        setup = self._frame_setup(disp_idx, False, layer, past_idx, future_idx,
+                                  qindex_override)
+        p = setup["p"]
+        refs_dev, ref_ids = self._stack_refs(setup["refs"], p.bd)
+        pend = inter_device.inter_start_decide(src, p, refs_dev,
+                                               p.interp_filter, ref_ids)
+        out = self._pipe_drain()  # host walks of older frames overlap decide
+        pend = inter_device.inter_start_commit(pend, enable_dlf=cfg.enable_dlf,
+                                               enable_cdef=cfg.enable_cdef)
+        slot, refresh = self._dpb_assign(disp_idx, False, dpb_slot)
+        self.dpb[disp_idx] = {"planes": pend.dpb_planes,
+                              "order_hint": setup["order_hint"], "slot": slot}
+        self._pipe.append(("frame", dict(pend=pend, setup=setup, show=show,
+                                         disp_idx=disp_idx, slot=slot,
+                                         refresh=refresh)))
+        return out
+
+    def _pipe_finish(self, st: dict) -> Packet:
+        from . import inter_device
+
+        cfg = self.cfg
+        setup, pend = st["setup"], st["pend"]
+        p, ref_slot = setup["p"], setup["ref_slot"]
+        slot, refresh = st["slot"], st["refresh"]
+        disp_idx, show = st["disp_idx"], st["show"]
+        primary_ref = 7  # PRIMARY_REF_NONE
+        walk_fc = FrameContext(p.qindex)
+        if cfg.cdf_inheritance:
+            saved = self._cdf_slots[ref_slot[0]]
+            if saved is not None:
+                walk_fc = saved.clone()
+                primary_ref = 0  # LAST
+        plan, recon, filt, payloads = inter_device.inter_finish(pend, walk_fc)
+        ypri, ysec, upri, usec, cdef_damping = filt["cdef"]
+        fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
+                         show_frame=show,
+                         tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
+                         frame_type=1, order_hint=setup["order_hint"],
+                         refresh_frame_flags=(1 << slot) if refresh else 0,
+                         ref_frame_idx=tuple(ref_slot),
+                         lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
+                         cdef_damping=cdef_damping, cdef_y=((ypri, ysec),),
+                         cdef_uv=((upri, usec),),
+                         primary_ref_frame=primary_ref,
+                         frame_end_update_cdf=cfg.cdf_inheritance)
+        tu = temporal_delimiter_obu()
+        if not self._wrote_seq:
+            tu += sequence_header_obu(self.seq)
+            self._wrote_seq = True
+        tu += frame_obu(self.seq, fr, payloads[0] if len(payloads) == 1 else payloads)
+        saved_ctx = walk_fc if cfg.cdf_inheritance else None
+        if saved_ctx is not None:
+            saved_ctx.reset_counters()
+        if refresh:
+            self._cdf_slots[slot] = saved_ctx
+        return Packet(tu=tu, disp_idx=disp_idx, recon=recon,
+                      shown_disp_idx=disp_idx if show else None)
+
+    def _encode_one(self, disp_idx: int, src: list, is_key: bool, show: bool, layer: int,
+                    past_idx, future_idx, plan_recon=None, filt=None,
+                    qindex_override=None, walk_fc=None, dpb_slot="auto") -> Packet:
+        cfg = self.cfg
+        setup = self._frame_setup(disp_idx, is_key, layer, past_idx, future_idx,
+                                  qindex_override)
+        p, refs, ref_slot = setup["p"], setup["refs"], setup["ref_slot"]
+        order_hint = setup["order_hint"]
+        if refs is not None:
+            # the synchronous paths (numpy MD, restoration) need host planes;
+            # device-resident DPB entries (pipelined frames) download here
+            refs = {r: [np.asarray(pl, np.int32) for pl in pls]
+                    for r, pls in refs.items()}
 
         # frame-initial CDF state: inherit from the primary ref's saved
         # context when available (md_config_process.c:676-695 analog)

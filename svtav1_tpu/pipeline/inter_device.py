@@ -407,7 +407,7 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
         flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]).astype(np.int32))
     with profiler.stage("filters"):
         damping = cdef_mod.pick_damping(p.qindex)
-        packed, strengths = device_commit._filter_device(
+        packed, strengths, _pl = device_commit._filter_device(
             ry, ru, rv, src_dev[0], skip8, flen_flat, tuple(levels), sharpness,
             p.bd, damping, enable_cdef, flen_shapes)
         strengths = np.asarray(strengths)
@@ -423,6 +423,20 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
     return plan, recon, filt, payloads
 
 
+def _unpack_decide(flat: np.ndarray, layout) -> dict:
+    out = {}
+    off = 0
+    for n, R, C in layout:
+        sz = R * C
+        g = {}
+        for kname in ("cost", "is_inter", "mode", "tx", "ref", "mvy", "mvx"):
+            arr = flat[off : off + sz].reshape(R, C)
+            g[kname] = arr.astype(np.float64) if kname == "cost" else arr.astype(np.int32)
+            off += sz
+        out[n] = g
+    return out
+
+
 def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int,
                        ref_ids=(1, 7)) -> dict:
     """Run the jitted decide; returns {n: dict(cost, mode, tx, is_inter, ref,
@@ -435,14 +449,138 @@ def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int,
                                     ref_ids=tuple(int(r) for r in ref_ids))
     dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
     flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev, dqv, lam_op))
-    out = {}
-    off = 0
-    for n, R, C in layout:
-        sz = R * C
-        g = {}
-        for kname in ("cost", "is_inter", "mode", "tx", "ref", "mvy", "mvx"):
-            arr = flat[off : off + sz].reshape(R, C)
-            g[kname] = arr.astype(np.float64) if kname == "cost" else arr.astype(np.int32)
-            off += sz
-        out[n] = g
-    return out
+    return _unpack_decide(flat, layout)
+
+
+# --------------------------------------------------------------- pipelined
+# Three-phase inter frame for the overlapped host/device pipeline (the
+# throughput half of the reference's System Resource Manager design,
+# Docs/svt-av1-encoder-design.md:135-142 "process/picture parallelism"):
+#
+#   start_decide  — h2d source + DISPATCH the decide program, no host sync.
+#                   Runs while the host still walks the PREVIOUS frame.
+#   start_commit  — fetch decide (the frame's one mandatory sync), host
+#                   partition DP, dispatch commit + in-loop filters. The
+#                   filtered, display-edge-replicated recon planes stay ON
+#                   DEVICE (.dpb_planes) so the next frame's ME/MC chains
+#                   on them with zero host round trips.
+#   finish        — pull levels (overlapped d2h), build the op stream, run
+#                   the native C walk, fetch the recon for the packet.
+
+
+class PendingInter:
+    """Mutable carrier of one in-flight frame's device futures + host aux."""
+
+
+def inter_start_decide(src_planes, params: FrameParams, refs_dev, which: int,
+                       ref_ids) -> PendingInter:
+    from ..constants.cdf import get_q_ctx
+    from ..utils import profiler
+
+    p = params
+    pend = PendingInter()
+    with profiler.stage("h2d"):
+        pend.src_dev = device_decide.put_frames([src_planes], p.bd)
+    run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
+                                    int(refs_dev[0].shape[0]), which,
+                                    ref_ids=tuple(int(r) for r in ref_ids))
+    dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
+    pend.flat = run(pend.src_dev[0], pend.src_dev[1], pend.src_dev[2],
+                    *refs_dev, dqv, lam_op)
+    pend.layout = layout
+    pend.p = p
+    pend.refs_dev = refs_dev
+    pend.which = which
+    pend.ref_ids = [int(r) for r in ref_ids]
+    return pend
+
+
+def inter_start_commit(pend: PendingInter, enable_dlf: bool = True,
+                       enable_cdef: bool = True, sharpness: int = 0) -> PendingInter:
+    from ..codec.tile_codec import Plan
+    from ..constants.cdf import FrameContext
+    from ..filters import cdef as cdef_mod
+    from ..filters import dlf_jax
+    from . import device_commit
+    from .intra_md import rd_lambda
+    from ..utils import profiler
+
+    p = pend.p
+    fc = FrameContext(p.qindex)
+    lam = float(rd_lambda(p.qindex, p.bd))
+    aw, ah = p.aligned_width, p.aligned_height
+    region = (0, 0, aw, ah)
+    with profiler.stage("decide"):
+        flat = np.asarray(pend.flat)
+    del pend.flat
+    dec = _unpack_decide(flat, pend.layout)
+    with profiler.stage("partition_dp"):
+        partitions, leaves, tree = device_decide.partition_dp(dec, p, fc, lam, region)
+    plan = Plan()
+    plan.partitions.update(partitions)
+    with profiler.stage("commit"):
+        ry, ru, rv, skip8, aux = device_commit.commit_regions(
+            pend.src_dev, p, [leaves], [dec], [plan], region,
+            refs_dev=pend.refs_dev, ref_ids=pend.ref_ids, which=pend.which,
+            array_out=True, fetch_levels=False)
+    # DLF filter-length maps from the leaf size map alone: with
+    # TX_MODE_LARGEST every filtered edge is a prediction-block edge, so the
+    # skip/ref terms of the normative mask (deblocking_filter.c
+    # set_lpf_parameters) never suppress an edge — the size-map builder is
+    # exact for this stream family and needs no device sync.
+    with profiler.stage("dlf_maps"):
+        levels = p.lf_levels if (enable_dlf and any(p.lf_levels)) else (0, 0, 0, 0)
+        sm = device_commit._size_maps([leaves], 1, ah // 8, aw // 8)
+        flens = []
+        for plane in range(3):
+            flens.append(dlf_jax.flen_maps_from_sizes(sm, plane, False))
+            flens.append(dlf_jax.flen_maps_from_sizes(sm, plane, True))
+        flen_shapes = tuple(x.shape for x in flens)
+        flen_flat = jnp.asarray(np.concatenate([x.astype(np.int32).ravel() for x in flens]))
+    with profiler.stage("filters_dispatch"):
+        damping = cdef_mod.pick_damping(p.qindex)
+        packed, strengths, planes = device_commit._filter_device(
+            ry, ru, rv, pend.src_dev[0], skip8, flen_flat, tuple(levels),
+            sharpness, p.bd, damping, enable_cdef, flen_shapes,
+            disp_dims=(p.width, p.height))
+    pend.plan, pend.tree, pend.aux = plan, tree, aux
+    pend.region = region
+    pend.lf_levels = tuple(levels)
+    pend.damping = damping
+    pend.packed, pend.strengths = packed, strengths
+    pend.dpb_planes = [pl[0] for pl in planes]  # device odt planes, F == 1
+    pend.src_dev = None
+    pend.refs_dev = None
+    return pend
+
+
+def inter_finish(pend: PendingInter, walk_fc) -> tuple:
+    """Complete one pipelined frame: levels d2h + op-stream build + native C
+    walk + recon fetch. Returns (plan, recon_int32_planes, filt, payloads)."""
+    from ..codec import array_plan
+    from ..codec.tile_walk_native import run_tile_ops
+    from . import device_commit
+    from ..utils import profiler
+
+    p = pend.p
+    device_commit.finish_levels(pend.aux)
+    with profiler.stage("entropy_walk"):
+        (r0, r1, c0, c1) = p.tiles()[0]
+        ops, _keys = array_plan.build_tile_ops(
+            p, pend.tree, pend.aux["sched"], pend.aux["level_base"], 0,
+            pend.region, (r0, r1, c0, c1), pend.aux["ref_ids"], TX_SEARCH,
+            device_decide.MODES)
+        payloads = [run_tile_ops(p, walk_fc, ops, pend.aux["levels_i32"],
+                                 (r0, r1, c0, c1))]
+    with profiler.stage("recon_d2h"):
+        packed = np.asarray(pend.packed)
+        strengths = np.asarray(pend.strengths)
+    aw, ah = p.aligned_width, p.aligned_height
+    ysz, csz = ah * aw, (ah // 2) * (aw // 2)
+    recon = [packed[:ysz].reshape(ah, aw).astype(np.int32),
+             packed[ysz : ysz + csz].reshape(ah // 2, aw // 2).astype(np.int32),
+             packed[ysz + csz :].reshape(ah // 2, aw // 2).astype(np.int32)]
+    filt = dict(lf_levels=pend.lf_levels,
+                cdef=(int(strengths[0, 0]), int(strengths[0, 1]),
+                      int(strengths[0, 2]), int(strengths[0, 3]), pend.damping))
+    return pend.plan, recon, filt, payloads
