@@ -108,6 +108,8 @@ class MvStack:
     weights: np.ndarray  # (MAX_REF_MV_STACK_SIZE,)
     count: int
     mode_context: int
+    # compound stacks carry the second ref's MV per entry (spec comp_mv)
+    mvs1: np.ndarray | None = None
 
     @property
     def new_mv_ctx(self) -> int:
@@ -129,9 +131,11 @@ class MvStack:
             return 1
         return 2
 
-    def pred_mv(self, ref_mv_idx: int):
-        """NEWMV predictor: stack entry (gm-filled tail included)."""
-        return int(self.mvs[ref_mv_idx][0]), int(self.mvs[ref_mv_idx][1])
+    def pred_mv(self, ref_mv_idx: int, which: int = 0):
+        """NEWMV predictor: stack entry (gm-filled tail included); which=1
+        selects the compound entry's second-ref MV."""
+        src = self.mvs1 if which else self.mvs
+        return int(src[ref_mv_idx][0]), int(src[ref_mv_idx][1])
 
 
 def _is_sec_rect(mi_row: int, mi_col: int, n4_w: int, n4_h: int) -> bool:
@@ -167,18 +171,27 @@ def _has_top_right(mi_row: int, mi_col: int, n4_w: int, n4_h: int, sb_mi: int = 
 
 
 def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize: int,
-                  ref_frame: int, sign_bias=None) -> MvStack:
-    """Build the single-ref MV candidate stack + mode context.
+                  ref_frame: int, sign_bias=None, ref_frame1: int | None = None) -> MvStack:
+    """Build the MV candidate stack + mode context.
+
+    Single-reference when ref_frame1 is None; COMPOUND (spec 7.10.2 with
+    rf[1] > NONE — adaptive_mv_pred.c setup_ref_mv_list compound branches)
+    when ref_frame1 names the second reference: candidates are MV *pairs*
+    from neighbors coded with exactly (ref_frame, ref_frame1), and the
+    short-stack fill uses the compound combination lists instead of the
+    single-ref light rescan.
 
     sign_bias: per-ref-frame array of 0/1 (all zeros for low-delay)."""
     if sign_bias is None:
         sign_bias = np.zeros(8, np.int32)
+    is_comp = ref_frame1 is not None and ref_frame1 > int(RefFrame.INTRA_FRAME)
     n4_w = int(BLOCK_W[bsize]) // 4
     n4_h = int(BLOCK_H[bsize]) // 4
     up_avail = mi_row > tile.mi_row_start
     left_avail = mi_col > tile.mi_col_start
 
     stack = np.zeros((MAX_REF_MV_STACK_SIZE, 2), np.int64)
+    stack1 = np.zeros((MAX_REF_MV_STACK_SIZE, 2), np.int64)
     weights = np.zeros(MAX_REF_MV_STACK_SIZE, np.int64)
     state = {"count": 0, "newmv": 0, "row_match": 0, "col_match": 0,
              "processed_rows": 0, "processed_cols": 0}
@@ -189,6 +202,28 @@ def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize
 
     def add_candidate(r, c, weight, count_newmv, match_key):
         if int(mi.ref0[r, c]) <= int(RefFrame.INTRA_FRAME):
+            return
+        if is_comp:
+            if int(mi.ref0[r, c]) != ref_frame or int(mi.ref1[r, c]) != ref_frame1:
+                return
+            cand = (int(mi.mv0[r, c][0]), int(mi.mv0[r, c][1]))
+            cand1 = (int(mi.mv1[r, c][0]), int(mi.mv1[r, c][1]))
+            idx = state["count"]
+            for i in range(state["count"]):
+                if (int(stack[i][0]) == cand[0] and int(stack[i][1]) == cand[1]
+                        and int(stack1[i][0]) == cand1[0] and int(stack1[i][1]) == cand1[1]):
+                    idx = i
+                    break
+            if idx < state["count"]:
+                weights[idx] += weight
+            elif state["count"] < MAX_REF_MV_STACK_SIZE:
+                stack[state["count"]] = cand
+                stack1[state["count"]] = cand1
+                weights[state["count"]] = weight
+                state["count"] += 1
+            if count_newmv and has_newmv(int(mi.mode[r, c])):
+                state["newmv"] += 1
+            state[match_key] += 1
             return
         for which, refv, mvv in ((0, mi.ref0[r, c], mi.mv0[r, c]), (1, mi.ref1[r, c], mi.mv1[r, c])):
             if int(refv) != ref_frame:
@@ -340,12 +375,78 @@ def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize
         for i in range(1, length):
             if weights[i - 1] < weights[i]:
                 stack[[i - 1, i]] = stack[[i, i - 1]]
+                stack1[[i - 1, i]] = stack1[[i, i - 1]]
                 weights[[i - 1, i]] = weights[[i, i - 1]]
                 nr_len = i
         length = nr_len
 
+    if is_comp and n < MAX_MV_REF_CANDIDATES:
+        # compound short-stack fill (setup_ref_mv_list rf[1] > NONE branch):
+        # ROW-1/COL-1 sweeps collect per-component exact-ref and
+        # sign-adjusted other-ref MV lists, combined into candidate pairs;
+        # global-MV (identity -> zero) pads the tails
+        mi_width = min(16, n4_w, mi.mi_cols - mi_col)
+        mi_height = min(16, n4_h, mi.mi_rows - mi_row)
+        mi_sz = min(mi_width, mi_height)
+        rf = (ref_frame, ref_frame1)
+        ref_id = [[], []]
+        ref_diff = [[], []]
+
+        def process_comp(r, c):
+            for refv, mvv in ((mi.ref0[r, c], mi.mv0[r, c]), (mi.ref1[r, c], mi.mv1[r, c])):
+                can_rf = int(refv)
+                for cmp_idx in range(2):
+                    if can_rf == rf[cmp_idx] and len(ref_id[cmp_idx]) < 2:
+                        ref_id[cmp_idx].append((int(mvv[0]), int(mvv[1])))
+                    elif can_rf > int(RefFrame.INTRA_FRAME) and len(ref_diff[cmp_idx]) < 2:
+                        mr, mc = int(mvv[0]), int(mvv[1])
+                        if sign_bias[can_rf] != sign_bias[rf[cmp_idx]]:
+                            mr, mc = -mr, -mc
+                        ref_diff[cmp_idx].append((mr, mc))
+
+        i = 0
+        while abs(max_row_offset) >= 1 and i < mi_sz:
+            r, c = mi_row - 1, mi_col + i
+            process_comp(r, c)
+            i += max(int(BLOCK_W[int(mi.bsize[r, c])]) // 4, 1)
+        i = 0
+        while abs(max_col_offset) >= 1 and i < mi_sz:
+            r, c = mi_row + i, mi_col - 1
+            process_comp(r, c)
+            i += max(int(BLOCK_H[int(mi.bsize[r, c])]) // 4, 1)
+
+        comp_list = [[(0, 0), (0, 0)] for _ in range(MAX_MV_REF_CANDIDATES)]
+        for cmp_idx in range(2):
+            comp_idx = 0
+            for v in ref_id[cmp_idx]:
+                if comp_idx >= MAX_MV_REF_CANDIDATES:
+                    break
+                comp_list[comp_idx][cmp_idx] = v
+                comp_idx += 1
+            for v in ref_diff[cmp_idx]:
+                if comp_idx >= MAX_MV_REF_CANDIDATES:
+                    break
+                comp_list[comp_idx][cmp_idx] = v
+                comp_idx += 1
+            while comp_idx < MAX_MV_REF_CANDIDATES:
+                comp_list[comp_idx][cmp_idx] = (0, 0)  # identity GM
+                comp_idx += 1
+        if state["count"]:
+            if (comp_list[0][0] == (int(stack[0][0]), int(stack[0][1]))
+                    and comp_list[0][1] == (int(stack1[0][0]), int(stack1[0][1]))):
+                stack[1], stack1[1] = comp_list[1][0], comp_list[1][1]
+            else:
+                stack[1], stack1[1] = comp_list[0][0], comp_list[0][1]
+            weights[1] = 2
+            state["count"] = 2
+        else:
+            for idx in range(MAX_MV_REF_CANDIDATES):
+                stack[idx], stack1[idx] = comp_list[idx][0], comp_list[idx][1]
+                weights[idx] = 2
+            state["count"] = 2
+
     # light re-scan of ROW-1 / COL-1 if the table is short (single-ref path)
-    if n < MAX_MV_REF_CANDIDATES:
+    if not is_comp and n < MAX_MV_REF_CANDIDATES:
         mi_width = min(16, n4_w, mi.mi_cols - mi_col)
         mi_height = min(16, n4_h, mi.mi_rows - mi_row)
         mi_sz = min(mi_width, mi_height)
@@ -388,5 +489,9 @@ def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize
     for i in range(state["count"]):
         stack[i][1] = _clamp(int(stack[i][1]), to_left - bw8 - MV_BORDER, to_right + bw8 + MV_BORDER)
         stack[i][0] = _clamp(int(stack[i][0]), to_top - bh8 - MV_BORDER, to_bottom + bh8 + MV_BORDER)
+        if is_comp:
+            stack1[i][1] = _clamp(int(stack1[i][1]), to_left - bw8 - MV_BORDER, to_right + bw8 + MV_BORDER)
+            stack1[i][0] = _clamp(int(stack1[i][0]), to_top - bh8 - MV_BORDER, to_bottom + bh8 + MV_BORDER)
 
-    return MvStack(mvs=stack, weights=weights, count=state["count"], mode_context=mode_context)
+    return MvStack(mvs=stack, weights=weights, count=state["count"],
+                   mode_context=mode_context, mvs1=stack1 if is_comp else None)

@@ -177,6 +177,9 @@ class FrameParams:
     lr_types: tuple = (0, 0, 0)
     lr_unit_shift: int = 0
     lr_uv_shift: int = 1
+    # compound prediction availability (spec reference_select): when 1,
+    # every inter block signals single-vs-compound (comp_inter symbol)
+    reference_select: int = 0
     # tx signaling (spec read_tx_mode): 0 = TX_MODE_LARGEST (our encoder),
     # 1 = TX_MODE_SELECT (per-block tx depth; decode-side support for
     # reference-encoded streams)
@@ -273,7 +276,9 @@ class BlockDecision:
     cfl_alpha_v: int = 0
     # inter fields
     ref_frame: int = int(RefFrame.INTRA_FRAME)  # 0 = intra block
+    ref_frame1: int = int(RefFrame.NONE)  # second ref (compound) or NONE
     mv: tuple = (0, 0)  # (row, col) 1/8 pel
+    mv1: tuple = (0, 0)  # second ref's MV (compound)
     ref_mv_idx: int = 0
     # filter-intra (recursive intra; DC-mode blocks <= 32x32)
     use_filter_intra: int = 0
@@ -918,8 +923,9 @@ class TileCodec:
         self.uv_mode_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.uv_mode
         self.mode_valid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = True
         self.skip_grid[mi_row : mi_row + bh4, mi_col : mi_col + bw4] = d.skip
-        self.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(RefFrame.NONE),
-                          (int(d.mv[0]), int(d.mv[1])), skip=d.skip)
+        self.mi.set_block(mi_row, mi_col, bsize, d.y_mode, d.ref_frame, int(d.ref_frame1),
+                          (int(d.mv[0]), int(d.mv[1])),
+                          mv1=(int(d.mv1[0]), int(d.mv1[1])), skip=d.skip)
 
         # --- residual
         if d.skip:
@@ -1098,14 +1104,172 @@ class TileCodec:
         if dec is not None:
             d.ref_frame = ref
 
+    # ------------------------------------------------ compound ref signaling
+
+    def _nb_info(self, r, c):
+        """(is_inter, has_second_ref, ref0_backward, uni_comp) of a coded
+        neighbor cell (libaom MB_MODE_INFO predicates on our mi grids)."""
+        r0 = int(self.mi.ref0[r, c])
+        r1 = int(self.mi.ref1[r, c])
+        is_inter = r0 >= int(RefFrame.LAST_FRAME)
+        has2 = r1 >= int(RefFrame.LAST_FRAME)
+        bwd0 = r0 >= int(RefFrame.BWDREF_FRAME)
+        bwd1 = r1 >= int(RefFrame.BWDREF_FRAME)
+        uni = has2 and not (bwd0 ^ bwd1)
+        return is_inter, has2, bwd0, uni, r0, r1
+
+    def _reference_mode_ctx(self, mi_row, mi_col):
+        """libaom av1_get_reference_mode_context (comp_inter symbol ctx)."""
+        has_a = mi_row > self.mi_row0
+        has_l = mi_col > self.mi_col0
+        A = self._nb_info(mi_row - 1, mi_col) if has_a else None
+        L = self._nb_info(mi_row, mi_col - 1) if has_l else None
+        if A is not None and L is not None:
+            if not A[1] and not L[1]:
+                return int(A[2]) ^ int(L[2])
+            if not A[1]:
+                return 2 + int(A[2] or not A[0])
+            if not L[1]:
+                return 2 + int(L[2] or not L[0])
+            return 4
+        E = A if A is not None else L
+        if E is not None:
+            return 3 if E[1] else int(E[2])
+        return 1
+
+    def _comp_ref_type_ctx(self, mi_row, mi_col):
+        """libaom av1_get_comp_reference_type_context."""
+        R = RefFrame
+        has_a = mi_row > self.mi_row0
+        has_l = mi_col > self.mi_col0
+        A = self._nb_info(mi_row - 1, mi_col) if has_a else None
+        L = self._nb_info(mi_row, mi_col - 1) if has_l else None
+        if A is not None and L is not None:
+            a_intra, l_intra = not A[0], not L[0]
+            if a_intra and l_intra:
+                return 2
+            if a_intra or l_intra:
+                E = L if a_intra else A
+                return 2 if not E[1] else 1 + 2 * int(E[3])
+            a_sg, l_sg = not A[1], not L[1]
+            if a_sg and l_sg:
+                return 1 + 2 * int(not (A[2] ^ L[2]))
+            if a_sg or l_sg:
+                uni = L[3] if a_sg else A[3]
+                if not uni:
+                    return 1
+                return 3 + int(not (A[2] ^ L[2]))
+            if not A[3] and not L[3]:
+                return 0
+            if not A[3] or not L[3]:
+                return 2
+            return 3 + int((A[4] == int(R.BWDREF_FRAME)) == (L[4] == int(R.BWDREF_FRAME)))
+        E = A if A is not None else L
+        if E is None:
+            return 2
+        if not E[0]:
+            return 2
+        return (4 * int(E[3])) if E[1] else 2
+
+    def _code_comp_ref_frames(self, enc, dec, d, counts, mi_row, mi_col):
+        """BIDIR compound reference pair (spec read_ref_frames COMPOUND
+        branch; libaom write_ref_frames comp side with count-based ctxs)."""
+        fc = self.fc
+        R = RefFrame
+        c = counts
+        tctx = self._comp_ref_type_ctx(mi_row, mi_col)
+        if enc is not None:
+            self._sym_w(enc, fc["comp_ref_type"][tctx], 1, 2)  # BIDIR_COMP
+        else:
+            rtype = self._sym_r(dec, fc["comp_ref_type"][tctx], 2)
+            if rtype != 1:
+                raise NotImplementedError("unidirectional compound")
+
+        def rw(table, which_bit, ctx, bit):
+            cdf = fc[table][ctx][which_bit]
+            if enc is not None:
+                self._sym_w(enc, cdf, bit, 2)
+                return bit
+            return self._sym_r(dec, cdf, 2)
+
+        ref0, ref1 = d.ref_frame, d.ref_frame1
+        p0 = self._ref_ctx(c[1] + c[2], c[3] + c[4])
+        bit0 = rw("comp_ref", 0, p0, int(ref0 in (int(R.LAST3_FRAME), int(R.GOLDEN_FRAME))))
+        if bit0:
+            p2 = self._ref_ctx(c[3], c[4])
+            ref0 = int(R.GOLDEN_FRAME) if rw("comp_ref", 2, p2, int(ref0 == int(R.GOLDEN_FRAME))) \
+                else int(R.LAST3_FRAME)
+        else:
+            p1 = self._ref_ctx(c[1], c[2])
+            ref0 = int(R.LAST2_FRAME) if rw("comp_ref", 1, p1, int(ref0 == int(R.LAST2_FRAME))) \
+                else int(R.LAST_FRAME)
+        pb = self._ref_ctx(c[5] + c[6], c[7])
+        bitb = rw("comp_bwdref", 0, pb, int(ref1 == int(R.ALTREF_FRAME)))
+        if bitb:
+            ref1 = int(R.ALTREF_FRAME)
+        else:
+            pb1 = self._ref_ctx(c[5], c[6])
+            ref1 = int(R.ALTREF2_FRAME) if rw("comp_bwdref", 1, pb1, int(ref1 == int(R.ALTREF2_FRAME))) \
+                else int(R.BWDREF_FRAME)
+        if dec is not None:
+            d.ref_frame, d.ref_frame1 = ref0, ref1
+
+    # Compound_Mode_Ctx_Map (spec read_inter_compound_mode)
+    _COMP_MODE_CTX_MAP = ((0, 1, 1, 1, 1), (3, 4, 4, 4, 4), (6, 7, 7, 7, 7))
+
+    def _code_comp_mode_mv(self, enc, dec, d, stack):
+        """Compound inter mode + DRL + MV pair. The encoder emits NEW_NEWMV
+        (searched MVs) and downgrades to NEAREST_NEARESTMV when the pair
+        equals stack entry 0 (pure rate win — the prediction is identical);
+        the decoder additionally parses NEAR_NEARMV / GLOBAL_GLOBALMV."""
+        fc = self.fc
+        M = InterMode
+        ctx = self._COMP_MODE_CTX_MAP[stack.ref_mv_ctx >> 1][min(stack.new_mv_ctx, 4)]
+        if enc is not None:
+            mode = d.y_mode
+            if (mode == int(M.NEW_NEWMV)
+                    and tuple(d.mv) == stack.pred_mv(0, 0)
+                    and tuple(d.mv1) == stack.pred_mv(0, 1)):
+                mode = int(M.NEAREST_NEARESTMV)
+                d.y_mode = mode
+                d.ref_mv_idx = 0
+            self._sym_w(enc, fc["inter_compound_mode"][ctx],
+                        mode - int(M.NEAREST_NEARESTMV), 8)
+        else:
+            mode = int(M.NEAREST_NEARESTMV) + self._sym_r(
+                dec, fc["inter_compound_mode"][ctx], 8)
+            d.y_mode = mode
+        ref_mv_idx = self._code_drl(enc, dec, d, stack, mode)
+        if dec is not None:
+            d.ref_mv_idx = ref_mv_idx
+        if mode == int(M.NEW_NEWMV):
+            for which in (0, 1):
+                pred = stack.pred_mv(ref_mv_idx, which)
+                if enc is not None:
+                    self.mv_coder.write_mv(enc, d.mv if which == 0 else d.mv1, pred)
+                elif which == 0:
+                    d.mv = self.mv_coder.read_mv(dec, pred)
+                else:
+                    d.mv1 = self.mv_coder.read_mv(dec, pred)
+        elif mode == int(M.NEAREST_NEARESTMV):
+            d.mv, d.mv1 = stack.pred_mv(0, 0), stack.pred_mv(0, 1)
+        elif mode == int(M.NEAR_NEARMV):
+            d.mv, d.mv1 = stack.pred_mv(ref_mv_idx, 0), stack.pred_mv(ref_mv_idx, 1)
+        elif mode == int(M.GLOBAL_GLOBALMV):
+            d.mv = d.mv1 = (0, 0)  # identity global motion
+        else:
+            raise NotImplementedError(f"mixed compound mode {mode}")
+
     def _code_drl(self, enc, dec, d, stack, mode):
         """spec read_drl_idx; returns RefMvIdx."""
+        from ..constants.av1 import has_newmv as _has_newmv
+
         fc = self.fc
         M = InterMode
         ref_mv_idx = 0
-        if mode == int(M.NEWMV):
+        if mode == int(M.NEWMV) or _has_newmv(mode):
             rng = range(0, 2)
-        elif mode == int(M.NEARMV):
+        elif mode in (int(M.NEARMV), int(M.NEAR_NEARMV)):
             ref_mv_idx = 1
             rng = range(1, 3)
         else:
@@ -1130,11 +1294,34 @@ class TileCodec:
         fc = self.fc
         M = InterMode
         counts = self._neighbor_ref_counts(mi_row, mi_col)
+        # single vs compound (spec read_ref_frames with reference_select)
+        is_comp = False
+        if self.p.reference_select:
+            rctx = self._reference_mode_ctx(mi_row, mi_col)
+            if enc is not None:
+                is_comp = d.ref_frame1 > int(RefFrame.INTRA_FRAME)
+                self._sym_w(enc, fc["comp_inter"][rctx], int(is_comp), 2)
+            else:
+                is_comp = bool(self._sym_r(dec, fc["comp_inter"][rctx], 2))
+        if is_comp:
+            self._code_comp_ref_frames(enc, dec, d, counts, mi_row, mi_col)
+            stack = find_mv_stack(self.mi, self.tile_bounds, mi_row, mi_col, bsize,
+                                  d.ref_frame, self.sbias, ref_frame1=d.ref_frame1)
+            self._code_comp_mode_mv(enc, dec, d, stack)
+            return
+        if dec is not None:
+            d.ref_frame1 = int(RefFrame.NONE)
         self._code_ref_frames(enc, dec, d, counts)
         stack = find_mv_stack(self.mi, self.tile_bounds, mi_row, mi_col, bsize, d.ref_frame, self.sbias)
 
         if enc is not None:
             mode = d.y_mode
+            # NEWMV whose searched MV equals the top stack entry codes as
+            # NEARESTMV (no MV payload — pure rate win, same prediction)
+            if mode == int(M.NEWMV) and tuple(d.mv) == stack.pred_mv(0):
+                mode = int(M.NEARESTMV)
+                d.y_mode = mode
+                d.ref_mv_idx = 0
             self._sym_w(enc, fc["newmv"][stack.new_mv_ctx], int(mode != int(M.NEWMV)), 2)
             if mode != int(M.NEWMV):
                 self._sym_w(enc, fc["zeromv"][stack.zero_mv_ctx], int(mode != int(M.GLOBALMV)), 2)
@@ -1376,8 +1563,20 @@ class TileCodec:
                 mvy, mvx = int(d.mv[0]), int(d.mv[1])
                 if ss == 0:
                     mvy, mvx = mvy * 2, mvx * 2  # 1/8 luma pel -> 1/16 units
-                pred = conv_ops.convolve_2d_scalar(refp, px, py, pw, ph, mvx, mvy,
-                                                   which=p.interp_filter, bd=p.bd)
+                if d.ref_frame1 >= int(RefFrame.LAST_FRAME):
+                    # compound average: both refs at CONV_BUF precision
+                    mvy1, mvx1 = int(d.mv1[0]), int(d.mv1[1])
+                    if ss == 0:
+                        mvy1, mvx1 = mvy1 * 2, mvx1 * 2
+                    c0 = conv_ops.convolve_2d_scalar_compound(
+                        refp, px, py, pw, ph, mvx, mvy, which=p.interp_filter, bd=p.bd)
+                    c1 = conv_ops.convolve_2d_scalar_compound(
+                        self.refs[d.ref_frame1][plane], px, py, pw, ph, mvx1, mvy1,
+                        which=p.interp_filter, bd=p.bd)
+                    pred = conv_ops.compound_average(c0, c1, p.bd).astype(np.int32)
+                else:
+                    pred = conv_ops.convolve_2d_scalar(refp, px, py, pw, ph, mvx, mvy,
+                                                       which=p.interp_filter, bd=p.bd)
             elif plane == 0 and d.use_filter_intra:
                 ha = py > ((self.mi_row0 * 4) >> ss)
                 hl = px > ((self.mi_col0 * 4) >> ss)

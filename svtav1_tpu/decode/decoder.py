@@ -118,9 +118,12 @@ class FrameInfo:
     lr_uv_shift: int = 1
     tx_mode: int = 0
     reduced_tx_set: int = 0
+    reference_select: int = 0
 
 
-def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
+def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None) -> FrameInfo:
+    """slot_hints: per-DPB-slot order hints (None -> zeros), needed for the
+    spec 5.9.22 skipModeAllowed derivation when reference_select is set."""
     r = BitReader(payload)
     assert r.f(1) == 0  # show_existing_frame
     frame_type = r.f(2)
@@ -220,8 +223,17 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
             if any(lr_types[1:]):
                 lr_uv_shift = r.f(1)
     tx_mode = r.f(1)  # tx_mode_select: 0 LARGEST, 1 SELECT
+    reference_select = 0
     if not is_intra:
-        assert r.f(1) == 0  # reference_select
+        reference_select = r.f(1)
+        if reference_select:
+            from ..entropy.bitstream import skip_mode_allowed
+
+            hints = [0] * 7
+            if slot_hints is not None:
+                hints = [slot_hints[ref_frame_idx[i]] for i in range(7)]
+            if skip_mode_allowed(order_hint, seq.order_hint_bits, hints):
+                assert r.f(1) == 0, "skip_mode unsupported"  # skip_mode_present
     reduced_tx_set = r.f(1)
     if not is_intra:
         for _ in range(7):
@@ -241,7 +253,8 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                      cdef_y=cdef_y, cdef_uv=cdef_uv, primary_ref_frame=primary_ref,
                      frame_end_update_cdf=frame_end_update_cdf, lr_types=lr_types,
                      lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
-                     tx_mode=tx_mode, reduced_tx_set=reduced_tx_set)
+                     tx_mode=tx_mode, reduced_tx_set=reduced_tx_set,
+                     reference_select=reference_select)
 
 
 @dataclass
@@ -291,7 +304,8 @@ class Decoder:
     def _decode_frame(self, payload: bytes):
         seq = self.seq
         assert seq is not None
-        fi = parse_frame_header(payload, seq)
+        slot_hints = [e["order_hint"] if e is not None else 0 for e in self.dpb]
+        fi = parse_frame_header(payload, seq, slot_hints=slot_hints)
         tile_data = payload[fi.header_bytes :]
         is_intra = fi.frame_type == 0
 
@@ -318,6 +332,7 @@ class Decoder:
                              lr_types=fi.lr_types, lr_unit_shift=fi.lr_unit_shift,
                              lr_uv_shift=fi.lr_uv_shift, tx_mode=fi.tx_mode,
                              reduced_tx_set=fi.reduced_tx_set,
+                             reference_select=fi.reference_select,
                              enable_intra_edge_filter=seq.enable_intra_edge_filter)
         lr_out = None
         if params.lr_active:

@@ -193,6 +193,44 @@ class FrameConfig:
     lr_types: tuple = (0, 0, 0)
     lr_unit_shift: int = 0
     lr_uv_shift: int = 1
+    # compound prediction availability (spec reference_select)
+    reference_select: int = 0
+    skip_mode_allowed: bool = False  # derive via skip_mode_allowed()
+
+
+def get_relative_dist(a: int, b: int, order_hint_bits: int) -> int:
+    """spec get_relative_dist: signed wraparound order-hint difference."""
+    diff = a - b
+    m = 1 << (order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def skip_mode_allowed(order_hint: int, order_hint_bits: int, ref_hints) -> bool:
+    """spec 5.9.22 skip_mode_params derivation (without the frame pair):
+    ref_hints = 7 order hints per LAST..ALTREF ref position. True when a
+    nearest fwd/bwd pair (or two distinct forward refs) exists."""
+    fwd_i = bwd_i = -1
+    fwd_h = bwd_h = 0
+    for i in range(7):
+        h = ref_hints[i]
+        d = get_relative_dist(h, order_hint, order_hint_bits)
+        if d < 0:
+            if fwd_i < 0 or get_relative_dist(h, fwd_h, order_hint_bits) > 0:
+                fwd_i, fwd_h = i, h
+        elif d > 0:
+            if bwd_i < 0 or get_relative_dist(h, bwd_h, order_hint_bits) < 0:
+                bwd_i, bwd_h = i, h
+    if fwd_i < 0:
+        return False
+    if bwd_i >= 0:
+        return True
+    sec_i, sec_h = -1, 0
+    for i in range(7):
+        h = ref_hints[i]
+        if get_relative_dist(h, fwd_h, order_hint_bits) < 0:
+            if sec_i < 0 or get_relative_dist(h, sec_h, order_hint_bits) > 0:
+                sec_i, sec_h = i, h
+    return sec_i >= 0
 
 
 def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
@@ -302,8 +340,14 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
                 w.f(fr.lr_uv_shift, 1)
     w.f(0, 1)  # tx_mode_select = 0 -> TX_MODE_LARGEST
     if not is_intra:
-        w.f(0, 1)  # reference_select = 0 (SINGLE_REFERENCE)
-        # skip_mode_params: skipModeAllowed = 0 -> no bit
+        w.f(int(fr.reference_select), 1)  # reference_select
+        # skip_mode_params: skipModeAllowed requires enable_skip_mode
+        # (seq enable_order_hint path) AND reference_select with a valid
+        # fwd/bwd pair -> our seq codes enable_skip_mode below; when
+        # reference_select the decoder derives skipModeAllowed from ref
+        # order hints. We keep skip_mode_present = 0 when allowed.
+        if fr.reference_select and fr.skip_mode_allowed:
+            w.f(0, 1)  # skip_mode_present = 0
         # allow_warped_motion: absent (seq enable_warped_motion = 0)
     w.f(0, 1)  # reduced_tx_set
     if not is_intra:

@@ -85,6 +85,60 @@ def convolve_2d_batch(patches, subpel_x: int, subpel_y: int, which: int = REGULA
     return xp.clip(res, 0, (1 << bd) - 1).astype(xp.int32)
 
 
+COMPOUND_ROUND1 = 7  # spec COMPOUND_ROUND1_BITS (InterRound1 when compound)
+
+
+def convolve_2d_batch_compound(patches, subpel_x: int, subpel_y: int,
+                               which: int = REGULAR, bd: int = 8, xp=np,
+                               which_y: int | None = None):
+    """Compound-path interpolation: returns the CONV_BUF intermediate
+    (offset-carrying, round_1 = 7) for one reference of a compound pair
+    (spec 7.11.3.4 is_compound; libaom av1_dist_wtd_convolve_2d_c)."""
+    B, hp, wp = patches.shape
+    h, w = hp - 7, wp - 7
+    fx = filter_kernels(which)[subpel_x & 15]
+    fy = filter_kernels(which if which_y is None else which_y)[subpel_y & 15]
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+
+    acc = xp.zeros((B, hp, w), xp.int32) + (1 << (bd + FILTER_BITS - 1))
+    for k in range(8):
+        acc = acc + int(fx[k]) * patches[:, :, k : k + w]
+    im = _round_pow2(acc, ROUND0, xp)
+
+    acc = xp.zeros((B, h, w), xp.int32) + (1 << offset_bits)
+    for k in range(8):
+        acc = acc + int(fy[k]) * im[:, k : k + h, :]
+    return _round_pow2(acc, COMPOUND_ROUND1, xp)
+
+
+def compound_average(conv0, conv1, bd: int = 8, xp=np):
+    """Average two CONV_BUF intermediates into final pixels (spec compound
+    blend without jnt weights: tmp = (p0 + p1) >> 1, offsets removed,
+    round_bits = 2*FILTER_BITS - round_0 - round_1 = 4)."""
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    tmp = (conv0 + conv1) >> 1
+    tmp = tmp - ((1 << (offset_bits - COMPOUND_ROUND1))
+                 + (1 << (offset_bits - COMPOUND_ROUND1 - 1)))
+    round_bits = 2 * FILTER_BITS - ROUND0 - COMPOUND_ROUND1
+    return xp.clip(_round_pow2(tmp, round_bits, xp), 0, (1 << bd) - 1)
+
+
+def convolve_2d_scalar_compound(plane: np.ndarray, x: int, y: int, w: int, h: int,
+                                mv_x_q4: int, mv_y_q4: int, which: int = REGULAR,
+                                bd: int = 8) -> np.ndarray:
+    """Scalar compound-path MC for one reference: CONV_BUF intermediates."""
+    fx = (x << 4) + mv_x_q4
+    fy = (y << 4) + mv_y_q4
+    ix, sx = fx >> 4, fx & 15
+    iy, sy = fy >> 4, fy & 15
+    H, W = plane.shape
+    ys = np.clip(np.arange(iy - 3, iy + h + 4), 0, H - 1)
+    xs = np.clip(np.arange(ix - 3, ix + w + 4), 0, W - 1)
+    patch = plane[np.ix_(ys, xs)].astype(np.int32)
+    return convolve_2d_batch_compound(patch[None], sx, sy, filter_for_dim(which, w),
+                                      bd, which_y=filter_for_dim(which, h))[0]
+
+
 def convolve_2d_scalar(plane: np.ndarray, x: int, y: int, w: int, h: int,
                        mv_x_q4: int, mv_y_q4: int, which: int = REGULAR, bd: int = 8) -> np.ndarray:
     """Scalar helper: motion-compensate one block from `plane` with a
