@@ -47,6 +47,31 @@ REF = {"inter_fps": 0.509, "inter_psnr": 38.48, "inter_bytes": 145792 / 16,
 EST_32CORE_AVX2_SCALE = 40.0  # documented midpoint estimate (BASELINE.md)
 
 
+def bd_rate(ref_pts, test_pts) -> float:
+    """Bjontegaard delta rate (%): avg log-bitrate difference over the
+    overlapping PSNR interval (poly fit of log-rate vs PSNR; degree adapts
+    to the point count). Negative = test needs fewer bits than reference."""
+    ref_pts = sorted(ref_pts)
+    test_pts = sorted(test_pts)
+    lr_r = np.log(np.array([r for r, _ in ref_pts], np.float64))
+    p_r = np.array([p for _, p in ref_pts], np.float64)
+    lr_t = np.log(np.array([r for r, _ in test_pts], np.float64))
+    p_t = np.array([p for _, p in test_pts], np.float64)
+    deg = min(3, len(ref_pts) - 1, len(test_pts) - 1)
+    if deg < 1:
+        return float("nan")
+    fr = np.polyfit(p_r, lr_r, deg)
+    ft = np.polyfit(p_t, lr_t, deg)
+    lo = max(p_r.min(), p_t.min())
+    hi = min(p_r.max(), p_t.max())
+    if hi <= lo:
+        return float("nan")
+    ir, it = np.polyint(fr), np.polyint(ft)
+    avg = ((np.polyval(it, hi) - np.polyval(it, lo))
+           - (np.polyval(ir, hi) - np.polyval(ir, lo))) / (hi - lo)
+    return float((np.exp(avg) - 1.0) * 100.0)
+
+
 def psnr_y(shown: dict, frames: list) -> float:
     vals = []
     for d, rec in shown.items():
@@ -113,12 +138,58 @@ def main() -> None:
         "stages_s": inter["stages"],
     }
     print(json.dumps(result), flush=True)
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
+
+    # ---- BD-rate vs the reference encoder (VERDICT r4 #8): 4-point RD
+    # sweep at 640x360 (the 1080p program family is too compile-expensive
+    # for a 4-q sweep inside the bench window; compression efficiency is
+    # resolution-portable enough for a like-for-like delta). Reference
+    # anchors: tools/ref_rd_640x360.json (SvtAv1EncApp preset 8, same clip,
+    # generated by tools/gen_ref_rd.py).
+    ref_rd_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", "ref_rd_640x360.json")
+    if (os.environ.get("BENCH_SKIP_BD", "0") != "1" and os.path.exists(ref_rd_path)
+            and time.time() - t_start < 0.55 * budget):
+        with open(ref_rd_path) as f:
+            ref_meta = json.load(f)
+        bw, bh, bn = ref_meta["width"], ref_meta["height"], ref_meta["frames"]
+        bd_frames = make_frames(bw, bh, bn)
+        test_pts = []
+        test_detail = []
+        for q in (110, 150, 190, 230):
+            if time.time() - t_start > 0.80 * budget:
+                break
+            enc = Encoder(EncoderConfig(width=bw, height=bh, qindex=q,
+                                        mode_decision="jax", keyint=bn, minigop=4))
+            pkts = []
+            for f in bd_frames:
+                pkts += enc.send_frame(*f)
+            pkts += enc.flush()
+            shown2 = {}
+            rec_by_disp = {}
+            for p in pkts:
+                if p.recon is not None and p.disp_idx is not None:
+                    rec_by_disp[p.disp_idx] = p.recon[0]
+                if p.shown_disp_idx is not None:
+                    shown2[p.shown_disp_idx] = rec_by_disp[p.shown_disp_idx]
+            size = sum(len(p.tu) for p in pkts)
+            kbps = size * 8 * 30.0 / bn / 1000.0
+            ps = psnr_y(shown2, bd_frames)
+            test_pts.append((kbps, ps))
+            test_detail.append(dict(q=q, kbps=round(kbps, 2), psnr=round(ps, 3)))
+        ref_pts = [(pt["kbps"], pt["psnr"]) for pt in ref_meta["points"]]
+        if len(test_pts) >= 2:
+            result["bd_rate_vs_ref_pct"] = round(bd_rate(ref_pts, test_pts), 2)
+            result["bd_rate_clip"] = f"{bw}x{bh} {bn}f minigop4 vs SvtAv1EncApp p8 CRF"
+            result["bd_points"] = test_detail
+            result["ref_points"] = ref_meta["points"]
+            print(json.dumps(result), flush=True)
+
     if os.environ.get("BENCH_SKIP_INTRA", "0") == "1":
         return
     # self-budget: the driver gives the whole bench a fixed wall-clock
     # window; the intra section is secondary — skip it rather than lose
     # the (already printed) primary result to a timeout
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
     if time.time() - t_start > 0.62 * budget:
         return
 

@@ -27,7 +27,7 @@ from .tile_codec import (AV1_EXT_TX_IND, AV1_NUM_EXT_TX_SET, EXT_TX_SET_INDEX_IN
                          EXT_TX_SET_INDEX_INTRA, FrameParams, ext_tx_set_type_inter,
                          ext_tx_set_type_intra, is_directional)
 
-OP_COLS = 21
+OP_COLS = 24
 _RANK = {64: 0, 32: 1, 16: 2, 8: 3}
 BSIZE_BY_N = {8: int(BlockSize.BLOCK_8X8), 16: int(BlockSize.BLOCK_16X16),
               32: int(BlockSize.BLOCK_32X32), 64: int(BlockSize.BLOCK_64X64)}
@@ -173,6 +173,14 @@ def build_tile_ops(p: FrameParams, tree: dict, sched: dict, level_base: dict,
         ops[:, 18] = np.where(is_int, mv[:, 1], 0)
         ops[:, 19] = 0  # ref_mv_idx
         ops[:, 20] = int(SIZE_GROUP[BSIZE_BY_N[n]])
+        if "ref2" in s:  # compound lanes: second ref + MV (stack index -> id)
+            ref2 = s["ref2"][idx]
+            mv2 = s["mv2"][idx]
+            is_cmp = is_int & (ref2 >= 0)
+            ops[:, 21] = np.where(is_cmp, ref_map[np.maximum(ref2, 0)], -1)
+            ops[:, 22] = np.where(is_cmp, mv2[:, 0], 0)
+            ops[:, 23] = np.where(is_cmp, mv2[:, 1], 0)
+            ops[:, 4] = np.where(is_cmp, int(InterMode.NEW_NEWMV), ops[:, 4])
         sb = (r8 >> 3) * Csb_t + (c8 >> 3)
         key = (((sb.astype(np.int64) * 64 + _z6(r8 & 7, c8 & 7)) * 4
                 + _RANK[n]) * 2 + 1)
@@ -220,6 +228,15 @@ def mi_from_sched(p: FrameParams, sched: dict, frame_idx: int, region, ref_ids,
         ref0 = np.where(is_int, ref_map[np.maximum(ref, 0)], 0)
         bc = np.broadcast_to
         shp = (len(idx), n4, n4)
+        if "ref2" in s:
+            ref2 = s["ref2"][idx]
+            mv2 = s["mv2"][idx]
+            is_cmp = is_int & (ref2 >= 0)
+            mode = np.where(is_cmp, int(InterMode.NEW_NEWMV), mode)
+            mi.ref1[rr, cc] = bc(np.where(is_cmp, ref_map[np.maximum(ref2, 0)],
+                                          -1)[:, None, None], shp)
+            mi.mv1[rr, cc, 0] = bc(np.where(is_cmp, mv2[:, 0], 0)[:, None, None], shp)
+            mi.mv1[rr, cc, 1] = bc(np.where(is_cmp, mv2[:, 1], 0)[:, None, None], shp)
         mi.bsize[rr, cc] = BSIZE_BY_N[n]
         mi.mode[rr, cc] = bc(mode[:, None, None], shp)
         mi.ref0[rr, cc] = bc(ref0[:, None, None], shp)

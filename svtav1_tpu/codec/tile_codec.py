@@ -190,6 +190,14 @@ class FrameParams:
     enable_intra_edge_filter: bool = False
     # encoder-side knobs (not bitstream syntax)
     enable_rdoq: bool = True  # batched level/eob optimization in commit
+    # preset speed features (enc_mode_config.c analog, honest scale):
+    # candidate counts + search depths the device programs specialize on
+    sf_nmodes_inter: int = 7   # intra candidate modes in inter frames
+    sf_nmodes_key: int = 13    # intra candidate modes in key frames
+    sf_tx_ntypes: int = 4      # luma tx-type search set size (1 = DCT only)
+    sf_fast_subpel: int = 0    # 1 = exhaustive 5x5 subpel lattice (25 MCs)
+    sf_cdef_fast: int = 0      # 1 = reduced CDEF strength ladder
+    sf_dlf_search: int = 0     # 1 = frame-level DLF level search
 
     @property
     def lr_active(self) -> bool:

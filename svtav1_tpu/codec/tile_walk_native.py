@@ -19,7 +19,7 @@ from . import txb as txb_mod
 from .tile_codec import (EXT_TX_SET_INDEX_INTRA, AV1_EXT_TX_IND, AV1_NUM_EXT_TX_SET, FrameParams, Plan,
                          ext_tx_set_type_intra, is_directional, max_uv_txsize)
 
-OP_COLS = 21
+OP_COLS = 24
 
 
 class _TileParams(ctypes.Structure):
@@ -34,6 +34,9 @@ class _TileParams(ctypes.Structure):
         ("single_ref", ctypes.c_void_p), ("newmv", ctypes.c_void_p),
         ("zeromv", ctypes.c_void_p), ("refmv", ctypes.c_void_p), ("drl", ctypes.c_void_p),
         ("inter_ext_tx", ctypes.c_void_p),
+        ("comp_inter", ctypes.c_void_p), ("comp_ref_type", ctypes.c_void_p),
+        ("comp_ref", ctypes.c_void_p), ("comp_bwdref", ctypes.c_void_p),
+        ("comp_mode", ctypes.c_void_p),
         ("nmv_joints", ctypes.c_void_p), ("nmv_sign", ctypes.c_void_p),
         ("nmv_classes", ctypes.c_void_p), ("nmv_class0", ctypes.c_void_p),
         ("nmv_bits", ctypes.c_void_p), ("nmv_class0_fp", ctypes.c_void_p),
@@ -46,6 +49,7 @@ class _TileParams(ctypes.Structure):
         ("mi_col0", ctypes.c_int32), ("mi_col1", ctypes.c_int32),
         ("qindex_positive", ctypes.c_int32), ("update", ctypes.c_int32),
         ("frame_is_intra", ctypes.c_int32),
+        ("reference_select", ctypes.c_int32),
         ("sign_bias", ctypes.c_int32 * 8),
     ]
 
@@ -57,6 +61,7 @@ class _TileState(ctypes.Structure):
         ("above_ctx", ctypes.c_void_p * 3), ("left_ctx", ctypes.c_void_p * 3),
         ("ref_grid", ctypes.c_void_p), ("bsize_grid", ctypes.c_void_p),
         ("mv_grid", ctypes.c_void_p),
+        ("ref1_grid", ctypes.c_void_p), ("mv1_grid", ctypes.c_void_p),
     ]
 
 
@@ -174,6 +179,8 @@ def flatten_plan(plan: Plan, p: FrameParams, sb_range) -> tuple[np.ndarray, np.n
                 op[16] = int(d.ref_frame)
                 op[17], op[18] = int(d.mv[0]), int(d.mv[1])
                 op[19] = int(d.ref_mv_idx)
+                op[21] = int(d.ref_frame1)
+                op[22], op[23] = int(d.mv1[0]), int(d.mv1[1])
             else:
                 op[7] = d.angle_delta_y + 3 if is_directional(d.y_mode) else -1
                 op[8] = d.angle_delta_uv + 3 if is_directional(d.uv_mode) else -1
@@ -268,6 +275,10 @@ def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) 
                "nmv_class0", "nmv_bits", "nmv_class0_fp", "nmv_fp",
                "nmv_class0_hp", "nmv_hp"):
         setattr(tp, nm, cp(t[nm]))
+    for nm, src in (("comp_inter", "comp_inter"), ("comp_ref_type", "comp_ref_type"),
+                    ("comp_ref", "comp_ref"), ("comp_bwdref", "comp_bwdref"),
+                    ("comp_mode", "inter_compound_mode")):
+        setattr(tp, nm, cp(t[src]))
     tp.scans = _p(g["scans"])
     tp.scan_off = _p(g["scan_off"])
     tp.off2d = _p(g["off2d"])
@@ -278,6 +289,7 @@ def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) 
     tp.qindex_positive = int(p.qindex > 0)
     tp.update = int(not p.disable_cdf_update)
     tp.frame_is_intra = int(p.frame_is_intra)
+    tp.reference_select = int(p.reference_select)
     for i, b in enumerate(p.sign_bias()):
         tp.sign_bias[i] = int(b)
 
@@ -287,6 +299,7 @@ def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) 
         mode_grid=np.full(mr * mc, -1, np.int8), skip_grid=np.zeros(mr * mc, np.uint8),
         ref_grid=np.zeros(mr * mc, np.int8), bsize_grid=np.zeros(mr * mc, np.int8),
         mv_grid=np.zeros(mr * mc * 2, np.int32),
+        ref1_grid=np.zeros(mr * mc, np.int8), mv1_grid=np.zeros(mr * mc * 2, np.int32),
         a0=np.zeros(mc, np.int32), a1=np.zeros((mc + 1) >> 1, np.int32), a2=np.zeros((mc + 1) >> 1, np.int32),
         l0=np.zeros(mr, np.int32), l1=np.zeros((mr + 1) >> 1, np.int32), l2=np.zeros((mr + 1) >> 1, np.int32),
     )
@@ -298,6 +311,8 @@ def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) 
     st.ref_grid = _p(st_bufs["ref_grid"])
     st.bsize_grid = _p(st_bufs["bsize_grid"])
     st.mv_grid = _p(st_bufs["mv_grid"])
+    st.ref1_grid = _p(st_bufs["ref1_grid"])
+    st.mv1_grid = _p(st_bufs["mv1_grid"])
     for i, k in enumerate(["a0", "a1", "a2"]):
         st.above_ctx[i] = _p(st_bufs[k])
     for i, k in enumerate(["l0", "l1", "l2"]):

@@ -352,7 +352,7 @@ int32_t ec_write_txb_body(Ec *e, const int32_t *coeffs, int w, int h, const int3
 /* body above. Byte-exact with the Python walk (tests).                     */
 /* ------------------------------------------------------------------------ */
 
-#define OP_COLS 21
+#define OP_COLS 24
 /* op columns */
 enum {
     OPC_KIND = 0, /* 0 = partition node, 1 = block */
@@ -376,6 +376,9 @@ enum {
     OPC_MVX,
     OPC_REFMVIDX,
     OPC_SIZEGROUP,/* y_mode size-group cdf index (inter frames) */
+    OPC_REF2,     /* second ref (compound), <= 0 = single */
+    OPC_MV2Y,     /* compound second-ref MV */
+    OPC_MV2X,
 };
 
 typedef struct {
@@ -402,6 +405,12 @@ typedef struct {
     int32_t *refmv;       /* [6][3] */
     int32_t *drl;         /* [3][3] */
     int32_t *inter_ext_tx;/* [4][4][17] */
+    /* compound syntax (write_ref_frames comp side + inter_compound_mode) */
+    int32_t *comp_inter;   /* [5][3] */
+    int32_t *comp_ref_type;/* [5][3] */
+    int32_t *comp_ref;     /* [3][3][3] */
+    int32_t *comp_bwdref;  /* [3][2][3] */
+    int32_t *comp_mode;    /* [8][9] inter_compound_mode */
     int32_t *nmv_joints;  /* [5] */
     int32_t *nmv_sign;    /* [2][3] */
     int32_t *nmv_classes; /* [2][12] */
@@ -421,6 +430,7 @@ typedef struct {
     int32_t qindex_positive;
     int32_t update;
     int32_t frame_is_intra;
+    int32_t reference_select; /* frame header flag: compound available */
     int32_t sign_bias[8]; /* RefFrameSignBias per ref id (0 unused) */
 } TileParams;
 
@@ -446,10 +456,12 @@ typedef struct {
     uint8_t *skip_grid;
     int32_t *above_ctx[3];
     int32_t *left_ctx[3];
-    /* inter mi state (codec/mvp.MiState analog; single-ref profile) */
+    /* inter mi state (codec/mvp.MiState analog) */
     int8_t *ref_grid;    /* [mi_rows*mi_cols] ref0 (0 = intra) */
     int8_t *bsize_grid;  /* [mi_rows*mi_cols] bw4 of covering block */
     int32_t *mv_grid;    /* [mi_rows*mi_cols*2] (row, col) 1/8 pel */
+    int8_t *ref1_grid;   /* [mi_rows*mi_cols] second ref (-1/0 = none) */
+    int32_t *mv1_grid;   /* [mi_rows*mi_cols*2] second-ref MV */
 } TileState;
 
 /* ---------------------------------------------------------------- MVP stack
@@ -464,8 +476,14 @@ typedef struct {
 #define MVREF_ROWS 3
 #define NEWMV_MODE 16 /* InterMode.NEWMV */
 
+/* svt_aom_have_newmv_in_inter_mode: NEWMV + the *_NEWMV compound modes */
+static int has_newmv_mode(int mode) {
+    return mode == 16 || (mode >= 19 && mode <= 22) || mode == 24;
+}
+
 typedef struct {
     int32_t mvs[MAX_REF_MV_STACK][2];
+    int32_t mvs1[MAX_REF_MV_STACK][2]; /* compound second-ref MVs */
     int64_t weights[MAX_REF_MV_STACK];
     int count;
     int mode_context;
@@ -475,7 +493,7 @@ typedef struct {
     TileParams *tp;
     TileState *st;
     int mi_row, mi_col, n4; /* square: n4_w == n4_h == n4 */
-    int ref_frame;
+    int ref_frame, ref_frame1; /* ref_frame1 > 0 -> compound pair stack */
     int count, newmv, row_match, col_match, processed_rows, processed_cols;
     int max_row_offset, max_col_offset;
     MvStackC *out;
@@ -491,22 +509,47 @@ static void mvp_add(MvScan *s, int r, int c, int64_t weight, int count_newmv, in
     int idx = r * s->tp->mi_cols + c;
     int ref0 = st->ref_grid[idx];
     if (ref0 <= 0) return; /* intra or unset */
-    if (ref0 != s->ref_frame) return;
-    int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
     MvStackC *o = s->out;
-    int i = 0;
-    for (; i < s->count; i++)
-        if (o->mvs[i][0] == mr && o->mvs[i][1] == mc) break;
-    if (i < s->count) {
-        o->weights[i] += weight;
-    } else if (s->count < MAX_REF_MV_STACK) {
-        o->mvs[s->count][0] = mr;
-        o->mvs[s->count][1] = mc;
-        o->weights[s->count] = weight;
-        s->count++;
+    if (s->ref_frame1 > 0) {
+        /* compound: candidates coded with exactly this ref PAIR */
+        if (ref0 != s->ref_frame || st->ref1_grid[idx] != s->ref_frame1) return;
+        int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
+        int32_t m1r = st->mv1_grid[idx * 2], m1c = st->mv1_grid[idx * 2 + 1];
+        int i = 0;
+        for (; i < s->count; i++)
+            if (o->mvs[i][0] == mr && o->mvs[i][1] == mc &&
+                o->mvs1[i][0] == m1r && o->mvs1[i][1] == m1c) break;
+        if (i < s->count) {
+            o->weights[i] += weight;
+        } else if (s->count < MAX_REF_MV_STACK) {
+            o->mvs[s->count][0] = mr; o->mvs[s->count][1] = mc;
+            o->mvs1[s->count][0] = m1r; o->mvs1[s->count][1] = m1c;
+            o->weights[s->count] = weight;
+            s->count++;
+        }
+        if (count_newmv && has_newmv_mode(st->mode_grid[idx])) s->newmv++;
+        if (is_row) s->row_match++; else s->col_match++;
+        return;
     }
-    if (count_newmv && st->mode_grid[idx] == NEWMV_MODE) s->newmv++;
-    if (is_row) s->row_match++; else s->col_match++;
+    for (int which = 0; which < 2; which++) {
+        int refv = which == 0 ? ref0 : st->ref1_grid[idx];
+        if (refv != s->ref_frame) continue;
+        const int32_t *mvsrc = which == 0 ? st->mv_grid : st->mv1_grid;
+        int32_t mr = mvsrc[idx * 2], mc = mvsrc[idx * 2 + 1];
+        int i = 0;
+        for (; i < s->count; i++)
+            if (o->mvs[i][0] == mr && o->mvs[i][1] == mc) break;
+        if (i < s->count) {
+            o->weights[i] += weight;
+        } else if (s->count < MAX_REF_MV_STACK) {
+            o->mvs[s->count][0] = mr;
+            o->mvs[s->count][1] = mc;
+            o->weights[s->count] = weight;
+            s->count++;
+        }
+        if (count_newmv && has_newmv_mode(st->mode_grid[idx])) s->newmv++;
+        if (is_row) s->row_match++; else s->col_match++;
+    }
 }
 
 static void mvp_scan_row(MvScan *s, int row_offset, int count_newmv) {
@@ -593,10 +636,10 @@ static int32_t clamp32(int32_t v, int32_t lo, int32_t hi) {
 }
 
 static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_col,
-                            int n4, int ref_frame, MvStackC *out) {
+                            int n4, int ref_frame, int ref_frame1, MvStackC *out) {
     MvScan s = {0};
     s.tp = tp; s.st = st; s.mi_row = mi_row; s.mi_col = mi_col; s.n4 = n4;
-    s.ref_frame = ref_frame; s.out = out;
+    s.ref_frame = ref_frame; s.ref_frame1 = ref_frame1; s.out = out;
     memset(out, 0, sizeof(*out));
     int up_avail = mi_row > tp->mi_row0;
     int left_avail = mi_col > tp->mi_col0;
@@ -657,63 +700,134 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
         for (int i = 1; i < length; i++)
             if (out->weights[i - 1] < out->weights[i]) {
                 int32_t t0 = out->mvs[i - 1][0], t1 = out->mvs[i - 1][1];
+                int32_t u0 = out->mvs1[i - 1][0], u1 = out->mvs1[i - 1][1];
                 int64_t tw = out->weights[i - 1];
                 out->mvs[i - 1][0] = out->mvs[i][0]; out->mvs[i - 1][1] = out->mvs[i][1];
+                out->mvs1[i - 1][0] = out->mvs1[i][0]; out->mvs1[i - 1][1] = out->mvs1[i][1];
                 out->weights[i - 1] = out->weights[i];
                 out->mvs[i][0] = t0; out->mvs[i][1] = t1;
+                out->mvs1[i][0] = u0; out->mvs1[i][1] = u1;
                 out->weights[i] = tw;
                 nr_len = i;
             }
         length = nr_len;
     }
 
-    /* light re-scan (ROW-1 / COL-1) when short: accepts ANY inter neighbor,
-     * flipping MVs whose ref sign-bias differs (codec/mvp.py light_add;
-     * spec 7.10.2 extended search) */
-    if (s.count < MAX_MV_REF_CAND) {
+    if (ref_frame1 > 0 && s.count < MAX_MV_REF_CAND) {
+        /* compound short-stack fill (setup_ref_mv_list rf[1] > NONE):
+         * ROW-1/COL-1 sweeps collect per-component exact-ref (ref_id) and
+         * sign-adjusted other-ref (ref_diff) lists; combined pairs + the
+         * identity-GM zero pad the stack to exactly 2 entries. */
+        int32_t ref_id[2][2][2], ref_diff[2][2][2];
+        int ref_id_count[2] = {0, 0}, ref_diff_count[2] = {0, 0};
         int mi_width = n4, mi_height = n4;
         if (tp->mi_cols - mi_col < mi_width) mi_width = tp->mi_cols - mi_col;
         if (tp->mi_rows - mi_row < mi_height) mi_height = tp->mi_rows - mi_row;
         if (mi_width > 16) mi_width = 16;
         if (mi_height > 16) mi_height = 16;
         int mi_sz = mi_width < mi_height ? mi_width : mi_height;
-        int i = 0;
-        while (abs_mro >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
-            int r = mi_row - 1, c = mi_col + i;
-            int idx = r * tp->mi_cols + c;
-            int rv = st->ref_grid[idx];
-            if (rv > 0) {
-                int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
-                if (tp->sign_bias[rv] != tp->sign_bias[ref_frame]) { mr = -mr; mc = -mc; }
-                int j = 0;
-                for (; j < s.count; j++)
-                    if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
-                if (j == s.count) {
-                    out->mvs[s.count][0] = mr; out->mvs[s.count][1] = mc;
-                    out->weights[s.count] = 2;
-                    s.count++;
+        int rfp[2] = {ref_frame, ref_frame1};
+        for (int pass = 0; pass < 2; pass++) {
+            int avail = pass == 0 ? abs_mro : abs_mco;
+            int i = 0;
+            while (avail >= 1 && i < mi_sz) {
+                int r = pass == 0 ? mi_row - 1 : mi_row + i;
+                int c = pass == 0 ? mi_col + i : mi_col - 1;
+                int idx = r * tp->mi_cols + c;
+                for (int which = 0; which < 2; which++) {
+                    int can_rf = which == 0 ? st->ref_grid[idx] : st->ref1_grid[idx];
+                    const int32_t *mvsrc = which == 0 ? st->mv_grid : st->mv1_grid;
+                    for (int ci = 0; ci < 2; ci++) {
+                        if (can_rf == rfp[ci] && ref_id_count[ci] < 2) {
+                            ref_id[ci][ref_id_count[ci]][0] = mvsrc[idx * 2];
+                            ref_id[ci][ref_id_count[ci]][1] = mvsrc[idx * 2 + 1];
+                            ref_id_count[ci]++;
+                        } else if (can_rf > 0 && ref_diff_count[ci] < 2) {
+                            int32_t mr = mvsrc[idx * 2], mc2 = mvsrc[idx * 2 + 1];
+                            if (tp->sign_bias[can_rf] != tp->sign_bias[rfp[ci]]) {
+                                mr = -mr; mc2 = -mc2;
+                            }
+                            ref_diff[ci][ref_diff_count[ci]][0] = mr;
+                            ref_diff[ci][ref_diff_count[ci]][1] = mc2;
+                            ref_diff_count[ci]++;
+                        }
+                    }
                 }
+                int step = st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
+                i += step;
             }
-            i += st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
         }
-        i = 0;
-        while (abs_mco >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
-            int r = mi_row + i, c = mi_col - 1;
-            int idx = r * tp->mi_cols + c;
-            int rv = st->ref_grid[idx];
-            if (rv > 0) {
-                int32_t mr = st->mv_grid[idx * 2], mc = st->mv_grid[idx * 2 + 1];
-                if (tp->sign_bias[rv] != tp->sign_bias[ref_frame]) { mr = -mr; mc = -mc; }
-                int j = 0;
-                for (; j < s.count; j++)
-                    if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
-                if (j == s.count) {
-                    out->mvs[s.count][0] = mr; out->mvs[s.count][1] = mc;
-                    out->weights[s.count] = 2;
-                    s.count++;
-                }
+        int32_t comp_list[MAX_MV_REF_CAND][2][2];
+        for (int ci = 0; ci < 2; ci++) {
+            int comp_idx = 0;
+            for (int li = 0; li < ref_id_count[ci] && comp_idx < MAX_MV_REF_CAND; li++, comp_idx++) {
+                comp_list[comp_idx][ci][0] = ref_id[ci][li][0];
+                comp_list[comp_idx][ci][1] = ref_id[ci][li][1];
             }
-            i += st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
+            for (int li = 0; li < ref_diff_count[ci] && comp_idx < MAX_MV_REF_CAND; li++, comp_idx++) {
+                comp_list[comp_idx][ci][0] = ref_diff[ci][li][0];
+                comp_list[comp_idx][ci][1] = ref_diff[ci][li][1];
+            }
+            for (; comp_idx < MAX_MV_REF_CAND; comp_idx++) {
+                comp_list[comp_idx][ci][0] = 0;
+                comp_list[comp_idx][ci][1] = 0;
+            }
+        }
+        if (s.count) {
+            if (comp_list[0][0][0] == out->mvs[0][0] && comp_list[0][0][1] == out->mvs[0][1] &&
+                comp_list[0][1][0] == out->mvs1[0][0] && comp_list[0][1][1] == out->mvs1[0][1]) {
+                out->mvs[1][0] = comp_list[1][0][0]; out->mvs[1][1] = comp_list[1][0][1];
+                out->mvs1[1][0] = comp_list[1][1][0]; out->mvs1[1][1] = comp_list[1][1][1];
+            } else {
+                out->mvs[1][0] = comp_list[0][0][0]; out->mvs[1][1] = comp_list[0][0][1];
+                out->mvs1[1][0] = comp_list[0][1][0]; out->mvs1[1][1] = comp_list[0][1][1];
+            }
+            out->weights[1] = 2;
+            s.count = 2;
+        } else {
+            for (int idx = 0; idx < MAX_MV_REF_CAND; idx++) {
+                out->mvs[idx][0] = comp_list[idx][0][0]; out->mvs[idx][1] = comp_list[idx][0][1];
+                out->mvs1[idx][0] = comp_list[idx][1][0]; out->mvs1[idx][1] = comp_list[idx][1][1];
+                out->weights[idx] = 2;
+            }
+            s.count = 2;
+        }
+    }
+
+    /* light re-scan (ROW-1 / COL-1) when short: accepts ANY inter neighbor,
+     * flipping MVs whose ref sign-bias differs (codec/mvp.py light_add;
+     * spec 7.10.2 extended search) */
+    if (ref_frame1 <= 0 && s.count < MAX_MV_REF_CAND) {
+        int mi_width = n4, mi_height = n4;
+        if (tp->mi_cols - mi_col < mi_width) mi_width = tp->mi_cols - mi_col;
+        if (tp->mi_rows - mi_row < mi_height) mi_height = tp->mi_rows - mi_row;
+        if (mi_width > 16) mi_width = 16;
+        if (mi_height > 16) mi_height = 16;
+        int mi_sz = mi_width < mi_height ? mi_width : mi_height;
+        for (int pass = 0; pass < 2; pass++) {
+            int avail = pass == 0 ? abs_mro : abs_mco;
+            int i = 0;
+            while (avail >= 1 && i < mi_sz && s.count < MAX_MV_REF_CAND) {
+                int r = pass == 0 ? mi_row - 1 : mi_row + i;
+                int c = pass == 0 ? mi_col + i : mi_col - 1;
+                int idx = r * tp->mi_cols + c;
+                for (int which = 0; which < 2; which++) {
+                    int rv = which == 0 ? st->ref_grid[idx] : st->ref1_grid[idx];
+                    if (rv <= 0) continue;
+                    const int32_t *mvsrc = which == 0 ? st->mv_grid : st->mv1_grid;
+                    int32_t mr = mvsrc[idx * 2], mc = mvsrc[idx * 2 + 1];
+                    if (tp->sign_bias[rv] != tp->sign_bias[ref_frame]) { mr = -mr; mc = -mc; }
+                    int j = 0;
+                    for (; j < s.count; j++)
+                        if (out->mvs[j][0] == mr && out->mvs[j][1] == mc) break;
+                    if (j == s.count) {
+                        out->mvs[s.count][0] = mr; out->mvs[s.count][1] = mc;
+                        out->weights[s.count] = 2;
+                        s.count++;
+                    }
+                }
+                i += st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
+            }
         }
         for (int k = s.count; k < MAX_MV_REF_CAND; k++) {
             out->mvs[k][0] = 0; out->mvs[k][1] = 0;
@@ -729,8 +843,76 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
     for (int i = 0; i < s.count; i++) {
         out->mvs[i][1] = clamp32(out->mvs[i][1], to_left - bw8 - MV_BORDER, to_right + bw8 + MV_BORDER);
         out->mvs[i][0] = clamp32(out->mvs[i][0], to_top - bh8 - MV_BORDER, to_bottom + bh8 + MV_BORDER);
+        if (ref_frame1 > 0) {
+            out->mvs1[i][1] = clamp32(out->mvs1[i][1], to_left - bw8 - MV_BORDER, to_right + bw8 + MV_BORDER);
+            out->mvs1[i][0] = clamp32(out->mvs1[i][0], to_top - bh8 - MV_BORDER, to_bottom + bh8 + MV_BORDER);
+        }
     }
     out->count = s.count;
+}
+
+/* ---------------- compound reference-mode / ref-type contexts (libaom
+ * av1_get_reference_mode_context / av1_get_comp_reference_type_context) */
+
+typedef struct { int is_inter, has2, bwd0, uni, ref0; } NbInfo;
+
+static NbInfo nb_info(TileState *st, TileParams *tp, int r, int c) {
+    int idx = r * tp->mi_cols + c;
+    NbInfo n;
+    int r0 = st->ref_grid[idx], r1 = st->ref1_grid[idx];
+    n.is_inter = r0 >= 1;
+    n.has2 = r1 >= 1;
+    n.bwd0 = r0 >= 5;
+    n.uni = n.has2 && !((r0 >= 5) ^ (r1 >= 5));
+    n.ref0 = r0;
+    return n;
+}
+
+static int reference_mode_ctx(TileState *st, TileParams *tp, int mi_row, int mi_col) {
+    int has_a = mi_row > tp->mi_row0, has_l = mi_col > tp->mi_col0;
+    if (has_a && has_l) {
+        NbInfo A = nb_info(st, tp, mi_row - 1, mi_col);
+        NbInfo L = nb_info(st, tp, mi_row, mi_col - 1);
+        if (!A.has2 && !L.has2) return A.bwd0 ^ L.bwd0;
+        if (!A.has2) return 2 + (A.bwd0 || !A.is_inter);
+        if (!L.has2) return 2 + (L.bwd0 || !L.is_inter);
+        return 4;
+    }
+    if (has_a || has_l) {
+        NbInfo E = nb_info(st, tp, has_a ? mi_row - 1 : mi_row, has_a ? mi_col : mi_col - 1);
+        return E.has2 ? 3 : E.bwd0;
+    }
+    return 1;
+}
+
+static int comp_ref_type_ctx(TileState *st, TileParams *tp, int mi_row, int mi_col) {
+    int has_a = mi_row > tp->mi_row0, has_l = mi_col > tp->mi_col0;
+    if (has_a && has_l) {
+        NbInfo A = nb_info(st, tp, mi_row - 1, mi_col);
+        NbInfo L = nb_info(st, tp, mi_row, mi_col - 1);
+        int a_intra = !A.is_inter, l_intra = !L.is_inter;
+        if (a_intra && l_intra) return 2;
+        if (a_intra || l_intra) {
+            NbInfo E = a_intra ? L : A;
+            return E.has2 ? 1 + 2 * E.uni : 2;
+        }
+        int a_sg = !A.has2, l_sg = !L.has2;
+        if (a_sg && l_sg) return 1 + 2 * !(A.bwd0 ^ L.bwd0);
+        if (a_sg || l_sg) {
+            int uni = a_sg ? L.uni : A.uni;
+            if (!uni) return 1;
+            return 3 + !(A.bwd0 ^ L.bwd0);
+        }
+        if (!A.uni && !L.uni) return 0;
+        if (!A.uni || !L.uni) return 2;
+        return 3 + ((A.ref0 == 5) == (L.ref0 == 5));
+    }
+    if (has_a || has_l) {
+        NbInfo E = nb_info(st, tp, has_a ? mi_row - 1 : mi_row, has_a ? mi_col : mi_col - 1);
+        if (!E.is_inter) return 2;
+        return E.has2 ? 4 * E.uni : 2;
+    }
+    return 2;
 }
 
 static int drl_ctx_of(MvStackC *stk, int idx) {
@@ -903,17 +1085,103 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
             int is_inter = ref_frame >= 1;
             ec_encode_symbol(e, tp->intra_inter + ictx * 3, 2, is_inter, tp->update);
             if (is_inter) {
-                /* neighbor ref counts -> single-ref tree (write_ref_frames) */
+                int ref2 = op[OPC_REF2];
+                int is_comp = tp->reference_select && ref2 >= 1;
+                int32_t mv1r = op[OPC_MV2Y], mv1c = op[OPC_MV2X];
+                /* neighbor ref counts (both refs of each coded neighbor —
+                 * tile_codec._neighbor_ref_counts) */
                 int64_t cnt[8] = {0};
                 if (has_above) {
-                    int rr = st->ref_grid[(mi_row - 1) * tp->mi_cols + mi_col];
-                    if (rr >= 1) cnt[rr]++;
+                    int gi = (mi_row - 1) * tp->mi_cols + mi_col;
+                    int rr = st->ref_grid[gi];
+                    if (rr >= 1) {
+                        cnt[rr]++;
+                        int r1 = st->ref1_grid[gi];
+                        if (r1 >= 1) cnt[r1]++;
+                    }
                 }
                 if (has_left) {
-                    int rr = st->ref_grid[mi_row * tp->mi_cols + mi_col - 1];
-                    if (rr >= 1) cnt[rr]++;
+                    int gi = mi_row * tp->mi_cols + mi_col - 1;
+                    int rr = st->ref_grid[gi];
+                    if (rr >= 1) {
+                        cnt[rr]++;
+                        int r1 = st->ref1_grid[gi];
+                        if (r1 >= 1) cnt[r1]++;
+                    }
                 }
 #define REFCTX(a, b) ((a) == (b) ? 1 : ((a) < (b) ? 0 : 2))
+                if (tp->reference_select) {
+                    int rmctx = reference_mode_ctx(st, tp, mi_row, mi_col);
+                    ec_encode_symbol(e, tp->comp_inter + rmctx * 3, 2, is_comp, tp->update);
+                }
+                if (is_comp) {
+                    /* BIDIR compound pair (write_ref_frames comp side) */
+                    int tctx = comp_ref_type_ctx(st, tp, mi_row, mi_col);
+                    ec_encode_symbol(e, tp->comp_ref_type + tctx * 3, 2, 1, tp->update);
+                    int p0 = REFCTX(cnt[1] + cnt[2], cnt[3] + cnt[4]);
+                    int bit0 = ref_frame == 3 || ref_frame == 4;
+                    ec_encode_symbol(e, tp->comp_ref + (p0 * 3 + 0) * 3, 2, bit0, tp->update);
+                    if (bit0) {
+                        int p2 = REFCTX(cnt[3], cnt[4]);
+                        ec_encode_symbol(e, tp->comp_ref + (p2 * 3 + 2) * 3, 2,
+                                         ref_frame == 4, tp->update);
+                    } else {
+                        int p1 = REFCTX(cnt[1], cnt[2]);
+                        ec_encode_symbol(e, tp->comp_ref + (p1 * 3 + 1) * 3, 2,
+                                         ref_frame == 2, tp->update);
+                    }
+                    int pb = REFCTX(cnt[5] + cnt[6], cnt[7]);
+                    int bitb = ref2 == 7;
+                    ec_encode_symbol(e, tp->comp_bwdref + (pb * 2 + 0) * 3, 2, bitb, tp->update);
+                    if (!bitb) {
+                        int pb1 = REFCTX(cnt[5], cnt[6]);
+                        ec_encode_symbol(e, tp->comp_bwdref + (pb1 * 2 + 1) * 3, 2,
+                                         ref2 == 6, tp->update);
+                    }
+                    MvStackC stk;
+                    find_mv_stack_c(tp, st, mi_row, mi_col, bw4, ref_frame, ref2, &stk);
+                    int mode = y_mode; /* NEW_NEWMV = 24 from the op stream */
+                    int ref_mv_idx = op[OPC_REFMVIDX];
+                    if (mode == 24 && mvr == stk.mvs[0][0] && mvc == stk.mvs[0][1] &&
+                        mv1r == stk.mvs1[0][0] && mv1c == stk.mvs1[0][1]) {
+                        mode = 17; /* NEAREST_NEARESTMV downgrade */
+                        ref_mv_idx = 0;
+                        y_mode = mode;
+                    }
+                    static const int cmap[3][5] = {
+                        {0, 1, 1, 1, 1}, {3, 4, 4, 4, 4}, {6, 7, 7, 7, 7}};
+                    int refmv_ctx = (stk.mode_context >> 4) & 15;
+                    int newmv_ctx = stk.mode_context & 7;
+                    int cctx = cmap[refmv_ctx >> 1][newmv_ctx < 4 ? newmv_ctx : 4];
+                    ec_encode_symbol(e, tp->comp_mode + cctx * 9, 8, mode - 17, tp->update);
+                    if (has_newmv_mode(mode)) {
+                        for (int idx = 0; idx < 2; idx++) {
+                            if (stk.count > idx + 1) {
+                                int bit = ref_mv_idx != idx;
+                                ec_encode_symbol(e, tp->drl + drl_ctx_of(&stk, idx) * 3, 2,
+                                                 bit, tp->update);
+                                if (!bit) break;
+                            }
+                        }
+                    } else if (mode == 18) { /* NEAR_NEARMV */
+                        for (int idx = 1; idx < 3; idx++) {
+                            if (stk.count > idx + 1) {
+                                int bit = ref_mv_idx != idx;
+                                ec_encode_symbol(e, tp->drl + drl_ctx_of(&stk, idx) * 3, 2,
+                                                 bit, tp->update);
+                                if (!bit) break;
+                            }
+                        }
+                    }
+                    if (mode == 24) { /* NEW_NEWMV: both MVs */
+                        write_mv_c(e, tp, mvr, mvc, stk.mvs[ref_mv_idx][0],
+                                   stk.mvs[ref_mv_idx][1], tp->update);
+                        write_mv_c(e, tp, mv1r, mv1c, stk.mvs1[ref_mv_idx][0],
+                                   stk.mvs1[ref_mv_idx][1], tp->update);
+                    }
+                    goto comp_done;
+                }
+                {
                 int p1 = REFCTX(cnt[1] + cnt[2] + cnt[3] + cnt[4], cnt[5] + cnt[6] + cnt[7]);
                 int bit0 = ref_frame >= 5;
                 ec_encode_symbol(e, tp->single_ref + (p1 * 6 + 0) * 3, 2, bit0, tp->update);
@@ -940,12 +1208,16 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
                                          ref_frame == 2, tp->update);
                     }
                 }
-#undef REFCTX
                 /* MVP stack + mode flags + drl + mv */
                 MvStackC stk;
-                find_mv_stack_c(tp, st, mi_row, mi_col, bw4, ref_frame, &stk);
+                find_mv_stack_c(tp, st, mi_row, mi_col, bw4, ref_frame, 0, &stk);
                 int mode = y_mode; /* InterMode: 13 NEAREST, 14 NEAR, 15 GLOBAL, 16 NEW */
                 int ref_mv_idx = op[OPC_REFMVIDX];
+                if (mode == 16 && mvr == stk.mvs[0][0] && mvc == stk.mvs[0][1]) {
+                    mode = 13; /* NEARESTMV downgrade: same MV, no payload */
+                    ref_mv_idx = 0;
+                    y_mode = mode;
+                }
                 ec_encode_symbol(e, tp->newmv + (stk.mode_context & 7) * 3, 2,
                                  mode != 16, tp->update);
                 if (mode != 16) {
@@ -978,6 +1250,9 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
                 if (mode == 16)
                     write_mv_c(e, tp, mvr, mvc, stk.mvs[ref_mv_idx][0],
                                stk.mvs[ref_mv_idx][1], tp->update);
+                }
+#undef REFCTX
+            comp_done:;
             } else {
                 /* intra in inter frame: size-group y_mode cdf */
                 ec_encode_symbol(e, tp->y_mode + op[OPC_SIZEGROUP] * 14, 13, y_mode, tp->update);
@@ -995,6 +1270,7 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
                 ec_encode_symbol(e, tp->angle + (uv_mode - 1) * 8, 7, op[OPC_ANGLE_UV], tp->update);
         }
         /* mode/skip/ref/mv grids */
+        int ref2_blk = (tp->reference_select && op[OPC_REF2] >= 1) ? op[OPC_REF2] : 0;
         for (int r = 0; r < bw4; r++)
             for (int c = 0; c < bw4; c++) {
                 int gi = (mi_row + r) * tp->mi_cols + mi_col + c;
@@ -1004,6 +1280,9 @@ int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_
                 st->bsize_grid[gi] = (int8_t)bw4;
                 st->mv_grid[gi * 2] = mvr;
                 st->mv_grid[gi * 2 + 1] = mvc;
+                st->ref1_grid[gi] = (int8_t)(is_inter_blk ? ref2_blk : 0);
+                st->mv1_grid[gi * 2] = ref2_blk ? op[OPC_MV2Y] : 0;
+                st->mv1_grid[gi * 2 + 1] = ref2_blk ? op[OPC_MV2X] : 0;
             }
         if (skip) {
             set_entropy_ctx(st, 0, mi_col, mi_row, bw4, bw4, 0);

@@ -201,7 +201,7 @@ def _upsample_cells_j(cellvals, m: int, H: int, W: int):
 
 
 def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 8,
-                  damping: int | None = None):
+                  damping: int | None = None, n_cand: int = 0):
     """Search + apply CDEF for a batch of frames, all on device.
 
     planes: [y, u, v] (F, H, W) jnp int32 (post-DLF recon); src_y (F, H, W)
@@ -231,8 +231,10 @@ def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 
     maskmap = _upsample_cells_j(mask.reshape(F, R8, C8), 8, H, W)
 
     # strength search: evaluate the candidate ladder on every non-skip unit
+    # (n_cand > 0: fast-preset subset — first n_cand ladder entries)
+    ladder = SEARCH_CANDIDATES[:n_cand] if n_cand else SEARCH_CANDIDATES
     sses = []
-    for y_pri, y_sec in SEARCH_CANDIDATES:
+    for y_pri, y_sec in ladder:
         if y_pri == 0 and y_sec == 0:
             res = x0
         else:
@@ -249,9 +251,9 @@ def cdef_frames_j(planes, src_y, nonskip8, qindex: int | None = None, bd: int = 
     # == 0" forcing (filters/cdef.py:198,206): it is unreachable only while
     # the ladder never yields pri == 0 with sec > 0 — at luma directly, and
     # at chroma after the uv = y >> 1 derivation. Keep that invariant.
-    assert all(p > 0 or s == 0 for p, s in SEARCH_CANDIDATES), SEARCH_CANDIDATES
-    assert all((p >> 1) > 0 or (s >> 1) == 0 for p, s in SEARCH_CANDIDATES)
-    cand = jnp.asarray(np.array(SEARCH_CANDIDATES, np.int32))  # (n_cand, 2)
+    assert all(p > 0 or s == 0 for p, s in ladder), ladder
+    assert all((p >> 1) > 0 or (s >> 1) == 0 for p, s in ladder)
+    cand = jnp.asarray(np.array(ladder, np.int32))  # (n_cand, 2)
     y_pri = cand[best, 0]
     y_sec = cand[best, 1]
     uv_pri = y_pri >> 1

@@ -175,14 +175,18 @@ def me_fullpel_frame(src_y, ref_y, sb_rows: int, sb_cols: int, l2_radius: int = 
 # ------------------------------------------------------------------ MC
 
 def mc_lanes(ref, ys, xs, mv_q16_y, mv_q16_x, n_h: int, n_w: int, which: int, bd: int,
-             ref_idx=None):
+             ref_idx=None, conv_buf: bool = False):
     """Batched normative subpel MC with PER-LANE subpel phases.
 
     ref: (H, W) or (NREF, H, W) when ref_idx (B,) given. ys/xs (B,) block
     top-left in plane coords; mv in 1/16-pel units of this plane. Returns
     (B, n_h, n_w) int32 predictions, bit-exact with convolve_2d_scalar
-    (4-tap table auto-selected for dims <= 4 per spec 7.11.3.4)."""
-    from .convolve import filter_for_dim
+    (4-tap table auto-selected for dims <= 4 per spec 7.11.3.4).
+
+    conv_buf=True: the COMPOUND path's offset-carrying intermediate
+    (round_1 = 7), to be blended by compound_average_j — bit-exact with
+    convolve_2d_scalar_compound."""
+    from .convolve import COMPOUND_ROUND1, filter_for_dim
 
     fy0 = ys * 16 + mv_q16_y
     fx0 = xs * 16 + mv_q16_x
@@ -213,12 +217,36 @@ def mc_lanes(ref, ys, xs, mv_q16_y, mv_q16_x, n_h: int, n_w: int, which: int, bd
     acc = jnp.full((patch.shape[0], n_h, n_w), 1 << offset_bits, jnp.int32)
     for k in range(8):
         acc = acc + fyk[:, k, None, None] * im[:, k : k + n_h, :]
+    if conv_buf:
+        return (acc + (1 << (COMPOUND_ROUND1 - 1))) >> COMPOUND_ROUND1
     res = ((acc + (1 << (ROUND1 - 1))) >> ROUND1) \
         - ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
     bits = 2 * FILTER_BITS - ROUND0 - ROUND1
     if bits > 0:
         res = (res + (1 << (bits - 1))) >> bits
     return jnp.clip(res, 0, (1 << bd) - 1)
+
+
+def compound_average_j(conv0, conv1, bd: int):
+    """jnp twin of convolve.compound_average (normative average blend)."""
+    from .convolve import COMPOUND_ROUND1
+
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    tmp = (conv0 + conv1) >> 1
+    tmp = tmp - ((1 << (offset_bits - COMPOUND_ROUND1))
+                 + (1 << (offset_bits - COMPOUND_ROUND1 - 1)))
+    round_bits = 2 * FILTER_BITS - ROUND0 - COMPOUND_ROUND1
+    return jnp.clip((tmp + (1 << (round_bits - 1))) >> round_bits, 0, (1 << bd) - 1)
+
+
+def mc_lanes_compound(refs, ys, xs, mv0y, mv0x, mv1y, mv1x, n_h: int, n_w: int,
+                      which: int, bd: int, ref0_idx, ref1_idx):
+    """Batched compound-average MC: two conv-buf passes + normative blend."""
+    c0 = mc_lanes(refs, ys, xs, mv0y, mv0x, n_h, n_w, which, bd,
+                  ref_idx=ref0_idx, conv_buf=True)
+    c1 = mc_lanes(refs, ys, xs, mv1y, mv1x, n_h, n_w, which, bd,
+                  ref_idx=ref1_idx, conv_buf=True)
+    return compound_average_j(c0, c1, bd)
 
 
 def extract_patches(ref, ys, xs, h: int, w: int):
@@ -263,7 +291,8 @@ def _mc_patch_static(patch, idy: int, idx: int, sy: int, sx: int, n: int,
     return jnp.clip(res, 0, (1 << bd) - 1)
 
 
-def subpel_pred_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
+def subpel_pred_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int,
+                      fast: bool = False):
     """Two-step (half, quarter pel) 9-point refinement that ALSO returns the
     winner's normative prediction.
 
@@ -272,7 +301,12 @@ def subpel_pred_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
     within one integer pel), its integer shift and phase are static per
     candidate, so the 18 MC evaluations are static slices with constant
     kernels — ONE dynamic gather per block instead of 18. Returns
-    (mv8 (B, 2), pred (B, n, n)) with pred == mc_lanes(ref, mv8)."""
+    (mv8 (B, 2), pred (B, n, n)) with pred == mc_lanes(ref, mv8).
+
+    fast=True: exhaustive 5x5 even lattice ({-4..4}) — 25 MC evaluations
+    instead of 49, reach limited to quarter-pel +-0.5px (the fast-preset
+    trade; the reference's preset ladder likewise shrinks subpel searches,
+    enc_mode_config.c md_subpel levels)."""
     B, n = src_b.shape[0], src_b.shape[-1]
     patch = extract_patches(ref, ys + mv_fp[:, 0] - 4, xs + mv_fp[:, 1] - 4,
                             n + 8, n + 8)
@@ -281,7 +315,7 @@ def subpel_pred_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
     # {-6..6}^2: MC each of the 49 points ONCE (static slice + constant
     # kernels), then run the two sequential argmin stages over the
     # precomputed SAD grid.
-    lat = (-6, -4, -2, 0, 2, 4, 6)
+    lat = (-4, -2, 0, 2, 4) if fast else (-6, -4, -2, 0, 2, 4, 6)
     preds = {}
     sads = {}
     for dy8 in lat:
@@ -291,6 +325,17 @@ def subpel_pred_lanes(src_b, ref, ys, xs, mv_fp, which: int, bd: int):
                                  n, which, bd)
             preds[(dy8, dx8)] = p
             sads[(dy8, dx8)] = jnp.sum(jnp.abs(p - src_b), axis=(-2, -1))
+
+    if fast:
+        # exhaustive argmin over the 25 points (no sequential stages)
+        keys = [(dy, dx) for dy in lat for dx in lat]
+        sall = jnp.stack([sads[k] for k in keys])  # (25, B)
+        kbest = jnp.argmin(sall, axis=0)
+        oh = jax.nn.one_hot(kbest, len(keys), dtype=jnp.int32)
+        best_d = jnp.asarray(np.array(keys, np.int32))[kbest]
+        best_pred = sum(preds[keys[c]] * oh[:, c, None, None]
+                        for c in range(len(keys)))
+        return mv_fp * 8 + best_d, best_pred
 
     # step 1: half-pel 9 points (first-occurrence argmin order as the
     # sequential search)

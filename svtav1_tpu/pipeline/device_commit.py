@@ -96,6 +96,7 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
                               mode=np.zeros(0, np.int32), tx=np.zeros(0, np.int32),
                               uv_tx=np.zeros(0, np.int32), ref=np.zeros(0, np.int32),
                               mv=np.zeros((0, 2), np.int32),
+                              ref2=np.zeros(0, np.int32), mv2=np.zeros((0, 2), np.int32),
                               offsets=np.zeros(W + 1, np.int32), NI=0, NW=0, kmax=0)
             continue
         fs = np.concatenate(fs_l)
@@ -118,9 +119,17 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
         if has_inter:
             ref = gather("ref")
             mv = np.stack([gather("mvy"), gather("mvx")], axis=1)
+            if "ref2" in dec_per_frame[0][n]:
+                ref2 = gather("ref2")
+                mv2 = np.stack([gather("mv2y"), gather("mv2x")], axis=1)
+            else:
+                ref2 = np.full(N, -1, np.int32)
+                mv2 = np.zeros((N, 2), np.int32)
         else:
             ref = np.full(N, -1, np.int32)
             mv = np.zeros((N, 2), np.int32)
+            ref2 = np.full(N, -1, np.int32)
+            mv2 = np.zeros((N, 2), np.int32)
         tx_uv_size = int(max_uv_txsize(BSIZE_BY_N[n]))
         intra_map = np.array([TX_SEARCH.index(chroma_tx_type(m, tx_uv_size))
                               for m in MODES], np.int32)
@@ -139,6 +148,7 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
         fs, r8, c8 = fs[order], r8[order], c8[order]
         mode, tx, uv_tx = mode[order], tx[order], uv_tx[order]
         ref, mv, wave = ref[order], mv[order], wave[order]
+        ref2, mv2 = ref2[order], mv2[order]
         NI = int(is_int.sum())
         NW = N - NI
         counts = np.bincount(wave[NI:], minlength=W).astype(np.int64)
@@ -146,7 +156,7 @@ def _build_schedule(leaves_per_frame, dec_per_frame, region):
         np.cumsum(counts, out=offsets[1:])
         coords = np.stack([fs, r8, c8], axis=1).astype(np.int32)
         out[n] = dict(coords=coords, mode=mode, tx=tx, uv_tx=uv_tx, ref=ref,
-                      mv=mv, offsets=offsets, NI=NI, NW=NW,
+                      mv=mv, ref2=ref2, mv2=mv2, offsets=offsets, NI=NI, NW=NW,
                       kmax=int(counts.max()) if NW else 0)
     return out, W
 
@@ -210,7 +220,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
     per-size schedules — single h2d transfer); `dqv` = (2,) int32 [dq_dc,
     dq_ac] runtime operands (qindex as data — no per-qindex recompiles);
     `cfg` a hashable static tuple:
-    (F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq,
+    (F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq, has_comp,
     ((n, NI_pad, NW_pad, kmax), ...)) — only POW2 BUCKETS of the segment
     sizes are static, so leaf-count drift between frames rarely recompiles.
 
@@ -221,7 +231,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
     P/B frame that collapses the serial wave count from R8+C8 to a handful.
     Pad lanes carry sentinel coords (gathers clamp, scatters drop). Returns
     (levels_i16_packed, recon planes, skip map)."""
-    F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq, size_cfgs = cfg
+    (F, W, W_eff, R8, C8, bd, nref, which, y0, x0, qctx, rdoq, has_comp,
+     tx_ntypes, size_cfgs) = cfg
     AW, AH = C8 * 8, R8 * 8
     base = 1 << (bd - 1)
     src_y = src_y8.astype(jnp.int32)
@@ -241,6 +252,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         s["uv_tx"] = sched_flat[pos : pos + N_pad]; pos += N_pad
         s["ref"] = sched_flat[pos : pos + N_pad]; pos += N_pad
         s["mv"] = sched_flat[pos : pos + N_pad * 2].reshape(N_pad, 2); pos += N_pad * 2
+        s["ref2"] = sched_flat[pos : pos + N_pad]; pos += N_pad
+        s["mv2"] = sched_flat[pos : pos + N_pad * 2].reshape(N_pad, 2); pos += N_pad * 2
         s["offsets"] = sched_flat[pos : pos + W + 2]; pos += W + 2
         sched[n] = s
     wave_list = sched_flat[pos : pos + W_eff]; pos += W_eff
@@ -263,14 +276,32 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
             ys = y0 + jnp.minimum(s["coords"][:NI_pad, 1], R8) * 8
             xs = x0 + jnp.minimum(s["coords"][:NI_pad, 2], C8) * 8
             mvy, mvx = s["mv"][:NI_pad, 0], s["mv"][:NI_pad, 1]
-            inter_pred[n] = (
+            preds = [
                 me_jax.mc_lanes(refs_y, ys, xs, mvy * 2, mvx * 2, n, n, which, bd,
                                 ref_idx=ridx),
                 me_jax.mc_lanes(refs_u, ys // 2, xs // 2, mvy, mvx, nc, nc, which,
                                 bd, ref_idx=ridx),
                 me_jax.mc_lanes(refs_v, ys // 2, xs // 2, mvy, mvx, nc, nc, which,
                                 bd, ref_idx=ridx),
-            )
+            ]
+            if has_comp:
+                # compound lanes: exact CONV_BUF average of the ref pair
+                ridx2 = jnp.maximum(s["ref2"][:NI_pad], 0)
+                is_cmp = (s["ref2"][:NI_pad] >= 0)[:, None, None]
+                m2y, m2x = s["mv2"][:NI_pad, 0], s["mv2"][:NI_pad, 1]
+                cy = me_jax.mc_lanes_compound(refs_y, ys, xs, mvy * 2, mvx * 2,
+                                              m2y * 2, m2x * 2, n, n, which, bd,
+                                              ridx, ridx2)
+                cu = me_jax.mc_lanes_compound(refs_u, ys // 2, xs // 2, mvy, mvx,
+                                              m2y, m2x, nc, nc, which, bd,
+                                              ridx, ridx2)
+                cv = me_jax.mc_lanes_compound(refs_v, ys // 2, xs // 2, mvy, mvx,
+                                              m2y, m2x, nc, nc, which, bd,
+                                              ridx, ridx2)
+                preds = [jnp.where(is_cmp, cy, preds[0]),
+                         jnp.where(is_cmp, cu, preds[1]),
+                         jnp.where(is_cmp, cv, preds[2])]
+            inter_pred[n] = tuple(preds)
 
     dq_dc, dq_ac = dqv[0], dqv[1]
 
@@ -373,8 +404,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         pred, pred_u, pred_v = inter_pred[n]
         sb = src_blocks_of(src_y, fidx, x, y, n)
         rq_y, rq_uv = _rdoq_fns(qctx, n) if rdoq else (None, None)
-        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1,
-                                  rdoq_fn=rq_y)
+        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n,
+                                  tx_ntypes if n <= 16 else 1, rdoq_fn=rq_y)
         # inter chroma tx follows the EFFECTIVE luma type: DCT when the
         # quantized luma is all-zero (tile_codec._chroma_tx_type)
         luma_zero = jnp.sum(jnp.abs(lv_y), axis=(-2, -1)) == 0
@@ -444,8 +475,8 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
         pred = _predict_modes(ar, lc, tl, ha, hl, n)[bi, mode]
         sb = src_blocks(src_y, x, y, n)
         rq_y, rq_uv = _rdoq_fns(qctx, n) if rdoq else (None, None)
-        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n, 4 if n <= 16 else 1,
-                                  rdoq_fn=rq_y)
+        lv_y, rec_y = select_txfm(sb - pred, pred, tx_idx, n,
+                                  tx_ntypes if n <= 16 else 1, rdoq_fn=rq_y)
         # chroma (uv_mode = y mode; tx type derived per mode) — u and v are
         # stacked into one 2K-lane batch so every op runs once
         xc, yc = x // 2, y // 2
@@ -623,11 +654,14 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         s["uv_tx"] = pad_seg(s["uv_tx"])
         s["ref"] = pad_seg(s["ref"], fill=-1)
         s["mv"] = pad_seg(s["mv"])
+        s["ref2"] = pad_seg(s["ref2"], fill=-1)
+        s["mv2"] = pad_seg(s["mv2"])
         s["NI_pad"], s["NW_pad"] = NI_pad, NW_pad
         offs = NI_pad + np.concatenate([s["offsets"], s["offsets"][-1:]])
         wave_used |= np.diff(s["offsets"]) > 0
         flat_parts += [s["coords"].ravel(), s["mode"], s["tx"], s["uv_tx"],
-                       s["ref"], s["mv"].ravel(), offs.astype(np.int32)]
+                       s["ref"], s["mv"].ravel(), s["ref2"], s["mv2"].ravel(),
+                       offs.astype(np.int32)]
     waves = np.nonzero(wave_used)[0].astype(np.int32)
     # intra frames touch nearly every wave -> fix W_eff = W (static); inter
     # frames compact to a pow2 bucket with a floor of 32
@@ -644,7 +678,8 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     from ..constants.cdf import get_q_ctx as _gqc
 
     cfg = (F, W, W_eff, R8, C8, p.bd, nref, which, y0, x0, _gqc(p.qindex),
-           bool(p.enable_rdoq), tuple(size_cfgs))
+           bool(p.enable_rdoq), bool(p.reference_select), int(p.sf_tx_ntypes),
+           tuple(size_cfgs))
     sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]
     su = src_dev[1][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
     sv = src_dev[2][:, y0 // 2 : (y0 + rh) // 2, x0 // 2 : (x0 + rw) // 2]
@@ -674,6 +709,7 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
         else:
             aux["levels_dev"] = levels_packed
         return ry, ru, rv, skip8, aux
+    _t_unpack = time.perf_counter()
     off = 0
     for n, s in sched_np.items():
         N = len(s["coords"])
@@ -695,9 +731,17 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
             ri = int(s["ref"][i])
             if ri >= 0:
                 mv = (int(s["mv"][i, 0]), int(s["mv"][i, 1]))
-                mode = int(InterMode.GLOBALMV) if mv == (0, 0) else int(InterMode.NEWMV)
+                ri2 = int(s["ref2"][i]) if p.reference_select else -1
+                if ri2 >= 0:
+                    mode = int(InterMode.NEW_NEWMV)
+                    rf1 = int(ref_ids[ri2])
+                    mv1 = (int(s["mv2"][i, 0]), int(s["mv2"][i, 1]))
+                else:
+                    mode = int(InterMode.GLOBALMV) if mv == (0, 0) else int(InterMode.NEWMV)
+                    rf1, mv1 = int(RefFrame.NONE), (0, 0)
                 d = BlockDecision(
-                    y_mode=mode, ref_frame=int(ref_ids[ri]), mv=mv, ref_mv_idx=0,
+                    y_mode=mode, ref_frame=int(ref_ids[ri]), ref_frame1=rf1,
+                    mv=mv, mv1=mv1, ref_mv_idx=0,
                     skip=int(sk), tx_type=TX_SEARCH[int(s["tx"][i])],
                     levels_y=None if sk else ly[i], levels_u=None if sk else lu[i],
                     levels_v=None if sk else lvv[i])
@@ -714,49 +758,68 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "sharpness", "bd", "damping",
-                                             "enable_cdef", "flen_shapes", "disp_dims"))
+                                             "enable_cdef", "flen_shapes", "disp_dims",
+                                             "cdef_cands", "lf_search"))
 def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
                    levels, sharpness, bd, damping, enable_cdef, flen_shapes,
-                   disp_dims=None):
-    """In-loop filters on device: DLF (by-q levels) then CDEF search+apply.
+                   disp_dims=None, cdef_cands=0, lf_search=()):
+    """In-loop filters on device: DLF then CDEF search+apply.
     flen_flat packs the six DLF filter-length maps (shapes static); `damping`
     is the CDEF damping (the only qindex-derived static — 4 values).
     disp_dims=(width, height): overwrite mi-alignment padding with replicated
     display-edge pixels (spec 7.11.3.4 MC clamp; encoder.replicate_display_edges
     twin) so the output can enter a device-resident DPB directly.
-    Returns (packed uint8 recon, cdef strengths (F, 4), [y, u, v] planes)."""
+    lf_search: candidate luma filter LEVELS (static ints, ascending) — the
+    frame-level filter search (svt_av1_pick_filter_level analog,
+    deblocking_filter.c:1036): every candidate is applied and the one with
+    the least luma SSE vs the source wins (ties -> smaller level). Empty =
+    no search, apply levels[0]/levels[1] as-is.
+    Returns (packed recon, stats (F, 5) = [cdef y_pri, y_sec, uv_pri,
+    uv_sec, lf_pick] with lf_pick the chosen lf_search index (-1 if
+    unsearched), [y, u, v] planes)."""
     from ..filters import cdef_jax, dlf_jax
 
     F = ry.shape[0]
     planes = [ry, ru, rv]
-    if any(levels):
+    lf_pick = jnp.full((F,), -1, jnp.int32)
+    if any(levels) or lf_search:
         flens = []
         pos = 0
         for shp in flen_shapes:
             sz = int(np.prod(shp))
             flens.append(flen_flat[pos : pos + sz].reshape(shp))
             pos += sz
-        out = []
-        fi = 0
-        for plane in range(3):
-            pl = planes[plane]
-            lvl_v = levels[0] if plane == 0 else levels[plane + 1]
-            lvl_h = levels[1] if plane == 0 else levels[plane + 1]
+
+        def dlf_plane(pl, fi, lvl_v, lvl_h):
             if lvl_v:
                 lim, blim, thr = dlf_jax._limits(lvl_v, sharpness)
                 pl = dlf_jax.filter_vertical_edges_j(pl, flens[fi], lim, blim, thr, bd)
-            fi += 1
             if lvl_h:
                 lim, blim, thr = dlf_jax._limits(lvl_h, sharpness)
                 plT = jnp.swapaxes(pl, 1, 2)
-                plT = dlf_jax.filter_vertical_edges_j(plT, flens[fi], lim, blim, thr, bd)
+                plT = dlf_jax.filter_vertical_edges_j(plT, flens[fi + 1], lim, blim, thr, bd)
                 pl = jnp.swapaxes(plT, 1, 2)
-            fi += 1
-            out.append(pl)
-        planes = out
+            return pl
+
+        if lf_search:
+            src_y = src_y8.astype(jnp.int32)
+            cands = [dlf_plane(planes[0], 0, lvl, lvl) for lvl in lf_search]
+            sses = jnp.stack(
+                [jnp.sum((c - src_y).astype(jnp.float32) ** 2, axis=(1, 2))
+                 for c in cands])  # (K, F)
+            lf_pick = jnp.argmin(sses, axis=0).astype(jnp.int32)
+            y_out = cands[0]
+            for k in range(1, len(lf_search)):
+                y_out = jnp.where((lf_pick == k)[:, None, None], cands[k], y_out)
+        else:
+            y_out = dlf_plane(planes[0], 0, levels[0], levels[1])
+        planes = [y_out,
+                  dlf_plane(planes[1], 2, levels[2], levels[2]),
+                  dlf_plane(planes[2], 4, levels[3], levels[3])]
     if enable_cdef:
         planes, strengths, _damping = cdef_jax.cdef_frames_j(
-            planes, src_y8.astype(jnp.int32), ~skip8, damping=damping, bd=bd)
+            planes, src_y8.astype(jnp.int32), ~skip8, damping=damping, bd=bd,
+            n_cand=cdef_cands)
     else:
         strengths = jnp.zeros((F, 4), jnp.int32)
     if disp_dims is not None:
@@ -774,7 +837,15 @@ def _filter_device(ry, ru, rv, src_y8, skip8, flen_flat,
     planes = [pl.astype(odt) for pl in planes]
     packed = jnp.concatenate([planes[0].ravel(), planes[1].ravel(),
                               planes[2].ravel()])
-    return packed, strengths, planes
+    return packed, jnp.concatenate([strengths, lf_pick[:, None]], axis=1), planes
+
+
+def _lf_candidates(base: int) -> tuple:
+    """Frame-level DLF luma candidate ladder around the by-q guess
+    (svt_av1_pick_filter_level search neighborhood at honest scale)."""
+    if base <= 0:
+        return ()
+    return tuple(sorted({0, base // 2, base, min(63, base + max(base // 2, 2))}))
 
 
 def _size_maps(leaves, F: int, R8: int, C8: int) -> np.ndarray:
@@ -893,14 +964,19 @@ def encode_intra_frames(src_frames: list, params: FrameParams,
         flen_shapes = tuple(x.shape for x in flens)
         flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]))
         damping = cdef_mod.pick_damping(p.qindex)
-        packed, strengths, _pl = _filter_device(ry, ru, rv, src_dev[0], skip8, flen_flat,
-                                                tuple(levels), sharpness, p.bd, damping,
-                                                enable_cdef, flen_shapes)
-        strengths = np.asarray(strengths)
-        filt = [dict(lf_levels=tuple(levels),
-                     cdef=(int(strengths[f, 0]), int(strengths[f, 1]),
-                           int(strengths[f, 2]), int(strengths[f, 3]), damping))
-                for f in range(F)]
+        lf_search = _lf_candidates(levels[0]) if p.sf_dlf_search else ()
+        packed, stats, _pl = _filter_device(ry, ru, rv, src_dev[0], skip8, flen_flat,
+                                            tuple(levels), sharpness, p.bd, damping,
+                                            enable_cdef, flen_shapes,
+                                            cdef_cands=4 if p.sf_cdef_fast else 0,
+                                            lf_search=lf_search)
+        stats = np.asarray(stats)
+        filt = []
+        for f in range(F):
+            ylvl = lf_search[int(stats[f, 4])] if lf_search else levels[0]
+            filt.append(dict(lf_levels=(ylvl, ylvl, levels[2], levels[3]),
+                             cdef=(int(stats[f, 0]), int(stats[f, 1]),
+                                   int(stats[f, 2]), int(stats[f, 3]), damping)))
     else:
         odt = jnp.uint8 if p.bd == 8 else jnp.int16
         packed = jnp.concatenate([ry.astype(odt).ravel(),

@@ -200,7 +200,7 @@ def intra_txtype_cost_const(fc, n: int) -> np.ndarray:
 
 def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
                        n: int, qctx: int, dq, bd: int, is_key: bool, R: int, C: int,
-                       lam, nmodes: int = 13):
+                       lam, nmodes: int = 13, tx_ntypes: int = 4):
     """Batched open-loop intra decision for all (R, C) blocks of size n of
     all F frames (src planes are (F, H, W) — independent intra frames batch
     together to amortize the per-wave/per-call costs of this deployment's
@@ -250,9 +250,9 @@ def _decide_intra_size(src_y, src_u, src_v, pen, mode_cost, txt_cost,
     best_tx = jnp.zeros(B, jnp.int32)
 
     # luma tx-type search on the winning mode (sizes with a non-DCT set)
-    if n <= 16:
+    if n <= 16 and tx_ntypes > 1:
         bresid = srcb - best_pred
-        for j, t in enumerate(TX_SEARCH[1:], start=1):
+        for j, t in enumerate(TX_SEARCH[1:tx_ntypes], start=1):
             lvj, dqcj, ratej = _eval_txfm(bresid, t, dq, bd, n, rate_fns["y"][j])
             recj = _recon(dqcj, best_pred, t, bd)
             dj = jnp.sum((recj - srcb).astype(jnp.float32) ** 2, axis=(-2, -1))
@@ -321,7 +321,7 @@ def qparams_np(qindex: int, bd: int):
 
 @functools.lru_cache(maxsize=64)
 def _decide_region_jit(width: int, height: int, region, qctx: int, bd: int,
-                       is_key: bool):
+                       is_key: bool, nmodes: int = 13, tx_ntypes: int = 4):
     """Build the region's decide program with all per-frame constants
     (penalty grids, mode/tx rate tables) BAKED IN; qindex enters as runtime
     operands (dqv, lam), so one compile serves every qindex of a CDF bucket.
@@ -350,7 +350,8 @@ def _decide_region_jit(width: int, height: int, region, qctx: int, bd: int,
             pen, mode_cost, txt_cost = consts[n]
             cost, mode, tx = _decide_intra_size(
                 sy, su, sv, jnp.asarray(pen), jnp.asarray(mode_cost),
-                jnp.asarray(txt_cost), n, qctx, dq, bd, is_key, R, C, lam)
+                jnp.asarray(txt_cost), n, qctx, dq, bd, is_key, R, C, lam,
+                nmodes=nmodes, tx_ntypes=tx_ntypes)
             packed += [cost.ravel(), mode.astype(jnp.float32).ravel(),
                        tx.astype(jnp.float32).ravel()]
         return jnp.concatenate(packed)
@@ -375,7 +376,9 @@ def decide_intra_frames(src_dev, params: FrameParams, fc, lam: float, region=Non
     from ..constants.cdf import get_q_ctx
 
     run, layout = _decide_region_jit(p.width, p.height, region, get_q_ctx(p.qindex),
-                                     p.bd, bool(p.frame_is_intra))
+                                     p.bd, bool(p.frame_is_intra),
+                                     nmodes=int(p.sf_nmodes_key),
+                                     tx_ntypes=int(p.sf_tx_ntypes))
     dqv, lam_op = qparams_np(p.qindex, p.bd)
     flat = np.asarray(run(sy, su, sv, dqv, lam_op))
     out = [{} for _ in range(F)]

@@ -62,6 +62,24 @@ class EncoderConfig:
     # max reference frames per inter frame (reference uses up to 7;
     # 3 = LAST + GOLDEN (last key / mini-GoP anchor) + ALTREF (future))
     n_refs: int = 3
+    # compound (BIDIR average) prediction for hierarchical-B frames with a
+    # future ALTREF (reference_select syntax + NEW_NEWMV candidates)
+    enable_compound: bool = True
+    # speed/quality preset (the enc_mode_config.c ladder at honest scale):
+    # maps to candidate counts, subpel lattice, tx search and CDEF ladder
+    preset: str = "medium"  # "fast" | "medium" | "slow"
+
+
+# preset -> speed features (monotonic speed/quality ladder; the reference
+# spreads this over ~hundreds of levels in enc_mode_config.c:684-8339)
+PRESETS = {
+    "fast": dict(sf_nmodes_inter=4, sf_nmodes_key=7, sf_tx_ntypes=1,
+                 sf_fast_subpel=1, sf_cdef_fast=1, sf_dlf_search=0, rdoq=False),
+    "medium": dict(sf_nmodes_inter=7, sf_nmodes_key=13, sf_tx_ntypes=4,
+                   sf_fast_subpel=0, sf_cdef_fast=0, sf_dlf_search=1, rdoq=True),
+    "slow": dict(sf_nmodes_inter=13, sf_nmodes_key=13, sf_tx_ntypes=4,
+                 sf_fast_subpel=0, sf_cdef_fast=0, sf_dlf_search=1, rdoq=True),
+}
 
 
 @dataclass
@@ -124,7 +142,11 @@ class Encoder:
         # (always a multiple of 8) and cropped at display per the spec
         assert cfg.width % 2 == 0 and cfg.height % 2 == 0, "4:2:0 requires even dims"
         assert cfg.minigop in (1, 2, 4, 8)  # dyadic mini-GoPs (5L max)
+        assert cfg.preset in PRESETS, cfg.preset
         self.cfg = cfg
+        self._sf = dict(PRESETS[cfg.preset])
+        if not self._sf.pop("rdoq"):
+            cfg.enable_rdoq = False
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
                                   enable_cdef=cfg.enable_cdef,
                                   enable_restoration=cfg.enable_restoration,
@@ -281,7 +303,7 @@ class Encoder:
         p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
                         tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
                         frame_is_intra=True, enable_filter_intra=cfg.enable_filter_intra,
-                        enable_rdoq=cfg.enable_rdoq)
+                        enable_rdoq=cfg.enable_rdoq, **self._sf)
         walk_fcs = [FrameContext(qindex) for _ in batch]
         outs = device_commit.encode_intra_frames(
             [src for _, src in batch], p,
@@ -307,14 +329,17 @@ class Encoder:
     # ------------------------------------------------------------- scheduling
 
     def _tpl_r0(self, window_lumas: list) -> np.ndarray:
-        """TPL dispenser+synthesizer over a display-order luma window
-        (padded to 64-multiples for the SB-granular ME pyramid)."""
+        """TPL dispenser+synthesizer over a luma window, following the
+        coded prediction structure (dyadic mini-GoPs when minigop > 1 —
+        the src_ops tpl_mc_flow decode-order walk; padded to 64-multiples
+        for the SB-granular ME pyramid)."""
         from . import tpl as tpl_mod
 
         h, w = window_lumas[0].shape
         H, W = -(-h // 64) * 64, -(-w // 64) * 64
         padded = [pad_to_aligned(y, W, H) for y in window_lumas]
-        stats = tpl_mod.tpl_window(padded, self.cfg.qindex, self.cfg.bd)
+        stats = tpl_mod.tpl_window(padded, self.cfg.qindex, self.cfg.bd,
+                                   minigop=self.cfg.minigop)
         return tpl_mod.synthesize(stats)
 
     def _drain_crf(self, final: bool) -> list:
@@ -492,12 +517,19 @@ class Encoder:
             from ..filters import dlf
 
             lf_levels = dlf.pick_filter_levels(qindex, cfg.bd, is_key, cfg.height)
+        # compound availability: a real future ALTREF (hierarchical-B
+        # middles) with the jax decide that injects NEW_NEWMV candidates
+        ref_select = int(cfg.enable_compound and not is_key
+                         and future_idx is not None
+                         and cfg.mode_decision == "jax"
+                         and not cfg.enable_restoration)
         p = FrameParams(width=cfg.width, height=cfg.height, qindex=qindex, bd=cfg.bd,
                         tile_cols_log2=cfg.tile_cols_log2, tile_rows_log2=cfg.tile_rows_log2,
                         frame_is_intra=is_key, order_hint=order_hint,
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
+                        reference_select=ref_select,
                         enable_filter_intra=cfg.enable_filter_intra,
-                        enable_rdoq=cfg.enable_rdoq)
+                        enable_rdoq=cfg.enable_rdoq, **self._sf)
         return dict(p=p, refs=refs, ref_slot=ref_slot, order_hint=order_hint,
                     qindex=qindex)
 
@@ -603,17 +635,22 @@ class Encoder:
                 primary_ref = 0  # LAST
         plan, recon, filt, payloads = inter_device.inter_finish(pend, walk_fc)
         ypri, ysec, upri, usec, cdef_damping = filt["cdef"]
+        from ..entropy.bitstream import skip_mode_allowed as _sma
+
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
                          show_frame=show,
                          tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
                          frame_type=1, order_hint=setup["order_hint"],
                          refresh_frame_flags=(1 << slot) if refresh else 0,
                          ref_frame_idx=tuple(ref_slot),
-                         lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
+                         lf_levels=filt["lf_levels"], lf_sharpness=p.lf_sharpness,
                          cdef_damping=cdef_damping, cdef_y=((ypri, ysec),),
                          cdef_uv=((upri, usec),),
                          primary_ref_frame=primary_ref,
-                         frame_end_update_cdf=cfg.cdf_inheritance)
+                         frame_end_update_cdf=cfg.cdf_inheritance,
+                         reference_select=p.reference_select,
+                         skip_mode_allowed=bool(p.reference_select) and _sma(
+                             p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])))
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)
@@ -703,8 +740,9 @@ class Encoder:
         # in-loop filters on the encoder's recon (decoder does the same);
         # batched device frames arrive pre-filtered with their parameters
         cdef_y, cdef_uv, cdef_damping = ((0, 0),), ((0, 0),), 3
+        hdr_lf = p.lf_levels
         if filt is not None:
-            assert filt["lf_levels"] == p.lf_levels
+            hdr_lf = tuple(filt["lf_levels"])  # search may have moved Y
             ypri, ysec, upri, usec, cdef_damping = filt["cdef"]
             cdef_y, cdef_uv = ((ypri, ysec),), ((upri, usec),)
         else:
@@ -775,6 +813,8 @@ class Encoder:
         if is_key:
             self._golden_disp = disp_idx
             self._slot_occupant = {s: disp_idx for s in range(7)}
+        from ..entropy.bitstream import skip_mode_allowed as _sma
+
         fr = FrameConfig(qindex=p.qindex, disable_cdf_update=p.disable_cdf_update,
                          show_frame=show,
                          tile_cols_log2=p.tile_cols_log2, tile_rows_log2=p.tile_rows_log2,
@@ -782,12 +822,15 @@ class Encoder:
                          refresh_frame_flags=(0xFF if is_key
                                               else (1 << slot) if refresh else 0),
                          ref_frame_idx=tuple(ref_slot),
-                         lf_levels=p.lf_levels, lf_sharpness=p.lf_sharpness,
+                         lf_levels=hdr_lf, lf_sharpness=p.lf_sharpness,
                          cdef_damping=cdef_damping, cdef_y=cdef_y, cdef_uv=cdef_uv,
                          primary_ref_frame=primary_ref,
                          frame_end_update_cdf=cfg.cdf_inheritance,
                          lr_types=p.lr_types, lr_unit_shift=p.lr_unit_shift,
-                         lr_uv_shift=p.lr_uv_shift)
+                         lr_uv_shift=p.lr_uv_shift,
+                         reference_select=p.reference_select,
+                         skip_mode_allowed=bool(p.reference_select) and _sma(
+                             p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])))
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)

@@ -68,19 +68,34 @@ def single_ref_tree_bits(fc, ref_id: int) -> float:
     return bits
 
 
-def inter_cand_cost_const(fc, ref_ids) -> dict:
+def inter_cand_cost_const(fc, ref_ids, ref_select: bool = False,
+                          comp_pair=None) -> dict:
     """Mode-signaling bit constants for the decide pass (ctx-0 / empty
     neighbor-ref-count approximations; exact contexts are applied by the
     tile walk): is_inter flag + single-ref tree per ref + {new,glob} mode
-    flags. ref_ids: the RefFrame id per stacked ref index."""
+    flags. ref_ids: the RefFrame id per stacked ref index. With
+    reference_select, single candidates pay the comp_inter=0 bit and
+    `comp` carries the compound NEW_NEWMV signaling constant (comp_inter=1
+    + BIDIR ref pair + inter_compound_mode symbol)."""
     sb = rate_np.symbol_bits
     is_inter_b = sb(fc["intra_inter"][0], 1, 2)
+    single_b = sb(fc["comp_inter"][1], 0, 2) if ref_select else 0.0
     b_new = sb(fc["newmv"][0], 0, 2)
     b_glob = sb(fc["newmv"][0], 1, 2) + sb(fc["zeromv"][0], 0, 2)
     ref_bits = [single_ref_tree_bits(fc, int(r)) for r in ref_ids]
+    comp = None
+    if comp_pair is not None:
+        cb = sb(fc["comp_inter"][1], 1, 2)
+        cb += sb(fc["comp_ref_type"][2], 1, 2)  # BIDIR
+        cb += sb(fc["comp_ref"][1][0], 0, 2)  # fwd group {LAST, LAST2}
+        cb += sb(fc["comp_ref"][1][1], 0, 2)  # LAST
+        cb += sb(fc["comp_bwdref"][1][0], 1, 2)  # ALTREF
+        cb += sb(fc["inter_compound_mode"][0], 7, 8)  # NEW_NEWMV
+        comp = is_inter_b + cb
     return dict(
-        new=[is_inter_b + rb + b_new for rb in ref_bits],
-        glob=is_inter_b + ref_bits[0] + b_glob,
+        new=[is_inter_b + single_b + rb + b_new for rb in ref_bits],
+        glob=is_inter_b + single_b + ref_bits[0] + b_glob,
+        comp=comp,
     )
 
 
@@ -122,7 +137,8 @@ def _mv_rate(mv, pred, joint, comp):
 def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
                        mv_by_ref, pred_by_ref, intra_out, consts,
                        n: int, qctx: int, dq, bd: int, R: int, C: int, lam,
-                       which: int, mc_by_ref=None):
+                       which: int, mc_by_ref=None, comp_pair=None,
+                       tx_ntypes: int = 4):
     """Inter candidate evaluation for the (R, C) grid at size n, merged with
     the intra decision `intra_out` = (cost, mode, tx) from device_decide.
 
@@ -141,10 +157,12 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     rate_fns = _rate_fns(qctx, n)
     joint, comp, cand_bits, txt_cost = consts
 
-    # candidates: NEWMV per ref + GLOBALMV on ref 0, folded into the lane
-    # axis (one transform chain for ALL candidates). NEWMV predictions are
-    # reused from the subpel search; GLOBALMV (zero MV) is a static block
-    # copy — no dynamic MC gathers remain on the luma path.
+    # candidates: NEWMV per ref + GLOBALMV on ref 0 (+ compound NEW_NEWMV on
+    # the fwd/bwd pair), folded into the lane axis (one transform chain for
+    # ALL candidates). NEWMV predictions are reused from the subpel search;
+    # GLOBALMV (zero MV) is a static block copy; the compound lane blends
+    # the two single predictions ((a + b + 1) >> 1 — decide-side
+    # approximation of the CONV_BUF average; commit redoes it exactly).
     zero = jnp.zeros((B, 2), jnp.int32)
     cand_mv = jnp.concatenate([*mv_by_ref, zero])  # (NC*B, 2)
     cand_ref = jnp.concatenate(
@@ -152,8 +170,22 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     bits_list = [cand_bits["new"][ri] + _mv_rate(mv, pred_by_ref[ri], joint, comp)
                  for ri, mv in enumerate(mv_by_ref)]
     bits_list.append(jnp.full(B, cand_bits["glob"], jnp.float32))
-    cand_mbits = jnp.concatenate(bits_list)
     NC = len(mv_by_ref) + 1
+    cand_ref2 = [jnp.full(NC * B, -1, jnp.int32)]
+    cand_mv2 = [jnp.zeros((NC * B, 2), jnp.int32)]
+    if comp_pair is not None:
+        ri0, ri1 = comp_pair
+        cand_mv = jnp.concatenate([cand_mv, mv_by_ref[ri0]])
+        cand_ref = jnp.concatenate([cand_ref, jnp.full(B, ri0, jnp.int32)])
+        cand_ref2.append(jnp.full(B, ri1, jnp.int32))
+        cand_mv2.append(mv_by_ref[ri1])
+        bits_list.append(cand_bits["comp"]
+                         + _mv_rate(mv_by_ref[ri0], pred_by_ref[ri0], joint, comp)
+                         + _mv_rate(mv_by_ref[ri1], pred_by_ref[ri1], joint, comp))
+        NC += 1
+    cand_mbits = jnp.concatenate(bits_list)
+    cand_ref2 = jnp.concatenate(cand_ref2)
+    cand_mv2 = jnp.concatenate(cand_mv2)
 
     if mc_by_ref is not None:
         pred = jnp.concatenate([*mc_by_ref, _blocks_of(refs_y[0][None], n, R, C)])
@@ -161,6 +193,9 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
         pred = me_jax.mc_lanes(refs_y, jnp.tile(ys, NC), jnp.tile(xs, NC),
                                cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
                                which, bd, ref_idx=cand_ref)
+    if comp_pair is not None:
+        ri0, ri1 = comp_pair
+        pred = jnp.concatenate([pred, (mc_by_ref[ri0] + mc_by_ref[ri1] + 1) >> 1])
     src_nc = jnp.tile(srcb, (NC, 1, 1))
     lv, dqc, rate = _eval_txfm(src_nc - pred, int(TxType.DCT_DCT), dq, bd, n,
                                rate_fns["y"][0])
@@ -171,15 +206,17 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     cost_i = jnp.take_along_axis(cost_nc, pick[None], axis=0)[0]
     mv_i = jnp.take_along_axis(cand_mv.reshape(NC, B, 2), pick[None, :, None], axis=0)[0]
     ref_i = jnp.take_along_axis(cand_ref.reshape(NC, B), pick[None], axis=0)[0]
+    ref2_i = jnp.take_along_axis(cand_ref2.reshape(NC, B), pick[None], axis=0)[0]
+    mv2_i = jnp.take_along_axis(cand_mv2.reshape(NC, B, 2), pick[None, :, None], axis=0)[0]
     mbits_i = jnp.take_along_axis(cand_mbits.reshape(NC, B), pick[None], axis=0)[0]
     pred_i = jnp.take_along_axis(pred.reshape(NC, B, n, n),
                                  pick[None, :, None, None], axis=0)[0]
 
     # luma tx-type search on the inter winner (sizes with a non-DCT set)
     tx_i = jnp.zeros(B, jnp.int32)
-    if n <= 16:
+    if n <= 16 and tx_ntypes > 1:
         resid = srcb - pred_i
-        for j in range(1, len(TX_SEARCH)):
+        for j in range(1, tx_ntypes):
             lvj, dqcj, ratej = _eval_txfm(resid, TX_SEARCH[j], dq, bd, n,
                                           rate_fns["y"][j])
             recj = TJ.inv_txfm2d_add_j(dqcj, pred_i, TX_SEARCH[j], bd)
@@ -211,12 +248,16 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
             jnp.where(take_inter, tx_i, tx_a.reshape(B)),
             jnp.where(take_inter, ref_i, -1),
             jnp.where(take_inter, mv_i[:, 0], 0),
-            jnp.where(take_inter, mv_i[:, 1], 0))
+            jnp.where(take_inter, mv_i[:, 1], 0),
+            jnp.where(take_inter, ref2_i, -1),
+            jnp.where(take_inter, mv2_i[:, 0], 0),
+            jnp.where(take_inter, mv2_i[:, 1], 0))
 
 
 @functools.lru_cache(maxsize=32)
 def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
-                      which: int, ref_ids: tuple = (1, 7)):
+                      which: int, ref_ids: tuple = (1, 7), ref_select: bool = False,
+                      sf: tuple = (7, 4, 0)):
     """Whole-frame inter decide program: ME + subpel + per-size inter/intra
     RD. Per-frame CDF constants are baked in per qctx BUCKET; qindex enters
     as runtime operands (dqv, lam) so hierarchical layer offsets do not
@@ -235,7 +276,14 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
     intra_consts = {n: (_penalty_grid_np(p, 0, 0, ah // n, aw // n, n, (0, 0), mi_end),
                         intra_mode_cost_const(fc, n, False),
                         intra_txtype_cost_const(fc, n)) for n in sizes}
-    cand_bits = inter_cand_cost_const(fc, ref_ids[:nref])
+    # compound pair: (LAST, ALTREF) stack indices when both present
+    comp_pair = None
+    ids = list(ref_ids[:nref])
+    if ref_select and int(RefFrame.LAST_FRAME) in ids and int(RefFrame.ALTREF_FRAME) in ids:
+        comp_pair = (ids.index(int(RefFrame.LAST_FRAME)),
+                     ids.index(int(RefFrame.ALTREF_FRAME)))
+    cand_bits = inter_cand_cost_const(fc, ref_ids[:nref], ref_select=ref_select,
+                                      comp_pair=comp_pair)
     inter_txt = {n: inter_txtype_cost_const(fc, n) for n in sizes}
     joint = jnp.asarray(rate_jax.mv_joint_cost(fc))
     comp = jnp.asarray(rate_jax.mv_component_cost_lut(fc, MAX_MV_ABS))
@@ -270,7 +318,8 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
                 c_idx = jnp.tile(jnp.arange(C), R)
                 srcb = _blocks_of(sy, n, R, C)
                 mv8, mc8 = me_jax.subpel_pred_lanes(srcb, refs_y[ri], r_idx * n,
-                                                    c_idx * n, fp, which, bd)
+                                                    c_idx * n, fp, which, bd,
+                                                    fast=bool(sf[2]))
                 mv_by_ref[n].append(jnp.clip(mv8, -MAX_MV_ABS, MAX_MV_ABS))
                 mc_by_ref[n].append(mc8)
 
@@ -283,7 +332,7 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
             intra_out = _decide_intra_size(
                 sy, su, sv, jnp.asarray(pen),
                 jnp.asarray(mode_cost), jnp.asarray(txt_cost), n, qctx, dq, bd,
-                False, R, C, lam, nmodes=7)
+                False, R, C, lam, nmodes=sf[0], tx_ntypes=sf[1])
             # MV-rate predictor proxy: the SB-level MV over each block
             k = 64 // n
             preds = []
@@ -291,13 +340,17 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
                 pr = jnp.repeat(jnp.repeat(sb_pred[ri], k, axis=0), k, axis=1)
                 preds.append(pr[:R, :C].reshape(R * C, 2))
             consts = (joint, comp, cand_bits, jnp.asarray(inter_txt[n]))
-            cost, is_inter, mode, tx, ref, mvy, mvx = _decide_inter_size(
-                sy[0], su[0], sv[0], refs_y, refs_u, refs_v,
-                mv_by_ref[n], preds, intra_out, consts, n, qctx, dq, bd, R, C,
-                lam, which, mc_by_ref=mc_by_ref[n])
+            cost, is_inter, mode, tx, ref, mvy, mvx, ref2, mv2y, mv2x = \
+                _decide_inter_size(
+                    sy[0], su[0], sv[0], refs_y, refs_u, refs_v,
+                    mv_by_ref[n], preds, intra_out, consts, n, qctx, dq, bd, R, C,
+                    lam, which, mc_by_ref=mc_by_ref[n], comp_pair=comp_pair,
+                    tx_ntypes=sf[1])
             packed += [cost, is_inter.astype(jnp.float32), mode.astype(jnp.float32),
                        tx.astype(jnp.float32), ref.astype(jnp.float32),
-                       mvy.astype(jnp.float32), mvx.astype(jnp.float32)]
+                       mvy.astype(jnp.float32), mvx.astype(jnp.float32),
+                       ref2.astype(jnp.float32), mv2y.astype(jnp.float32),
+                       mv2x.astype(jnp.float32)]
         return jnp.concatenate(packed)
 
     return run, layout
@@ -407,18 +460,22 @@ def encode_inter_frame_device(src_planes: list, params: FrameParams, refs: dict,
         flen_flat = jnp.asarray(np.concatenate([x.ravel() for x in flens]).astype(np.int32))
     with profiler.stage("filters"):
         damping = cdef_mod.pick_damping(p.qindex)
-        packed, strengths, _pl = device_commit._filter_device(
+        lf_search = (device_commit._lf_candidates(levels[0])
+                     if p.sf_dlf_search else ())
+        packed, stats, _pl = device_commit._filter_device(
             ry, ru, rv, src_dev[0], skip8, flen_flat, tuple(levels), sharpness,
-            p.bd, damping, enable_cdef, flen_shapes)
-        strengths = np.asarray(strengths)
+            p.bd, damping, enable_cdef, flen_shapes,
+            cdef_cands=4 if p.sf_cdef_fast else 0, lf_search=lf_search)
+        stats = np.asarray(stats)
         packed = np.asarray(packed)
     ysz, csz = ah * aw, (ah // 2) * (aw // 2)
     recon = [packed[:ysz].reshape(ah, aw).astype(np.int32),
              packed[ysz : ysz + csz].reshape(ah // 2, aw // 2).astype(np.int32),
              packed[ysz + csz :].reshape(ah // 2, aw // 2).astype(np.int32)]
-    filt = dict(lf_levels=tuple(levels),
-                cdef=(int(strengths[0, 0]), int(strengths[0, 1]),
-                      int(strengths[0, 2]), int(strengths[0, 3]),
+    ylvl = lf_search[int(stats[0, 4])] if lf_search else levels[0]
+    filt = dict(lf_levels=(ylvl, ylvl, levels[2], levels[3]),
+                cdef=(int(stats[0, 0]), int(stats[0, 1]),
+                      int(stats[0, 2]), int(stats[0, 3]),
                       cdef_mod.pick_damping(p.qindex)))
     return plan, recon, filt, payloads
 
@@ -429,7 +486,8 @@ def _unpack_decide(flat: np.ndarray, layout) -> dict:
     for n, R, C in layout:
         sz = R * C
         g = {}
-        for kname in ("cost", "is_inter", "mode", "tx", "ref", "mvy", "mvx"):
+        for kname in ("cost", "is_inter", "mode", "tx", "ref", "mvy", "mvx",
+                      "ref2", "mv2y", "mv2x"):
             arr = flat[off : off + sz].reshape(R, C)
             g[kname] = arr.astype(np.float64) if kname == "cost" else arr.astype(np.int32)
             off += sz
@@ -446,7 +504,10 @@ def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int,
     p = params
     run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
                                     refs_dev[0].shape[0], which,
-                                    ref_ids=tuple(int(r) for r in ref_ids))
+                                    ref_ids=tuple(int(r) for r in ref_ids),
+                                    ref_select=bool(p.reference_select),
+                                    sf=(int(p.sf_nmodes_inter), int(p.sf_tx_ntypes),
+                                        int(p.sf_fast_subpel)))
     dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
     flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev, dqv, lam_op))
     return _unpack_decide(flat, layout)
@@ -483,7 +544,10 @@ def inter_start_decide(src_planes, params: FrameParams, refs_dev, which: int,
         pend.src_dev = device_decide.put_frames([src_planes], p.bd)
     run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
                                     int(refs_dev[0].shape[0]), which,
-                                    ref_ids=tuple(int(r) for r in ref_ids))
+                                    ref_ids=tuple(int(r) for r in ref_ids),
+                                    ref_select=bool(p.reference_select),
+                                    sf=(int(p.sf_nmodes_inter), int(p.sf_tx_ntypes),
+                                        int(p.sf_fast_subpel)))
     dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
     pend.flat = run(pend.src_dev[0], pend.src_dev[1], pend.src_dev[2],
                     *refs_dev, dqv, lam_op)
@@ -539,15 +603,19 @@ def inter_start_commit(pend: PendingInter, enable_dlf: bool = True,
         flen_flat = jnp.asarray(np.concatenate([x.astype(np.int32).ravel() for x in flens]))
     with profiler.stage("filters_dispatch"):
         damping = cdef_mod.pick_damping(p.qindex)
-        packed, strengths, planes = device_commit._filter_device(
+        lf_search = (device_commit._lf_candidates(levels[0])
+                     if p.sf_dlf_search else ())
+        packed, stats, planes = device_commit._filter_device(
             ry, ru, rv, pend.src_dev[0], skip8, flen_flat, tuple(levels),
             sharpness, p.bd, damping, enable_cdef, flen_shapes,
-            disp_dims=(p.width, p.height))
+            disp_dims=(p.width, p.height),
+            cdef_cands=4 if p.sf_cdef_fast else 0, lf_search=lf_search)
     pend.plan, pend.tree, pend.aux = plan, tree, aux
     pend.region = region
     pend.lf_levels = tuple(levels)
+    pend.lf_search = lf_search
     pend.damping = damping
-    pend.packed, pend.strengths = packed, strengths
+    pend.packed, pend.strengths = packed, stats
     pend.dpb_planes = [pl[0] for pl in planes]  # device odt planes, F == 1
     pend.src_dev = None
     pend.refs_dev = None
@@ -574,13 +642,17 @@ def inter_finish(pend: PendingInter, walk_fc) -> tuple:
                                  (r0, r1, c0, c1))]
     with profiler.stage("recon_d2h"):
         packed = np.asarray(pend.packed)
-        strengths = np.asarray(pend.strengths)
+        stats = np.asarray(pend.strengths)
     aw, ah = p.aligned_width, p.aligned_height
     ysz, csz = ah * aw, (ah // 2) * (aw // 2)
     recon = [packed[:ysz].reshape(ah, aw).astype(np.int32),
              packed[ysz : ysz + csz].reshape(ah // 2, aw // 2).astype(np.int32),
              packed[ysz + csz :].reshape(ah // 2, aw // 2).astype(np.int32)]
-    filt = dict(lf_levels=pend.lf_levels,
-                cdef=(int(strengths[0, 0]), int(strengths[0, 1]),
-                      int(strengths[0, 2]), int(strengths[0, 3]), pend.damping))
+    lf = pend.lf_levels
+    if pend.lf_search:
+        ylvl = pend.lf_search[int(stats[0, 4])]
+        lf = (ylvl, ylvl, lf[2], lf[3])
+    filt = dict(lf_levels=lf,
+                cdef=(int(stats[0, 0]), int(stats[0, 1]),
+                      int(stats[0, 2]), int(stats[0, 3]), pend.damping))
     return pend.plan, recon, filt, payloads

@@ -8,15 +8,17 @@ r0 svt_aom_generate_r0beta :1587) and rc_process.c crf_qindex_calc :782
 - The dispenser is ONE jitted whole-frame program per window frame (16x16
   grid, fully batched): open-loop intra probe (source neighbors — the
   reference's OIS is source-based too, src_ops_process.c:620), full-pel +
-  subpel ME against the previous frame, MC from the TPL *recon* chain,
-  16x16 DCT + quant at the TPL qindex, transform-domain recon error. No
-  per-block loops, no wavefront: intra uses source neighbors, so a frame's
-  blocks are independent; only the frame→frame recon chain is sequential
-  (a short host loop over the window).
+  subpel ME against up to TWO references (the coded frame's actual past and
+  future anchors — the reference walks the true ref lists,
+  src_ops_process.c:1572), MC from each ref's TPL *recon*, 16x16 DCT +
+  quant at the TPL qindex, transform-domain recon error, per-block ref
+  pick. Frames run in CODING order so every reference's TPL recon exists
+  when used (tpl_mc_flow's decode-order walk).
 - The synthesizer is vectorized numpy on tiny per-frame grids (H/16 x W/16),
-  reverse coding order, scatter-add over the 4 MV-overlapped ref blocks —
-  exact tpl_model_update_b math (cur_dep_dist + scaled mc_dep_dist, overlap
-  weighted; rates disabled = the reference's compute_rate=0 configuration).
+  reverse coding order, scatter-add over the 4 MV-overlapped blocks of each
+  block's CHOSEN reference — exact tpl_model_update_b math (cur_dep_dist +
+  scaled mc_dep_dist, overlap weighted; rates disabled = the reference's
+  compute_rate=0 configuration).
 - r0 = (sum recrf) / (sum recrf + sum mc_dep_dist) per frame
   (svt_aom_generate_r0beta with rate term zero), and CRF qindex via the
   qstep-ratio rule qstep_ratio = sqrt(r0) * weight{0.75 key, 0.9 base, 1.0}
@@ -40,19 +42,19 @@ TPL_B = 16  # dispenser block size
 
 @functools.lru_cache(maxsize=8)
 def _tpl_frame_jit(H: int, W: int, bd: int):
-    """One TPL dispenser step: (src, ref_src, ref_rec, dqv) ->
-    (intra_cost, inter_cost, srcrf_dist, recrf_dist, mv, recon).
+    """One TPL dispenser step with up to two references:
+    (src, ref0_src, ref0_rec, ref1_src, ref1_rec, dqv, have0, have1) ->
+    (intra_cost, inter_cost, srcrf, recrf, mv, ref_pick, recon).
 
-    All (H/16, W/16) int32/float32 grids + the frame's TPL recon plane."""
+    All (H/16, W/16) grids + the frame's TPL recon plane. ref_pick: 0/1 for
+    the chosen reference, -1 where intra wins."""
     R, C = H // TPL_B, W // TPL_B
     B = R * C
     sbr, sbc = H // 64, W // 64
 
     @jax.jit
-    def run(src8, ref_src8, ref_rec8, dqv, have_ref):
+    def run(src8, r0src8, r0rec8, r1src8, r1rec8, dqv, have0, have1):
         src = src8.astype(jnp.int32)
-        ref_src = ref_src8.astype(jnp.int32)
-        ref_rec = ref_rec8.astype(jnp.int32)
         dq = (dqv[0], dqv[1])
         base = 1 << (bd - 1)
 
@@ -83,20 +85,32 @@ def _tpl_frame_jit(H: int, W: int, bd: int):
         intra_pick = jnp.argmin(satd, axis=1)
         intra_pred = probe[jnp.arange(B), intra_pick]
 
-        # --- inter: full-pel ME on source pyramid + subpel, MC from recon
-        mv16_fp, _sb = me_jax.me_fullpel_frame(src, ref_src, sbr, sbc)
-        fp = mv16_fp[16][:R, :C].reshape(B, 2)
-        mv8 = me_jax.subpel_refine_lanes(srcb, ref_src, r_idx * TPL_B, c_idx * TPL_B,
-                                         fp, 0, bd)
-        pred_rec = me_jax.mc_lanes(ref_rec, r_idx * TPL_B, c_idx * TPL_B,
-                                   mv8[:, 0] * 2, mv8[:, 1] * 2, TPL_B, TPL_B, 0, bd)
-        pred_src = me_jax.mc_lanes(ref_src, r_idx * TPL_B, c_idx * TPL_B,
-                                   mv8[:, 0] * 2, mv8[:, 1] * 2, TPL_B, TPL_B, 0, bd)
-        co_i = TJ.fwd_txfm2d_j(srcb - pred_rec, int(TxType.DCT_DCT), bd)
-        inter_cost = jnp.sum(jnp.abs(co_i), axis=(-2, -1)) >> 2
-        inter_cost = jnp.where(have_ref, inter_cost, jnp.int32(1 << 30))
-        # reference clamp: best_inter_cost <= best_intra_cost when inter wins
+        # --- inter per reference: full-pel ME on source + subpel, MC from
+        # that ref's TPL recon (the true ref list walk)
+        def ref_cost(ref_src8, ref_rec8, have):
+            ref_src = ref_src8.astype(jnp.int32)
+            ref_rec = ref_rec8.astype(jnp.int32)
+            mv16_fp, _sb = me_jax.me_fullpel_frame(src, ref_src, sbr, sbc)
+            fp = mv16_fp[16][:R, :C].reshape(B, 2)
+            mv8 = me_jax.subpel_refine_lanes(srcb, ref_src, r_idx * TPL_B,
+                                             c_idx * TPL_B, fp, 0, bd)
+            pred_rec = me_jax.mc_lanes(ref_rec, r_idx * TPL_B, c_idx * TPL_B,
+                                       mv8[:, 0] * 2, mv8[:, 1] * 2, TPL_B, TPL_B, 0, bd)
+            pred_src = me_jax.mc_lanes(ref_src, r_idx * TPL_B, c_idx * TPL_B,
+                                       mv8[:, 0] * 2, mv8[:, 1] * 2, TPL_B, TPL_B, 0, bd)
+            co_i = TJ.fwd_txfm2d_j(srcb - pred_rec, int(TxType.DCT_DCT), bd)
+            cost = jnp.sum(jnp.abs(co_i), axis=(-2, -1)) >> 2
+            return jnp.where(have, cost, jnp.int32(1 << 30)), mv8, pred_rec, pred_src
+
+        c0, mv0, prec0, psrc0 = ref_cost(r0src8, r0rec8, have0)
+        c1, mv1, prec1, psrc1 = ref_cost(r1src8, r1rec8, have1)
+        pick1 = c1 < c0
+        inter_cost = jnp.minimum(c0, c1)
+        mv8 = jnp.where(pick1[:, None], mv1, mv0)
+        pred_rec = jnp.where(pick1[:, None, None], prec1, prec0)
+        pred_src = jnp.where(pick1[:, None, None], psrc1, psrc0)
         use_inter = inter_cost < intra_cost
+        ref_pick = jnp.where(use_inter, pick1.astype(jnp.int32), -1)
 
         def recon_err(pred):
             """transform-domain quant error + dequant recon (per block)."""
@@ -120,71 +134,116 @@ def _tpl_frame_jit(H: int, W: int, bd: int):
         return (intra_cost.astype(jnp.float32).reshape(R, C),
                 jnp.minimum(inter_cost, intra_cost).astype(jnp.float32).reshape(R, C),
                 srcrf.reshape(R, C), recrf.reshape(R, C),
-                mv8.reshape(R, C, 2), recon.astype(jnp.uint8 if bd == 8 else jnp.int16))
+                mv8.reshape(R, C, 2), ref_pick.reshape(R, C),
+                recon.astype(jnp.uint8 if bd == 8 else jnp.int16))
 
     return run
 
 
-def tpl_window(frames_y: list, qindex: int, bd: int = 8):
-    """Run the dispenser over a display-order window (frame 0 = intra seed).
+def window_schedule(n_frames: int, minigop: int) -> list:
+    """Coding-order TPL schedule for a window whose frame 0 is the intra
+    seed (anchor): [(cur, ref_past, ref_future|None), ...] in window-local
+    indices — the display chain when minigop == 1, the dyadic mini-GoP
+    structure otherwise (pd_process.c set_mini_gop_structure analog)."""
+    from . import gop
 
-    frames_y: list of aligned (H, W) int source luma planes (H, W multiples
-    of 64 — pad first with pipeline.encoder.pad_to_aligned to the 64 multiple).
-    Returns per-frame stats dicts with numpy grids."""
+    sched = [(0, None, None)]
+    anchor = 0
+    while anchor < n_frames - 1:
+        avail = n_frames - 1 - anchor
+        size = 1
+        while size * 2 <= avail and size * 2 <= minigop:
+            size *= 2
+        for f in gop.schedule_minigop(anchor, size):
+            sched.append((f.disp_idx, f.past_idx, f.future_idx))
+        anchor += size
+    return sched
+
+
+def tpl_window(frames_y: list, qindex: int, bd: int = 8, minigop: int = 1):
+    """Run the dispenser over a window (frame 0 = intra seed) following the
+    CODING prediction structure (minigop > 1: dyadic hierarchy; each coded
+    frame MEs against its true past/future anchors and their TPL recons).
+
+    frames_y: list of aligned (H, W) int source luma planes (multiples of
+    64). Returns per-frame stats dicts (window order) with numpy grids."""
     H, W = frames_y[0].shape
     run = _tpl_frame_jit(H, W, bd)
     from .device_decide import qparams_np
 
     dqv, _lam = qparams_np(qindex, bd)
     dt = np.uint8 if bd == 8 else np.int16
-    stats = []
-    ref_src = jax.device_put(np.zeros((H, W), dt))
-    ref_rec = ref_src
-    for i, y in enumerate(frames_y):
-        src = jax.device_put(np.asarray(y, dt))
-        ic, xc, sd, rd, mv, rec = run(src, ref_src, ref_rec, dqv,
-                                      np.bool_(i > 0))
-        stats.append(dict(intra_cost=np.asarray(ic, np.float64),
+    zeros = jax.device_put(np.zeros((H, W), dt))
+    srcs = {}
+    recs = {}
+    stats = [None] * len(frames_y)
+    sched = window_schedule(len(frames_y), minigop)
+    for (cur, rp, rf) in sched:
+        src = jax.device_put(np.asarray(frames_y[cur], dt))
+        srcs[cur] = src
+        r0s = srcs.get(rp, zeros)
+        r0r = recs.get(rp, zeros)
+        r1s = srcs.get(rf, zeros)
+        r1r = recs.get(rf, zeros)
+        ic, xc, sd, rd, mv, rp_map, rec = run(
+            src, r0s, r0r, r1s, r1r, dqv,
+            np.bool_(rp is not None), np.bool_(rf is not None))
+        stats[cur] = dict(intra_cost=np.asarray(ic, np.float64),
                           inter_cost=np.asarray(xc, np.float64),
                           srcrf=np.asarray(sd, np.float64),
                           recrf=np.asarray(rd, np.float64),
-                          mv=np.asarray(mv), ref=i - 1 if i > 0 else -1))
-        ref_src, ref_rec = src, rec
+                          mv=np.asarray(mv), ref_pick=np.asarray(rp_map),
+                          ref0=rp if rp is not None else -1,
+                          ref1=rf if rf is not None else -1)
+        recs[cur] = rec
+    # propagation runs in reverse CODING order
+    for s in stats:
+        s["_sched"] = sched
     return stats
 
 
 def synthesize(stats: list) -> np.ndarray:
     """Backward propagation (tpl_model_update_b math, rates off).
 
-    Each frame's dependency mass flows to its reference (display chain):
-    prop = (recrf - srcrf + mc_dep * (recrf - srcrf)/recrf) * overlap/pix.
-    Returns r0 per frame (svt_aom_generate_r0beta, rate term zero)."""
+    Each block's dependency mass flows to its CHOSEN reference (the coded
+    prediction structure): prop = (recrf - srcrf + mc_dep *
+    (recrf - srcrf)/recrf) * overlap/pix. Returns r0 per frame."""
     n = len(stats)
+    sched = stats[0].get("_sched") or [(t, t - 1 if t else None, None)
+                                       for t in range(n)]
     mc_dep = [np.zeros_like(s["recrf"]) for s in stats]
-    for t in range(n - 1, 0, -1):
+    for (t, _rp, _rf) in reversed(sched):
         s = stats[t]
-        ref = s["ref"]
-        if ref < 0:
+        refs = (s.get("ref0", -1), s.get("ref1", -1))
+        if refs[0] < 0 and refs[1] < 0:
             continue
         R, C = s["recrf"].shape
-        cur = (s["recrf"] - s["srcrf"]) + mc_dep[t] * (s["recrf"] - s["srcrf"]) / s["recrf"]
-        # full-pel displaced block positions in the ref frame
+        cur_all = (s["recrf"] - s["srcrf"]) \
+            + mc_dep[t] * (s["recrf"] - s["srcrf"]) / s["recrf"]
         fy = (np.arange(R)[:, None] * TPL_B + (s["mv"][..., 0] >> 3)).astype(np.int64)
         fx = (np.arange(C)[None, :] * TPL_B + (s["mv"][..., 1] >> 3)).astype(np.int64)
         g0y = np.floor_divide(fy, TPL_B)
         g0x = np.floor_divide(fx, TPL_B)
         oy = fy - g0y * TPL_B  # in [0, 16)
         ox = fx - g0x * TPL_B
-        dep = mc_dep[ref]
-        Rr, Cr = dep.shape
-        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-            gy = g0y + dy
-            gx = g0x + dx
-            wy = np.where(dy == 0, TPL_B - oy, oy)
-            wx = np.where(dx == 0, TPL_B - ox, ox)
-            w = (wy * wx).astype(np.float64) / (TPL_B * TPL_B)
-            ok = (gy >= 0) & (gy < Rr) & (gx >= 0) & (gx < Cr) & (w > 0)
-            np.add.at(dep, (gy[ok], gx[ok]), (cur * w)[ok])
+        for which in (0, 1):
+            ref = refs[which]
+            if ref < 0:
+                continue
+            sel = s["ref_pick"] == which
+            if not sel.any():
+                continue
+            cur = np.where(sel, cur_all, 0.0)
+            dep = mc_dep[ref]
+            Rr, Cr = dep.shape
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                gy = g0y + dy
+                gx = g0x + dx
+                wy = np.where(dy == 0, TPL_B - oy, oy)
+                wx = np.where(dx == 0, TPL_B - ox, ox)
+                w = (wy * wx).astype(np.float64) / (TPL_B * TPL_B)
+                ok = (gy >= 0) & (gy < Rr) & (gx >= 0) & (gx < Cr) & (w > 0) & sel
+                np.add.at(dep, (gy[ok], gx[ok]), (cur * w)[ok])
     r0 = np.ones(n)
     for t, s in enumerate(stats):
         rec_sum = float(s["recrf"].sum())

@@ -143,6 +143,46 @@ def test_compound_with_residual_and_single_mix():
         assert np.array_equal(recon[plane][py : py + n, px : px + n], want), plane
 
 
+def test_native_walker_compound_parity():
+    """The C walker produces byte-identical payloads for compound tiles."""
+    from svtav1_tpu.entropy import native
+
+    if not native.available():
+        pytest.skip("native entropy lib unavailable")
+    rng = np.random.default_rng(5)
+    w = h = 64
+    p = FrameParams(width=w, height=h, qindex=90, frame_is_intra=False,
+                    reference_select=1, ref_hints=(0, 1, 1, 1, 1, 9, 9, 9),
+                    order_hint=5)
+    aw, ah = p.aligned_width, p.aligned_height
+    refs = _mk_refs(rng, aw, ah)
+    plan = Plan()
+    plan.partitions[(0, 0, int(BlockSize.BLOCK_64X64))] = 3
+    specs = [
+        ((0, 0), dict(y_mode=int(InterMode.NEW_NEWMV), ref_frame=1, ref_frame1=7,
+                      mv=(2, 4), mv1=(-2, 6), skip=1)),
+        ((0, 8), dict(y_mode=int(InterMode.NEWMV), ref_frame=1, mv=(4, 4), skip=1)),
+        # repeats the (0,0) pair -> NEAREST_NEARESTMV downgrade in BOTH walkers
+        ((8, 0), dict(y_mode=int(InterMode.NEW_NEWMV), ref_frame=1, ref_frame1=7,
+                      mv=(2, 4), mv1=(-2, 6), skip=1)),
+        ((8, 8), dict(y_mode=int(InterMode.NEW_NEWMV), ref_frame=1, ref_frame1=7,
+                      mv=(8, -8), mv1=(4, 4), skip=1)),
+    ]
+    for (mi_row, mi_col), kw in specs:
+        plan.partitions[(mi_row, mi_col, int(BlockSize.BLOCK_32X32))] = 0
+        plan.blocks[(mi_row, mi_col, int(BlockSize.BLOCK_32X32))] = BlockDecision(**kw)
+    fc = FrameContext(p.qindex)
+    py_payload = TileCodec(p, fc.clone(), refs=refs).encode(plan, use_native=False)
+    nat_payload = TileCodec(p, fc.clone(), refs=refs).encode(plan, use_native=True)
+    assert py_payload == nat_payload
+    # and it still decodes bit-consistently
+    recon = [np.zeros((ah, aw), np.int32), np.zeros((ah // 2, aw // 2), np.int32),
+             np.zeros((ah // 2, aw // 2), np.int32)]
+    td = TileCodec(p, fc.clone(), refs=refs)
+    td.decode(nat_payload, recon)
+    assert int(td.mi.mode[8, 0]) == int(InterMode.NEAREST_NEARESTMV)
+
+
 def test_nearest_downgrades():
     """NEWMV / NEW_NEWMV whose MVs equal stack[0] code as NEAREST* (smaller
     payload, identical prediction) — decode returns NEAREST* modes."""
