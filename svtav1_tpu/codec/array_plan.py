@@ -195,14 +195,16 @@ def build_tile_ops(p: FrameParams, tree: dict, sched: dict, level_base: dict,
 
 
 def mi_from_sched(p: FrameParams, sched: dict, frame_idx: int, region, ref_ids,
-                  mode_list):
+                  mode_list, mi=None):
     """Vectorized MiState builder from the commit schedule arrays — the
     array-plan twin of pipeline.encoder.mi_from_plan (which loops set_block
-    per leaf). Needed by the loop-filter edge maps (bsize/off/skip/ref0)."""
+    per leaf). Needed by the loop-filter edge maps (bsize/off/skip/ref0).
+    Pass `mi` to accumulate several regions (tiles) into one frame grid."""
     from .mvp import MiState
 
     x0, y0 = region[0], region[1]
-    mi = MiState(p.mi_rows, p.mi_cols)
+    if mi is None:
+        mi = MiState(p.mi_rows, p.mi_cols)
     mode_lut = np.asarray(mode_list, np.int32)
     for n, s in sched.items():
         sel = s["coords"][:, 0] == frame_idx

@@ -84,12 +84,16 @@ def _search_centered(src_b, ref, ys, xs, centers, n: int, r: int, bias_scale: fl
 
 
 def me_fullpel_frame(src_y, ref_y, sb_rows: int, sb_cols: int, l2_radius: int = 16,
-                     leaf_radius: int = 4):
+                     leaf_radius: int = 4, ref_off_x: int = 0):
     """Full-pel per-size ME for one frame vs one reference.
 
     src_y/ref_y: (H, W) int32 planes, H/W multiples of 64 (pad first).
-    Returns dict {n: (R_n, C_n, 2) int32 full-pel MVs} for n in SIZES and
-    the SB-level MVs (B_sb, 2)."""
+    ref_off_x: STATIC column offset of the src origin inside a WIDER ref
+    plane (tile sharding passes each tile a halo-cropped ref whose column
+    ref_off_x aligns with the tile's column 0; must be a multiple of 4 for
+    the pyramid). Returns dict {n: (R_n, C_n, 2) int32 full-pel MVs} for n
+    in SIZES and the SB-level MVs (B_sb, 2)."""
+    assert ref_off_x % 4 == 0
     B = sb_rows * sb_cols
     src1, ref1 = decimate2_j(src_y), decimate2_j(ref_y)
     src2, ref2 = decimate2_j(src1), decimate2_j(ref1)
@@ -99,14 +103,15 @@ def me_fullpel_frame(src_y, ref_y, sb_rows: int, sb_cols: int, l2_radius: int = 
 
     # L2 (1/4 res): 16x16 blocks, exhaustive +-l2_radius (x4 full-res reach)
     mv = _search_centered(_blocks_of(src2, 16, sb_rows, sb_cols), ref2,
-                          rr * 16, cc * 16, jnp.zeros((B, 2), jnp.int32),
+                          rr * 16, cc * 16 + ref_off_x // 4,
+                          jnp.zeros((B, 2), jnp.int32),
                           16, l2_radius, 1.0)
     # L1 (1/2 res): +-2 refine
     mv = _search_centered(_blocks_of(src1, 32, sb_rows, sb_cols), ref1,
-                          rr * 32, cc * 32, mv * 2, 32, 2, 2.0)
+                          rr * 32, cc * 32 + ref_off_x // 2, mv * 2, 32, 2, 2.0)
     # L0 (full res): +-2 refine of the SB
     mv_sb = _search_centered(_blocks_of(src_y, 64, sb_rows, sb_cols), ref_y,
-                             rr * 64, cc * 64, mv * 2, 64, 2, 4.0)
+                             rr * 64, cc * 64 + ref_off_x, mv * 2, 64, 2, 4.0)
 
     # shared windows: 8x8 SAD maps summed up the quad-tree (per-size argmin).
     # TWO candidate centers per SB — the pyramid winner and zero MV (the
@@ -132,11 +137,12 @@ def me_fullpel_frame(src_y, ref_y, sb_rows: int, sb_cols: int, l2_radius: int = 
     # zero-center: edge-padded plane, overlapping windows by static slices
     padded = jnp.pad(ref_y, ((r, r), (r, r)), mode="edge")
     prow = jnp.stack([padded[64 * i : 64 * i + wsz] for i in range(sb_rows)])
-    win_zero = jnp.stack([prow[:, :, 64 * j : 64 * j + wsz] for j in range(sb_cols)], 1)
+    win_zero = jnp.stack([prow[:, :, ref_off_x + 64 * j : ref_off_x + 64 * j + wsz]
+                          for j in range(sb_cols)], 1)
     win_zero = win_zero.reshape(B, wsz, wsz)
     # MV-center: one gather per SB
     win_mv = gather_windows(ref_y, rr * 64 + mv_sb[:, 0] - r,
-                            cc * 64 + mv_sb[:, 1] - r, wsz, wsz)
+                            cc * 64 + ref_off_x + mv_sb[:, 1] - r, wsz, wsz)
 
     def leaf_maps(sbwin):
         return sad_maps(src8, leaf_windows_of(sbwin), 8, r) \

@@ -592,7 +592,7 @@ def _commit_device(src_y8, src_u8, src_v8, refs_y8, refs_u8, refs_v8, sched_flat
 
 def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, region,
                    refs_dev=None, ref_ids=None, which: int = 0, array_out: bool = False,
-                   fetch_levels: bool = True):
+                   fetch_levels: bool = True, ref_origin=None):
     """Commit the decided leaves of one region: fills plans in place and
     returns the region's DEVICE recon planes + skip map (ry, ru, rv, skip8).
 
@@ -677,7 +677,11 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
     nref = 0 if refs_dev is None else int(refs_dev[0].shape[0])
     from ..constants.cdf import get_q_ctx as _gqc
 
-    cfg = (F, W, W_eff, R8, C8, p.bd, nref, which, y0, x0, _gqc(p.qindex),
+    # ref_origin: plane coords of the region origin INSIDE refs_dev (tile
+    # sharding passes halo-cropped per-tile refs; defaults to the region
+    # origin for full-frame refs)
+    ry0, rx0 = (y0, x0) if ref_origin is None else ref_origin
+    cfg = (F, W, W_eff, R8, C8, p.bd, nref, which, ry0, rx0, _gqc(p.qindex),
            bool(p.enable_rdoq), bool(p.reference_select), int(p.sf_tx_ntypes),
            tuple(size_cfgs))
     sy = src_dev[0][:, y0 : y0 + rh, x0 : x0 + rw]

@@ -138,7 +138,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
                        mv_by_ref, pred_by_ref, intra_out, consts,
                        n: int, qctx: int, dq, bd: int, R: int, C: int, lam,
                        which: int, mc_by_ref=None, comp_pair=None,
-                       tx_ntypes: int = 4):
+                       tx_ntypes: int = 4, ref_off_x: int = 0):
     """Inter candidate evaluation for the (R, C) grid at size n, merged with
     the intra decision `intra_out` = (cost, mode, tx) from device_decide.
 
@@ -188,7 +188,8 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     cand_mv2 = jnp.concatenate(cand_mv2)
 
     if mc_by_ref is not None:
-        pred = jnp.concatenate([*mc_by_ref, _blocks_of(refs_y[0][None], n, R, C)])
+        pred = jnp.concatenate([*mc_by_ref,
+                                _blocks_of(refs_y[0][None, :, ref_off_x:], n, R, C)])
     else:
         pred = me_jax.mc_lanes(refs_y, jnp.tile(ys, NC), jnp.tile(xs, NC),
                                cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
@@ -229,8 +230,8 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     # chroma at the winner's MV (DCT approximation, as the intra decide does)
     for srcc, refc in ((src_u, refs_u), (src_v, refs_v)):
         sb = _blocks_of(srcc[None], nc, R, C)
-        pc = me_jax.mc_lanes(refc, ysc, xsc, mv_i[:, 0], mv_i[:, 1], nc, nc,
-                             which, bd, ref_idx=ref_i)
+        pc = me_jax.mc_lanes(refc, ysc, xsc + ref_off_x // 2, mv_i[:, 0], mv_i[:, 1],
+                             nc, nc, which, bd, ref_idx=ref_i)
         lvc, dqcc, ratec = _eval_txfm(sb - pc, int(TxType.DCT_DCT), dq, bd, nc,
                                       rate_fns["uv"])
         recc = TJ.inv_txfm2d_add_j(dqcc, pc, int(TxType.DCT_DCT), bd)
