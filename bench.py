@@ -149,7 +149,7 @@ def main() -> None:
     ref_rd_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tools", "ref_rd_640x360.json")
     if (os.environ.get("BENCH_SKIP_BD", "0") != "1" and os.path.exists(ref_rd_path)
-            and time.time() - t_start < 0.55 * budget):
+            and time.time() - t_start < 0.72 * budget):
         with open(ref_rd_path) as f:
             ref_meta = json.load(f)
         bw, bh, bn = ref_meta["width"], ref_meta["height"], ref_meta["frames"]
@@ -157,7 +157,7 @@ def main() -> None:
         test_pts = []
         test_detail = []
         for q in (110, 150, 190, 230):
-            if time.time() - t_start > 0.80 * budget:
+            if time.time() - t_start > 0.90 * budget:
                 break
             enc = Encoder(EncoderConfig(width=bw, height=bh, qindex=q,
                                         mode_decision="jax", keyint=bn, minigop=4))

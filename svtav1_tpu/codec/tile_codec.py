@@ -698,7 +698,7 @@ class TileCodec:
 
     def encode(self, plan: Plan, use_native: bool = True) -> bytes:
         enc = None
-        if use_native and not self.p.enable_filter_intra and not self.p.lr_active:
+        if use_native and not self.p.enable_filter_intra:
             from ..entropy import native
 
             if native.available():

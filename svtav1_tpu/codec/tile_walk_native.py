@@ -37,6 +37,8 @@ class _TileParams(ctypes.Structure):
         ("comp_inter", ctypes.c_void_p), ("comp_ref_type", ctypes.c_void_p),
         ("comp_ref", ctypes.c_void_p), ("comp_bwdref", ctypes.c_void_p),
         ("comp_mode", ctypes.c_void_p),
+        ("wiener_restore", ctypes.c_void_p), ("sgrproj_restore", ctypes.c_void_p),
+        ("switchable_restore", ctypes.c_void_p),
         ("nmv_joints", ctypes.c_void_p), ("nmv_sign", ctypes.c_void_p),
         ("nmv_classes", ctypes.c_void_p), ("nmv_class0", ctypes.c_void_p),
         ("nmv_bits", ctypes.c_void_p), ("nmv_class0_fp", ctypes.c_void_p),
@@ -219,11 +221,52 @@ def flatten_plan(plan: Plan, p: FrameParams, sb_range) -> tuple[np.ndarray, np.n
             return
         emit_block(mi_row, mi_col, bsize, bw4)
 
+    def emit_lr(mi_row, mi_col):
+        """LR units whose first SB is this SB (tile_codec._code_lr twin):
+        op kind 2 = [2, plane, frame_ftype, unit_rtype, wiener taps x6,
+        sgr_ep, sgr_xqd0, sgr_xqd1]."""
+        from ..filters import restoration as lr
+
+        for plane in range(3):
+            ftype = p.lr_types[plane]
+            if ftype == lr.RESTORE_NONE:
+                continue
+            sub = 1 if plane else 0
+            usize = p.lr_unit_size(plane)
+            ph = (p.height + sub) >> sub
+            pw = (p.width + sub) >> sub
+            unit_rows = lr.count_units(usize, ph)
+            unit_cols = lr.count_units(usize, pw)
+            num = 4 >> sub
+            ur0 = (mi_row * num + usize - 1) // usize
+            ur1 = min(unit_rows, ((mi_row + 16) * num + usize - 1) // usize)
+            uc0 = (mi_col * num + usize - 1) // usize
+            uc1 = min(unit_cols, ((mi_col + 16) * num + usize - 1) // usize)
+            for ur in range(ur0, ur1):
+                for uc in range(uc0, uc1):
+                    info = plan.lr_units[plane][ur][uc]
+                    op = np.full(OP_COLS, -1, np.int32)
+                    op[0] = 2
+                    op[1] = plane
+                    op[2] = int(ftype)
+                    op[3] = int(info.rtype)
+                    if info.rtype == lr.RESTORE_WIENER:
+                        for ps in range(2):
+                            for j in range(3):
+                                op[4 + ps * 3 + j] = int(info.wiener[ps][j])
+                    elif info.rtype == lr.RESTORE_SGRPROJ:
+                        op[10] = int(info.sgr_ep)
+                        op[11] = int(info.sgr_xqd[0])
+                        op[12] = int(info.sgr_xqd[1])
+                    ops.append(op)
+
     from ..constants.av1 import BlockSize
 
     r0, r1, c0, c1 = sb_range
     for sb_row in range(r0, r1):
         for sb_col in range(c0, c1):
+            if p.lr_active:
+                emit_lr(sb_row * 16, sb_col * 16)
             walk(sb_row * 16, sb_col * 16, int(BlockSize.BLOCK_64X64))
     ops_arr = np.stack(ops) if ops else np.zeros((0, OP_COLS), np.int32)
     lv_arr = np.concatenate(levels) if levels else np.zeros(1, np.int32)
@@ -275,10 +318,13 @@ def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) 
                "nmv_class0", "nmv_bits", "nmv_class0_fp", "nmv_fp",
                "nmv_class0_hp", "nmv_hp"):
         setattr(tp, nm, cp(t[nm]))
-    for nm, src in (("comp_inter", "comp_inter"), ("comp_ref_type", "comp_ref_type"),
+    for nm, key in (("comp_inter", "comp_inter"), ("comp_ref_type", "comp_ref_type"),
                     ("comp_ref", "comp_ref"), ("comp_bwdref", "comp_bwdref"),
-                    ("comp_mode", "inter_compound_mode")):
-        setattr(tp, nm, cp(t[src]))
+                    ("comp_mode", "inter_compound_mode"),
+                    ("wiener_restore", "wiener_restore"),
+                    ("sgrproj_restore", "sgrproj_restore"),
+                    ("switchable_restore", "switchable_restore")):
+        setattr(tp, nm, cp(t[key]))
     tp.scans = _p(g["scans"])
     tp.scan_off = _p(g["scan_off"])
     tp.off2d = _p(g["off2d"])

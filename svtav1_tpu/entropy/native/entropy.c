@@ -411,6 +411,10 @@ typedef struct {
     int32_t *comp_ref;     /* [3][3][3] */
     int32_t *comp_bwdref;  /* [3][2][3] */
     int32_t *comp_mode;    /* [8][9] inter_compound_mode */
+    /* loop-restoration unit syntax (spec 5.11.57 read_lr write twin) */
+    int32_t *wiener_restore;     /* [3] */
+    int32_t *sgrproj_restore;    /* [3] */
+    int32_t *switchable_restore; /* [4] */
     int32_t *nmv_joints;  /* [5] */
     int32_t *nmv_sign;    /* [2][3] */
     int32_t *nmv_classes; /* [2][12] */
@@ -1044,11 +1048,123 @@ static void txb_ctx_of(TileState *st, int plane, int px4, int py4, int w4, int h
     }
 }
 
+/* ---------------- loop-restoration unit writers (tile_codec._code_lr_unit
+ * twins: spec 5.9.x quniform / subexp / recentering + the LR cdfs) */
+
+static void ec_quniform(Ec *e, int n, int v) {
+    if (n <= 1) return;
+    int l = 1, t = n - 1;
+    while (t > 1) { l++; t >>= 1; } /* bit_length(n-1), n>=2 -> l>=1 */
+    if (l < 1) l = 1;
+    int m = (1 << l) - n;
+    if (v < m) {
+        ec_encode_literal(e, v, l - 1);
+    } else {
+        ec_encode_literal(e, m + ((v - m) >> 1), l - 1);
+        ec_encode_literal(e, (v - m) & 1, 1);
+    }
+}
+
+static void ec_subexp(Ec *e, int mx, int k, int u) {
+    int i = 0, mk = 0;
+    for (;;) {
+        int b2 = i ? k + i - 1 : k;
+        int a = 1 << b2;
+        if (mx <= mk + 3 * a) {
+            ec_quniform(e, mx - mk, u - mk);
+            return;
+        }
+        int more = u >= mk + a;
+        ec_encode_literal(e, more, 1);
+        if (!more) {
+            ec_encode_literal(e, u - mk, b2);
+            return;
+        }
+        i++;
+        mk += a;
+    }
+}
+
+static int lr_recenter(int r, int v) {
+    if (v > 2 * r) return v;
+    if (v >= r) return (v - r) * 2;
+    return (r - v) * 2 - 1;
+}
+
+static void ec_signed_subexp(Ec *e, int low, int high, int k, int ref, int v) {
+    int mx = high - low;
+    int r = ref - low;
+    int x = v - low;
+    int u = (r << 1) <= mx ? lr_recenter(r, x) : lr_recenter(mx - 1 - r, mx - 1 - x);
+    ec_subexp(e, mx, k, u);
+}
+
+static const int wiener_min[3] = {-5, -23, -17};
+static const int wiener_max[3] = {10, 8, 46};
+static const int wiener_k[3] = {1, 2, 3};
+static const int sgr_xqd_min[2] = {-96, -32};
+static const int sgr_xqd_max[2] = {31, 95};
+/* SGR_PARAMS radii per ep: (r0, r1) */
+static const int sgr_r0[16] = {2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 0, 0, 0, 0, 2, 2};
+static const int sgr_r1[16] = {1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0};
+
+typedef struct {
+    int ref_w[3][2][3]; /* per plane, per pass, taps j0..j2 */
+    int ref_x[3][2];
+} LrState;
+
+static void lr_state_init(LrState *s) {
+    for (int p = 0; p < 3; p++) {
+        for (int ps = 0; ps < 2; ps++) {
+            s->ref_w[p][ps][0] = 3; s->ref_w[p][ps][1] = -7; s->ref_w[p][ps][2] = 15;
+        }
+        s->ref_x[p][0] = -32; s->ref_x[p][1] = 31;
+    }
+}
+
+static void write_lr_unit(Ec *e, TileParams *tp, LrState *ls, const int32_t *op) {
+    int plane = op[1], ftype = op[2], rtype = op[3];
+    int chroma = plane > 0;
+    if (ftype == 3) { /* RESTORE_SWITCHABLE */
+        ec_encode_symbol(e, tp->switchable_restore, 3, rtype, tp->update);
+    } else if (ftype == 1) { /* RESTORE_WIENER */
+        ec_encode_symbol(e, tp->wiener_restore, 2, rtype == 1, tp->update);
+    } else { /* RESTORE_SGRPROJ */
+        ec_encode_symbol(e, tp->sgrproj_restore, 2, rtype == 2, tp->update);
+    }
+    if (rtype == 1) { /* WIENER */
+        for (int ps = 0; ps < 2; ps++)
+            for (int j = chroma ? 1 : 0; j < 3; j++) {
+                int v = op[4 + ps * 3 + j];
+                ec_signed_subexp(e, wiener_min[j], wiener_max[j] + 1, wiener_k[j],
+                                 ls->ref_w[plane][ps][j], v);
+                ls->ref_w[plane][ps][j] = v;
+            }
+    } else if (rtype == 2) { /* SGRPROJ */
+        int ep = op[10];
+        ec_encode_literal(e, ep, 4); /* SGRPROJ_PARAMS_BITS */
+        int rad[2] = {sgr_r0[ep], sgr_r1[ep]};
+        for (int i = 0; i < 2; i++) {
+            int v = op[11 + i];
+            if (rad[i])
+                ec_signed_subexp(e, sgr_xqd_min[i], sgr_xqd_max[i] + 1, 4,
+                                 ls->ref_x[plane][i], v);
+            ls->ref_x[plane][i] = v;
+        }
+    }
+}
+
 int64_t ec_encode_tile_ops(Ec *e, TileParams *tp, const int32_t *ops, int64_t n_ops,
                            const int32_t *levels, TileState *st) {
+    LrState lrs;
+    lr_state_init(&lrs);
     for (int64_t i = 0; i < n_ops; i++) {
         const int32_t *op = ops + i * OP_COLS;
         int mi_row = op[OPC_MI_ROW], mi_col = op[OPC_MI_COL], bw4 = op[OPC_BW4];
+        if (op[OPC_KIND] == 2) { /* loop-restoration unit */
+            write_lr_unit(e, tp, &lrs, op);
+            continue;
+        }
         if (op[OPC_KIND] == 0) {
             write_partition_c(e, tp, st, mi_row, mi_col, bw4, op[OPC_PART_OR_YMODE]);
             continue;

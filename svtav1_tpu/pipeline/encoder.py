@@ -38,8 +38,8 @@ class EncoderConfig:
     enable_filter_intra: bool = False  # recursive filter-intra (numpy MD path)
     rc_mode: str = "cqp"  # "cqp" | "cbr" | "crf" (TPL r0-based q assignment)
     # loop restoration (Wiener + self-guided): per-unit search after CDEF
-    # (restoration_pick.c analog). Forces the Python entropy walk (the native
-    # C walker does not emit LR syntax yet) and host-side in-loop filters.
+    # (restoration_pick.c analog). Runs host-side in-loop filters; the
+    # entropy walk (incl. LR unit syntax) uses the native C walker.
     enable_restoration: bool = False
     # batched device RDOQ in the commit pass (svt_av1_optimize_b analog)
     enable_rdoq: bool = True
@@ -187,7 +187,7 @@ class Encoder:
         self._crf_pending: list = []
         self._anchor_src = None
         # MCTF lookahead queue (scheduled keys filtered with +-N neighbors)
-        self._tf = cfg.enable_tf and cfg.keyint > 1
+        self._tf = cfg.enable_tf and (cfg.keyint > 1 or cfg.minigop > 1)
         self._tf_q: list = []
         self._tf_hist: list = []
         self._tf_emitted = 0
@@ -224,7 +224,11 @@ class Encoder:
         packets = []
         while self._tf_q:
             d = self._tf_emitted
-            is_sched_key = d % cfg.keyint == 0
+            # filter key frames AND mini-GoP anchors (base pictures) — the
+            # reference temporally filters all base pics, not just keys
+            # (pd_process.c derive_tf_window_params / mctf_frame)
+            is_sched_key = (d % cfg.keyint == 0
+                            or (cfg.minigop > 1 and d % cfg.minigop == 0))
             head = self._tf_q[0]
             if is_sched_key:
                 if not final and len(self._tf_q) < 1 + self.TF_FUT:
