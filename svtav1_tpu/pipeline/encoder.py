@@ -75,8 +75,10 @@ class EncoderConfig:
 PRESETS = {
     "fast": dict(sf_nmodes_inter=4, sf_nmodes_key=7, sf_tx_ntypes=1,
                  sf_fast_subpel=1, sf_cdef_fast=1, sf_dlf_search=0, rdoq=False),
+    # medium: 25-pt exhaustive subpel (measured RD-neutral vs the 49-pt
+    # two-step on the bench clip — exhaustive +-0.5px beats sequential)
     "medium": dict(sf_nmodes_inter=7, sf_nmodes_key=13, sf_tx_ntypes=4,
-                   sf_fast_subpel=0, sf_cdef_fast=0, sf_dlf_search=1, rdoq=True),
+                   sf_fast_subpel=1, sf_cdef_fast=0, sf_dlf_search=1, rdoq=True),
     "slow": dict(sf_nmodes_inter=13, sf_nmodes_key=13, sf_tx_ntypes=4,
                  sf_fast_subpel=0, sf_cdef_fast=0, sf_dlf_search=1, rdoq=True),
 }
