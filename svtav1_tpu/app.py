@@ -17,7 +17,51 @@ from .io.y4m import read_y4m, write_y4m
 from .pipeline.encoder import Encoder, EncoderConfig
 
 
+def _parse_mastering(s: str):
+    """Reference --mastering-display format:
+    G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min) (app_config.c token)."""
+    import re
+
+    m = re.match(r"G\(([^)]+)\)B\(([^)]+)\)R\(([^)]+)\)WP\(([^)]+)\)L\(([^)]+)\)", s)
+    if not m:
+        raise ValueError(f"bad mastering-display string: {s}")
+    g, b, r, wp, lum = (tuple(float(v) for v in grp.split(",")) for grp in m.groups())
+    return ((r, g, b), wp, lum[0], lum[1])
+
+
+def _expand_config_file(argv):
+    """-c/--config FILE: 'key: value' or 'key = value' lines become --key
+    value tokens BEFORE the command line (CLI overrides config — the
+    reference app's config-file semantics, app_config.c read_config_file)."""
+    out = []
+    i = 0
+    argv = list(argv)
+    while i < len(argv):
+        if argv[i] in ("-c", "--config") and i + 1 < len(argv):
+            cfg_tokens = []
+            with open(argv[i + 1]) as f:
+                for line in f:
+                    line = line.split("#")[0].strip()
+                    if not line:
+                        continue
+                    for sep in (":", "="):
+                        if sep in line:
+                            k, v = line.split(sep, 1)
+                            break
+                    else:
+                        k, v = line, ""
+                    k = k.strip().lstrip("-")
+                    cfg_tokens += [f"--{k}"] + ([v.strip()] if v.strip() else [])
+            out = cfg_tokens + out
+            i += 2
+            continue
+        out.append(argv[i])
+        i += 1
+    return out
+
+
 def main(argv=None) -> int:
+    argv = _expand_config_file(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(prog="svtav1-tpu", description="TPU-native AV1 encoder")
     ap.add_argument("-i", "--input", required=True, help="input .y4m")
     ap.add_argument("-b", "--output", required=True, help="output .ivf")
@@ -43,6 +87,12 @@ def main(argv=None) -> int:
     ap.add_argument("--intra-batch", type=int, default=1,
                     help="device all-intra frame batch (jax MD, keyint 1, cqp)")
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
+    ap.add_argument("--preset", default="medium", choices=["fast", "medium", "slow"],
+                    help="speed/quality preset")
+    ap.add_argument("--content-light", default=None,
+                    help="HDR CLL metadata: max_cll,max_fall")
+    ap.add_argument("--mastering-display", default=None,
+                    help="HDR MDCV metadata: G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
     args = ap.parse_args(argv)
 
     if not 1 <= args.qindex <= 255:
@@ -57,6 +107,10 @@ def main(argv=None) -> int:
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
+    cll = None
+    if args.content_light:
+        cll = tuple(int(v) for v in args.content_light.split(","))
+    mdcv = _parse_mastering(args.mastering_display) if args.mastering_display else None
     enc = Encoder(EncoderConfig(width=w, height=h, qindex=args.qindex, mode_decision=args.md,
                                 keyint=args.keyint, minigop=args.minigop, bd=bd,
                                 rc_mode=args.rc, target_kbps=args.tbr, fps=fps[0] / max(fps[1], 1),
@@ -65,7 +119,9 @@ def main(argv=None) -> int:
                                 enable_restoration=args.enable_restoration,
                                 enable_rdoq=not args.no_rdoq,
                                 tile_cols_log2=args.tile_columns,
-                                tile_rows_log2=args.tile_rows))
+                                tile_rows_log2=args.tile_rows,
+                                preset=args.preset,
+                                content_light=cll, mastering_display=mdcv))
     dec = Decoder()
     tus = []
     recons = []

@@ -393,3 +393,49 @@ def show_existing_frame_obu(map_idx: int) -> bytes:
 
 def temporal_delimiter_obu() -> bytes:
     return obu(ObuType.OBU_TEMPORAL_DELIMITER, b"")
+
+
+# ------------------------------------------------------------ metadata OBUs
+# spec 5.8.1 metadata_obu; reference Source/Lib/Globals/metadata_handle.c
+# (CLL / mastering display / ITU-T T.35 attached to key-frame TUs)
+
+METADATA_ITUT_T35 = 4
+METADATA_HDR_CLL = 1
+METADATA_HDR_MDCV = 2
+
+
+def metadata_obu(metadata_type: int, payload: bytes) -> bytes:
+    """OBU_METADATA: leb128 metadata_type + type payload + trailing bits."""
+    return obu(ObuType.OBU_METADATA, leb128(metadata_type) + payload + b"\x80")
+
+
+def content_light_obu(max_cll: int, max_fall: int) -> bytes:
+    """HDR CLL (spec 6.7.3 metadata_hdr_cll): two 16-bit values."""
+    w = BitWriter()
+    w.f(max_cll, 16)
+    w.f(max_fall, 16)
+    return metadata_obu(METADATA_HDR_CLL, w.bytes())
+
+
+def mastering_display_obu(primaries, white_point, max_luminance: float,
+                          min_luminance: float) -> bytes:
+    """HDR MDCV (spec 6.7.4): primaries/white point in 0.16 fixed chromaticity,
+    luminance in 24.8 / 18.14 fixed (values given in cd/m^2).
+
+    primaries: ((rx, ry), (gx, gy), (bx, by)) CIE chromaticities in [0, 1]."""
+    w = BitWriter()
+    for (x, y) in primaries:
+        w.f(int(round(x * 65536)) & 0xFFFF, 16)
+        w.f(int(round(y * 65536)) & 0xFFFF, 16)
+    w.f(int(round(white_point[0] * 65536)) & 0xFFFF, 16)
+    w.f(int(round(white_point[1] * 65536)) & 0xFFFF, 16)
+    w.f(int(round(max_luminance * 256)) & 0xFFFFFFFF, 32)
+    w.f(int(round(min_luminance * 16384)) & 0xFFFFFFFF, 32)
+    return metadata_obu(METADATA_HDR_MDCV, w.bytes())
+
+
+def itut_t35_obu(country_code: int, payload: bytes) -> bytes:
+    """ITU-T T.35 user data (spec 6.7.2)."""
+    w = BitWriter()
+    w.f(country_code, 8)
+    return metadata_obu(METADATA_ITUT_T35, w.bytes() + payload)

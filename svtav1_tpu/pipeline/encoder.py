@@ -68,6 +68,12 @@ class EncoderConfig:
     # speed/quality preset (the enc_mode_config.c ladder at honest scale):
     # maps to candidate counts, subpel lattice, tx search and CDEF ladder
     preset: str = "medium"  # "fast" | "medium" | "slow"
+    # HDR metadata attached to key-frame TUs (metadata_handle.c analog):
+    # content_light = (max_cll, max_fall); mastering_display =
+    # (((rx,ry),(gx,gy),(bx,by)), (wx,wy), max_lum, min_lum); t35 = bytes
+    content_light: tuple | None = None
+    mastering_display: tuple | None = None
+    itut_t35: bytes | None = None
 
 
 # preset -> speed features (monotonic speed/quality ladder; the reference
@@ -464,6 +470,22 @@ class Encoder:
                 pad_to_aligned(np.asarray(u, np.int32), aw >> 1, ah >> 1),
                 pad_to_aligned(np.asarray(v, np.int32), aw >> 1, ah >> 1)]
 
+    def _metadata_obus(self) -> bytes:
+        """HDR metadata OBUs for key-frame TUs (CLL / MDCV / T.35;
+        reference metadata_handle.c svt_aom_copy_metadata_buffer)."""
+        from ..entropy import bitstream as bs
+
+        cfg = self.cfg
+        out = b""
+        if cfg.content_light is not None:
+            out += bs.content_light_obu(*cfg.content_light)
+        if cfg.mastering_display is not None:
+            prim, wp, mx, mn = cfg.mastering_display
+            out += bs.mastering_display_obu(prim, wp, mx, mn)
+        if cfg.itut_t35 is not None:
+            out += bs.itut_t35_obu(0xB5, cfg.itut_t35)
+        return out
+
     def _frame_qindex(self, is_key: bool, layer: int) -> int:
         if self.rc is not None:
             return self.rc.frame_qindex(is_key, layer)
@@ -841,6 +863,8 @@ class Encoder:
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)
             self._wrote_seq = True
+        if is_key:
+            tu += self._metadata_obus()
         tu += frame_obu(self.seq, fr, tile_payload)
 
         self.dpb[disp_idx] = {"planes": recon, "order_hint": order_hint, "slot": slot}
