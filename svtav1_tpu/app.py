@@ -89,6 +89,9 @@ def main(argv=None) -> int:
     ap.add_argument("--verify", action="store_true", help="decode each frame and verify recon match")
     ap.add_argument("--preset", default="medium", choices=["fast", "medium", "slow"],
                     help="speed/quality preset")
+    ap.add_argument("--pass", dest="enc_pass", type=int, default=0, choices=[0, 1, 2],
+                    help="multi-pass: 1 = collect stats, 2 = encode with stats")
+    ap.add_argument("--stats", default=None, help="first-pass stats file")
     ap.add_argument("--content-light", default=None,
                     help="HDR CLL metadata: max_cll,max_fall")
     ap.add_argument("--mastering-display", default=None,
@@ -107,6 +110,23 @@ def main(argv=None) -> int:
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
+    if args.enc_pass == 1:
+        # pass 1: fast analysis only (the reference short-circuits EncDec)
+        from .pipeline.firstpass import FirstPassCollector
+
+        assert args.stats, "--pass 1 needs --stats FILE"
+        col = FirstPassCollector()
+        for (y, _u, _v) in frames:
+            col.send_frame(y)
+        col.write_stats(args.stats)
+        print(f"pass 1: wrote {len(frames)} frame stats to {args.stats}")
+        return 0
+    stats_in = None
+    if args.enc_pass == 2:
+        from .pipeline.firstpass import read_stats
+
+        assert args.stats, "--pass 2 needs --stats FILE"
+        stats_in = read_stats(args.stats)
     cll = None
     if args.content_light:
         cll = tuple(int(v) for v in args.content_light.split(","))
@@ -120,7 +140,7 @@ def main(argv=None) -> int:
                                 enable_rdoq=not args.no_rdoq,
                                 tile_cols_log2=args.tile_columns,
                                 tile_rows_log2=args.tile_rows,
-                                preset=args.preset,
+                                preset=args.preset, stats_in=stats_in,
                                 content_light=cll, mastering_display=mdcv))
     dec = Decoder()
     tus = []

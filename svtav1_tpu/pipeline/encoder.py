@@ -74,6 +74,9 @@ class EncoderConfig:
     content_light: tuple | None = None
     mastering_display: tuple | None = None
     itut_t35: bytes | None = None
+    # two-pass: pass-1 stats records (pipeline/firstpass.read_stats) for
+    # complexity-weighted VBR allocation (FIRSTPASS_STATS analog)
+    stats_in: list | None = None
 
 
 # preset -> speed features (monotonic speed/quality ladder; the reference
@@ -184,9 +187,17 @@ class Encoder:
             self.rc = rc.CbrController(cfg.target_kbps * 1000.0, cfg.fps, cfg.qindex)
         elif cfg.rc_mode == "vbr":
             assert cfg.target_kbps > 0, "vbr needs target_kbps"
-            self.rc = rc.VbrController(cfg.target_kbps * 1000.0, cfg.fps, cfg.qindex,
-                                       keyint=cfg.keyint, minigop=cfg.minigop,
-                                       bd=cfg.bd)
+            if cfg.stats_in:
+                from .firstpass import TwoPassVbrController
+
+                self.rc = TwoPassVbrController(cfg.stats_in,
+                                               cfg.target_kbps * 1000.0, cfg.fps,
+                                               cfg.qindex, keyint=cfg.keyint,
+                                               minigop=cfg.minigop, bd=cfg.bd)
+            else:
+                self.rc = rc.VbrController(cfg.target_kbps * 1000.0, cfg.fps,
+                                           cfg.qindex, keyint=cfg.keyint,
+                                           minigop=cfg.minigop, bd=cfg.bd)
             self.rc.set_frame_geometry(cfg.width, cfg.height)
         self.scene = rc.SceneDetector() if cfg.scene_cut else None
         # CRF: TPL lookahead queue of (disp, src, is_key) + anchor source for
@@ -486,9 +497,9 @@ class Encoder:
             out += bs.itut_t35_obu(0xB5, cfg.itut_t35)
         return out
 
-    def _frame_qindex(self, is_key: bool, layer: int) -> int:
+    def _frame_qindex(self, is_key: bool, layer: int, disp: int | None = None) -> int:
         if self.rc is not None:
-            return self.rc.frame_qindex(is_key, layer)
+            return self.rc.frame_qindex(is_key, layer, disp)
         q = self.cfg.qindex
         if self.cfg.minigop > 1 or self.cfg.keyint > 1:
             q += gop.KEY_Q_OFFSET if is_key else gop.LAYER_Q_OFFSET[min(layer, 2)]
@@ -507,7 +518,7 @@ class Encoder:
         cfg = self.cfg
         order_hint = disp_idx & 0x7F
         qindex = (qindex_override if qindex_override is not None
-                  else self._frame_qindex(is_key, layer))
+                  else self._frame_qindex(is_key, layer, disp_idx))
         ref_hints = [0] * 8
         refs = None
         ref_slot = [0] * 7

@@ -89,7 +89,7 @@ class VbrController:
     def set_frame_geometry(self, width: int, height: int) -> None:
         self.mbs = max((width + 15) // 16 * ((height + 15) // 16), 1)
 
-    def frame_qindex(self, is_key: bool, layer: int) -> int:
+    def frame_qindex(self, is_key: bool, layer: int, disp: int | None = None) -> int:
         cls = 0 if is_key else 1 + min(layer, 2)
         base_target = self._scale * self._BOOST[cls]
         # spread the accumulated budget error over ~a window of frames
@@ -140,7 +140,7 @@ class CbrController:
         self.buffer = 0.0
         self.q = qindex_init
 
-    def frame_qindex(self, is_key: bool, layer: int) -> int:
+    def frame_qindex(self, is_key: bool, layer: int, disp: int | None = None) -> int:
         from . import gop
 
         q = self.q + (gop.KEY_Q_OFFSET if is_key else gop.LAYER_Q_OFFSET[min(layer, 2)])

@@ -39,7 +39,7 @@ _SLOW_MODULES = {
     "test_rdoq", "test_restoration", "test_multichip", "test_10bit",
     "test_device_path_quality", "test_intra_batch", "test_filter_intra",
     "test_dims", "test_mctf", "test_vbr", "test_compound", "test_multiref",
-    "test_determinism",
+    "test_determinism", "test_twopass",
 }
 
 
