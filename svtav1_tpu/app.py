@@ -92,6 +92,11 @@ def main(argv=None) -> int:
     ap.add_argument("--pass", dest="enc_pass", type=int, default=0, choices=[0, 1, 2],
                     help="multi-pass: 1 = collect stats, 2 = encode with stats")
     ap.add_argument("--stats", default=None, help="first-pass stats file")
+    ap.add_argument("--film-grain", type=int, default=0, metavar="N",
+                    help="film grain synthesis level 1..50 (0 = off): noise-model "
+                         "estimation from the source, synthetic table fallback")
+    ap.add_argument("--fgs-table", default=None, metavar="FILE",
+                    help="explicit aomenc 'filmgrn1' film grain table")
     ap.add_argument("--content-light", default=None,
                     help="HDR CLL metadata: max_cll,max_fall")
     ap.add_argument("--mastering-display", default=None,
@@ -141,6 +146,8 @@ def main(argv=None) -> int:
                                 tile_cols_log2=args.tile_columns,
                                 tile_rows_log2=args.tile_rows,
                                 preset=args.preset, stats_in=stats_in,
+                                film_grain=args.film_grain,
+                                film_grain_table=args.fgs_table,
                                 content_light=cll, mastering_display=mdcv))
     dec = Decoder()
     tus = []

@@ -33,6 +33,7 @@ class SeqInfo:
     seq_force_screen_content_tools: int = 0  # 0/1 fixed, 2 = per-frame bit
     seq_force_integer_mv: int = 2
     enable_superres: bool = False
+    film_grain_params_present: bool = False
 
 
 def parse_sequence_header(payload: bytes) -> SeqInfo:
@@ -81,8 +82,9 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     r.f(1)  # color_range
     r.f(2)  # chroma_sample_position
     assert r.f(1) == 0  # separate_uv_delta_q
-    assert r.f(1) == 0  # film_grain
+    film_grain_present = bool(r.f(1))
     return SeqInfo(width=w, height=h, bd=10 if high_bd else 8,
+                   film_grain_params_present=film_grain_present,
                    enable_order_hint=enable_order_hint, order_hint_bits=order_hint_bits,
                    enable_cdef=enable_cdef, enable_filter_intra=enable_filter_intra,
                    enable_restoration=enable_restoration,
@@ -118,6 +120,7 @@ class FrameInfo:
     lr_uv_shift: int = 1
     tx_mode: int = 0
     reduced_tx_set: int = 0
+    film_grain: object = None  # FilmGrainParams | None
     reference_select: int = 0
 
 
@@ -238,6 +241,14 @@ def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None) -> FrameIn
     if not is_intra:
         for _ in range(7):
             assert r.f(1) == 0  # is_global
+    film_grain = None
+    if seq.film_grain_params_present and (show_frame or True):
+        # hidden frames in our streams are always showable -> params present
+        from ..filters.film_grain import parse_params
+
+        film_grain = parse_params(r, is_inter=not is_intra)
+        if not film_grain.apply_grain:
+            film_grain = None
     # spec 5.10.1: the frame header byte-aligns BEFORE the tile group; the
     # tile group's tile_start_and_end_present_flag then re-aligns (5.11.1)
     r.byte_alignment()
@@ -254,7 +265,7 @@ def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None) -> FrameIn
                      frame_end_update_cdf=frame_end_update_cdf, lr_types=lr_types,
                      lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
                      tx_mode=tx_mode, reduced_tx_set=reduced_tx_set,
-                     reference_select=reference_select)
+                     reference_select=reference_select, film_grain=film_grain)
 
 
 @dataclass
@@ -293,10 +304,7 @@ class Decoder:
                     slot = r.f(3)
                     entry = self.dpb[slot]
                     assert entry is not None
-                    w, h = self.seq.width, self.seq.height
-                    rec = entry["planes"]
-                    out = (rec[0][:h, :w], rec[1][: h >> 1, : w >> 1],
-                           rec[2][: h >> 1, : w >> 1], None)
+                    out = self._display(entry["planes"], entry.get("grain")) + (None,)
                 else:
                     raise NotImplementedError("standalone frame headers unsupported")
         return out
@@ -416,7 +424,15 @@ class Decoder:
         from ..pipeline.encoder import replicate_display_edges
 
         replicate_display_edges(recon, seq.width, seq.height)
-        entry = {"planes": recon, "order_hint": fi.order_hint}
+        # film grain: resolve load-from-ref params, store with the DPB entry
+        grain = fi.film_grain
+        if grain is not None and not grain.update_grain:
+            src = self.dpb[grain.film_grain_params_ref_idx]
+            assert src is not None and src.get("grain") is not None
+            from dataclasses import replace
+
+            grain = replace(src["grain"], grain_seed=grain.grain_seed)
+        entry = {"planes": recon, "order_hint": fi.order_hint, "grain": grain}
         for slot in range(8):
             if (fi.refresh_frame_flags >> slot) & 1:
                 self.dpb[slot] = entry
@@ -425,7 +441,18 @@ class Decoder:
         w, h = seq.width, seq.height
         if not fi.show_frame:
             return (None, None, None, recon)
-        return (recon[0][:h, :w], recon[1][: h >> 1, : w >> 1], recon[2][: h >> 1, : w >> 1], recon)
+        return self._display(recon, grain) + (recon,)
+
+    def _display(self, recon, grain):
+        """Crop + film grain synthesis (output path only; refs stay clean)."""
+        w, h = self.seq.width, self.seq.height
+        shown = (recon[0][:h, :w], recon[1][: h >> 1, : w >> 1], recon[2][: h >> 1, : w >> 1])
+        if grain is None:
+            return shown
+        from ..filters.film_grain import apply_grain
+
+        out = apply_grain(tuple(np.ascontiguousarray(p) for p in shown), grain, self.seq.bd)
+        return tuple(p.astype(np.int32) for p in out)
 
 
 def decode_temporal_unit(data: bytes):

@@ -111,6 +111,7 @@ class SequenceConfig:
     enable_intra_edge_filter: bool = False
     enable_order_hint: bool = True
     order_hint_bits: int = 7
+    film_grain_params_present: bool = False
 
 
 def sequence_header_obu(cfg: SequenceConfig) -> bytes:
@@ -157,7 +158,7 @@ def sequence_header_obu(cfg: SequenceConfig) -> bytes:
     w.f(0, 1)  # color_range
     w.f(0, 2)  # chroma_sample_position (4:2:0 implied by profile 0)
     w.f(0, 1)  # separate_uv_delta_q
-    w.f(0, 1)  # film_grain_params_present
+    w.f(int(cfg.film_grain_params_present), 1)
     w.trailing_bits()
     return obu(ObuType.OBU_SEQUENCE_HEADER, w.bytes())
 
@@ -196,6 +197,8 @@ class FrameConfig:
     # compound prediction availability (spec reference_select)
     reference_select: int = 0
     skip_mode_allowed: bool = False  # derive via skip_mode_allowed()
+    # film grain (coded when seq film_grain_params_present; spec 5.9.30)
+    film_grain: object = None  # filters.film_grain.FilmGrainParams | None
 
 
 def get_relative_dist(a: int, b: int, order_hint_bits: int) -> int:
@@ -353,7 +356,13 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
     if not is_intra:
         for _ in range(7):
             w.f(0, 1)  # is_global (global_motion_params: identity per ref)
-    # film grain absent
+    if seq.film_grain_params_present:
+        # show_frame or showable_frame always holds for our streams (hidden
+        # frames are coded showable); spec 5.9.30 film_grain_params
+        from ..filters.film_grain import FilmGrainParams, write_params
+
+        write_params(w, fr.film_grain or FilmGrainParams(apply_grain=0),
+                     is_inter=not is_intra)
     return w
 
 

@@ -73,6 +73,9 @@ _PARAMS = {
     "lookahead": ("lookahead", _int_range(2, 120)),
     "intra-batch": ("intra_batch", _int_range(1, 64)),
     "mode-decision": ("mode_decision", _str_choice("numpy", "jax")),
+    "preset": ("preset", _str_choice("fast", "medium", "slow")),
+    "film-grain": ("film_grain", _int_range(0, 50)),
+    "fgs-table": ("film_grain_table", str),
 }
 
 

@@ -77,6 +77,14 @@ class EncoderConfig:
     # two-pass: pass-1 stats records (pipeline/firstpass.read_stats) for
     # complexity-weighted VBR allocation (FIRSTPASS_STATS analog)
     stats_in: list | None = None
+    # film grain synthesis (spec 5.9.30/7.18.3; grainSynthesis.c +
+    # noise_model.c analogs): 0 = off; 1..50 = estimate the source's noise
+    # (flat-block model) scaled by the knob, falling back to a synthetic
+    # table on clean sources (SvtAv1EncApp --film-grain)
+    film_grain: int = 0
+    # explicit aomenc "filmgrn1" table (the Mod's --fgs-table): overrides
+    # the estimator; segments select per-frame params by display index
+    film_grain_table: str | None = None
 
 
 # preset -> speed features (monotonic speed/quality ladder; the reference
@@ -158,10 +166,19 @@ class Encoder:
         self._sf = dict(PRESETS[cfg.preset])
         if not self._sf.pop("rdoq"):
             cfg.enable_rdoq = False
+        self._grain_table = None
+        if cfg.film_grain_table:
+            from ..filters.film_grain import load_fgs_table
+
+            self._grain_table = load_fgs_table(cfg.film_grain_table)
+        self._grain_est = None  # noise-model result (estimated once)
+        self._grain_src0 = None  # first source frame held for estimation
         self.seq = SequenceConfig(width=cfg.width, height=cfg.height, bd=cfg.bd,
                                   enable_cdef=cfg.enable_cdef,
                                   enable_restoration=cfg.enable_restoration,
-                                  enable_filter_intra=cfg.enable_filter_intra)
+                                  enable_filter_intra=cfg.enable_filter_intra,
+                                  film_grain_params_present=bool(
+                                      cfg.film_grain or cfg.film_grain_table))
         if cfg.enable_filter_intra and cfg.mode_decision == "jax":
             raise ValueError("filter-intra uses the numpy mode-decision path")
         if (cfg.tile_cols_log2 or cfg.tile_rows_log2) and cfg.mode_decision != "jax":
@@ -226,10 +243,45 @@ class Encoder:
 
     TF_PAST, TF_FUT = 2, 3  # MCTF window (reference derive_tf_window_params)
 
+    def _grain_for(self, disp_idx: int):
+        """Film grain params for one display frame (None when grain is off).
+
+        Table segments select by display index; otherwise the flat-block
+        noise model runs once on the first source frame (refreshed never —
+        grain character is a sequence property), with the synthetic 1..50
+        table as the clean-source fallback. Seeds advance per frame so the
+        grain pattern decorrelates temporally (the reference re-seeds per
+        picture the same way, pic_analysis_process.c grain path)."""
+        cfg = self.cfg
+        if not (cfg.film_grain or self._grain_table):
+            return None
+        from dataclasses import replace
+
+        from ..filters import film_grain as fg
+
+        if self._grain_table is not None:
+            p = fg.select_params(self._grain_table, disp_idx)
+            if p is None or not p.apply_grain:
+                return None
+            return replace(p, update_grain=1,
+                           grain_seed=(p.grain_seed + disp_idx * 3083) & 0xFFFF)
+        if self._grain_est is None:
+            est = None
+            if self._grain_src0 is not None:
+                est = fg.estimate_params(self._grain_src0, bd=cfg.bd,
+                                         strength_scale=cfg.film_grain / 8.0)
+            self._grain_est = est or fg.synthetic_params(cfg.film_grain)
+            self._grain_src0 = None
+        return replace(self._grain_est,
+                       grain_seed=(7391 + disp_idx * 3083) & 0xFFFF)
+
     def send_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> list:
         """Feed one display-order frame; returns ready packets. With MCTF
         enabled, frames pass through a short lookahead queue so scheduled
         key frames can be filtered with future neighbors."""
+        if (self.cfg.film_grain and self._grain_table is None
+                and self._grain_est is None and self._grain_src0 is None):
+            self._grain_src0 = (np.asarray(y), np.asarray(u), np.asarray(v))
         if not self._tf:
             return self._send_frame_inner(y, u, v)
         self._tf_q.append((np.asarray(y, np.int32), np.asarray(u, np.int32),
@@ -689,7 +741,8 @@ class Encoder:
                          frame_end_update_cdf=cfg.cdf_inheritance,
                          reference_select=p.reference_select,
                          skip_mode_allowed=bool(p.reference_select) and _sma(
-                             p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])))
+                             p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])),
+                         film_grain=self._grain_for(disp_idx))
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)
@@ -869,7 +922,8 @@ class Encoder:
                          lr_uv_shift=p.lr_uv_shift,
                          reference_select=p.reference_select,
                          skip_mode_allowed=bool(p.reference_select) and _sma(
-                             p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])))
+                             p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])),
+                         film_grain=self._grain_for(disp_idx))
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
             tu += sequence_header_obu(self.seq)

@@ -250,6 +250,16 @@ def main() -> None:
                         **{k: v.astype(np.int32) for k, v in scans.items()})
     print(f"scans.npz: {len(scans)} tables, order rows={len(order['rows'])}")
 
+    # 4. Film grain gaussian sequence (AV1 spec s. 7.18.3.1 Gaussian_Sequence).
+    gs = extract_tables(
+        os.path.join(codec, "grainSynthesis.c"),
+        name_filter=lambda n: n == "gaussian_sequence",
+    )
+    assert gs["gaussian_sequence"].shape == (2048,), gs["gaussian_sequence"].shape
+    np.savez_compressed(os.path.join(args.out, "gaussian_sequence.npz"),
+                        gaussian_sequence=gs["gaussian_sequence"].astype(np.int16))
+    print("gaussian_sequence.npz: 2048 entries")
+
 
 if __name__ == "__main__":
     sys.exit(main())
