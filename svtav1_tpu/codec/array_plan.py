@@ -42,6 +42,16 @@ def _z6(r8: np.ndarray, c8: np.ndarray) -> np.ndarray:
     return z
 
 
+def _gm_table(p: FrameParams, ref_ids) -> np.ndarray:
+    """(n_refs + 1, 2) global MV per decide ref-stack index (the mode
+    mapping codes GLOBALMV whenever the winner MV equals its ref's gm)."""
+    tab = np.zeros((max(len(ref_ids) if ref_ids else 0, 1) + 1, 2), np.int32)
+    if ref_ids:
+        for i, rid in enumerate(ref_ids):
+            tab[i] = p.gm_mvs[int(rid)]
+    return tab
+
+
 def _txsig_luts(p: FrameParams, tx_search) -> dict:
     """Per (n, is_inter): (nsym, txind[tx_idx], eset, sqr) signaling
     constants — vectorized twins of tile_walk_native.flatten_plan's txsig."""
@@ -140,7 +150,8 @@ def build_tile_ops(p: FrameParams, tree: dict, sched: dict, level_base: dict,
         ops[:, 2] = (x0 // 4) + c8 * 2
         ops[:, 3] = n // 4
         y_intra = mode_lut[mode]
-        zero_mv = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+        gmv = _gm_table(p, ref_ids)[np.maximum(ref, 0)]
+        zero_mv = (mv[:, 0] == gmv[:, 0]) & (mv[:, 1] == gmv[:, 1])
         y_inter = np.where(zero_mv, int(InterMode.GLOBALMV), int(InterMode.NEWMV))
         ops[:, 4] = np.where(is_int, y_inter, y_intra)
         ops[:, 5] = np.where(is_int, 0, y_intra)  # uv_mode (uv == y; DC for inter)
@@ -219,7 +230,8 @@ def mi_from_sched(p: FrameParams, sched: dict, frame_idx: int, region, ref_ids,
         ref = s["ref"][idx]
         is_int = ref >= 0
         mv = s["mv"][idx]
-        zero_mv = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+        gmv = _gm_table(p, ref_ids)[np.maximum(ref, 0)]
+        zero_mv = (mv[:, 0] == gmv[:, 0]) & (mv[:, 1] == gmv[:, 1])
         mode = np.where(is_int,
                         np.where(zero_mv, int(InterMode.GLOBALMV), int(InterMode.NEWMV)),
                         mode_lut[s["mode"][idx]])

@@ -138,6 +138,17 @@ class MvStack:
         return int(src[ref_mv_idx][0]), int(src[ref_mv_idx][1])
 
 
+def _clamp_stack_mv(mv, mi, mi_row: int, mi_col: int, n4_w: int, n4_h: int):
+    """Clamp one MV to the stack's frame-relative legal window (spec
+    7.10.2.14 formula, as applied to the post-sort stack entries)."""
+    bw8, bh8 = n4_w * 32, n4_h * 32
+    row = _clamp(int(mv[0]), -(mi_row * 32) - bh8 - MV_BORDER,
+                 (mi.mi_rows - n4_h - mi_row) * 32 + bh8 + MV_BORDER)
+    col = _clamp(int(mv[1]), -(mi_col * 32) - bw8 - MV_BORDER,
+                 (mi.mi_cols - n4_w - mi_col) * 32 + bw8 + MV_BORDER)
+    return (row, col)
+
+
 def _is_sec_rect(mi_row: int, mi_col: int, n4_w: int, n4_h: int) -> bool:
     if n4_w < n4_h and (mi_col & (n4_h - 1)):
         return True
@@ -171,7 +182,8 @@ def _has_top_right(mi_row: int, mi_col: int, n4_w: int, n4_h: int, sb_mi: int = 
 
 
 def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize: int,
-                  ref_frame: int, sign_bias=None, ref_frame1: int | None = None) -> MvStack:
+                  ref_frame: int, sign_bias=None, ref_frame1: int | None = None,
+                  gm_mv=(0, 0), gm_mv1=(0, 0)) -> MvStack:
     """Build the MV candidate stack + mode context.
 
     Single-reference when ref_frame1 is None; COMPOUND (spec 7.10.2 with
@@ -429,7 +441,8 @@ def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize
                 comp_list[comp_idx][cmp_idx] = v
                 comp_idx += 1
             while comp_idx < MAX_MV_REF_CANDIDATES:
-                comp_list[comp_idx][cmp_idx] = (0, 0)  # identity GM
+                # global-MV pad (spec 7.10.2 GlobalMvs; identity -> zero)
+                comp_list[comp_idx][cmp_idx] = tuple(gm_mv if cmp_idx == 0 else gm_mv1)
                 comp_idx += 1
         if state["count"]:
             if (comp_list[0][0] == (int(stack[0][0]), int(stack[0][1]))
@@ -475,9 +488,10 @@ def find_mv_stack(mi: MiState, tile: TileBounds, mi_row: int, mi_col: int, bsize
             r, c = mi_row + i, mi_col - 1
             light_add(r, c)
             i += int(BLOCK_H[int(mi.bsize[r, c])]) // 4
-        # tail fill with the global MV (identity GM -> zero); count unchanged
+        # tail fill with the global MV, clamped to the block's legal window
+        # (libaom av1_find_mv_refs clamps mv_ref_list fills); count unchanged
         for i in range(state["count"], MAX_MV_REF_CANDIDATES):
-            stack[i] = (0, 0)
+            stack[i] = _clamp_stack_mv(gm_mv, mi, mi_row, mi_col, n4_w, n4_h)
 
     # clamp stack MVs to the frame-relative legal window
     bw8 = n4_w * 4 * 8

@@ -180,6 +180,12 @@ class FrameParams:
     # compound prediction availability (spec reference_select): when 1,
     # every inter block signals single-vs-compound (comp_inter symbol)
     reference_select: int = 0
+    # global motion (TRANSLATION subset): (row8, col8) per ref-frame id
+    # 1..7 (index 0 unused); all-zero = identity (codec/gm.py).  enable_gm
+    # is the encoder-side config gate (static jit key: one decide program
+    # variant per config, not per frame's gm value)
+    gm_mvs: tuple = ((0, 0),) * 8
+    enable_gm: int = 0
     # tx signaling (spec read_tx_mode): 0 = TX_MODE_LARGEST (our encoder),
     # 1 = TX_MODE_SELECT (per-block tx depth; decode-side support for
     # reference-encoded streams)
@@ -1264,7 +1270,8 @@ class TileCodec:
         elif mode == int(M.NEAR_NEARMV):
             d.mv, d.mv1 = stack.pred_mv(ref_mv_idx, 0), stack.pred_mv(ref_mv_idx, 1)
         elif mode == int(M.GLOBAL_GLOBALMV):
-            d.mv = d.mv1 = (0, 0)  # identity global motion
+            d.mv = tuple(self.p.gm_mvs[d.ref_frame])
+            d.mv1 = tuple(self.p.gm_mvs[d.ref_frame1])
         else:
             raise NotImplementedError(f"mixed compound mode {mode}")
 
@@ -1314,13 +1321,16 @@ class TileCodec:
         if is_comp:
             self._code_comp_ref_frames(enc, dec, d, counts, mi_row, mi_col)
             stack = find_mv_stack(self.mi, self.tile_bounds, mi_row, mi_col, bsize,
-                                  d.ref_frame, self.sbias, ref_frame1=d.ref_frame1)
+                                  d.ref_frame, self.sbias, ref_frame1=d.ref_frame1,
+                                  gm_mv=self.p.gm_mvs[d.ref_frame],
+                                  gm_mv1=self.p.gm_mvs[d.ref_frame1])
             self._code_comp_mode_mv(enc, dec, d, stack)
             return
         if dec is not None:
             d.ref_frame1 = int(RefFrame.NONE)
         self._code_ref_frames(enc, dec, d, counts)
-        stack = find_mv_stack(self.mi, self.tile_bounds, mi_row, mi_col, bsize, d.ref_frame, self.sbias)
+        stack = find_mv_stack(self.mi, self.tile_bounds, mi_row, mi_col, bsize, d.ref_frame,
+                              self.sbias, gm_mv=self.p.gm_mvs[d.ref_frame])
 
         if enc is not None:
             mode = d.y_mode
@@ -1359,8 +1369,8 @@ class TileCodec:
             d.mv = (int(stack.mvs[0][0]), int(stack.mvs[0][1]))
         elif mode == int(M.NEARMV):
             d.mv = (int(stack.mvs[ref_mv_idx][0]), int(stack.mvs[ref_mv_idx][1]))
-        else:  # GLOBALMV with identity global motion
-            d.mv = (0, 0)
+        else:  # GLOBALMV: the frame's global MV for this ref (identity -> 0)
+            d.mv = tuple(self.p.gm_mvs[d.ref_frame])
 
     def _code_txb(self, enc, dec, d, plane, plane_type, tx_size, tctx, dctx, lv2, eob_nonzero):
         """Wrap txb read/write with the luma tx-type signal in spec order:

@@ -53,6 +53,7 @@ class _TileParams(ctypes.Structure):
         ("frame_is_intra", ctypes.c_int32),
         ("reference_select", ctypes.c_int32),
         ("sign_bias", ctypes.c_int32 * 8),
+        ("gm_mv", (ctypes.c_int32 * 2) * 8),
     ]
 
 
@@ -338,6 +339,9 @@ def run_tile_ops(p: FrameParams, fc, ops: np.ndarray, lv: np.ndarray, sb_range) 
     tp.reference_select = int(p.reference_select)
     for i, b in enumerate(p.sign_bias()):
         tp.sign_bias[i] = int(b)
+    for i in range(8):
+        tp.gm_mv[i][0] = int(p.gm_mvs[i][0])
+        tp.gm_mv[i][1] = int(p.gm_mvs[i][1])
 
     mc, mr = p.mi_cols, p.mi_rows
     st_bufs = dict(

@@ -122,11 +122,15 @@ class FrameInfo:
     reduced_tx_set: int = 0
     film_grain: object = None  # FilmGrainParams | None
     reference_select: int = 0
+    gm_mvs: tuple = ((0, 0),) * 8  # TRANSLATION global MV per ref id
 
 
-def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None) -> FrameInfo:
+def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None,
+                       slot_gms=None) -> FrameInfo:
     """slot_hints: per-DPB-slot order hints (None -> zeros), needed for the
-    spec 5.9.22 skipModeAllowed derivation when reference_select is set."""
+    spec 5.9.22 skipModeAllowed derivation when reference_select is set.
+    slot_gms: per-DPB-slot saved global motion lists (PrevGmParams source
+    when primary_ref_frame != PRIMARY_REF_NONE; spec load_previous)."""
     r = BitReader(payload)
     assert r.f(1) == 0  # show_existing_frame
     frame_type = r.f(2)
@@ -238,9 +242,14 @@ def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None) -> FrameIn
             if skip_mode_allowed(order_hint, seq.order_hint_bits, hints):
                 assert r.f(1) == 0, "skip_mode unsupported"  # skip_mode_present
     reduced_tx_set = r.f(1)
+    gm_mvs = [(0, 0)] * 8
     if not is_intra:
-        for _ in range(7):
-            assert r.f(1) == 0  # is_global
+        from ..codec.gm import read_global_motion_params
+
+        prev_gm = None
+        if primary_ref != 7 and slot_gms is not None:
+            prev_gm = slot_gms[ref_frame_idx[primary_ref]]
+        gm_mvs = read_global_motion_params(r, prev_gm, allow_hp=False)
     film_grain = None
     if seq.film_grain_params_present and (show_frame or True):
         # hidden frames in our streams are always showable -> params present
@@ -263,6 +272,7 @@ def parse_frame_header(payload: bytes, seq: SeqInfo, slot_hints=None) -> FrameIn
                      lf_sharpness=lf_sharpness, cdef_damping=cdef_damping,
                      cdef_y=cdef_y, cdef_uv=cdef_uv, primary_ref_frame=primary_ref,
                      frame_end_update_cdf=frame_end_update_cdf, lr_types=lr_types,
+                     gm_mvs=tuple(tuple(m) for m in gm_mvs),
                      lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
                      tx_mode=tx_mode, reduced_tx_set=reduced_tx_set,
                      reference_select=reference_select, film_grain=film_grain)
@@ -313,7 +323,10 @@ class Decoder:
         seq = self.seq
         assert seq is not None
         slot_hints = [e["order_hint"] if e is not None else 0 for e in self.dpb]
-        fi = parse_frame_header(payload, seq, slot_hints=slot_hints)
+        slot_gms = [e.get("gm", [(0, 0)] * 8) if e is not None else [(0, 0)] * 8
+                    for e in self.dpb]
+        fi = parse_frame_header(payload, seq, slot_hints=slot_hints,
+                                slot_gms=slot_gms)
         tile_data = payload[fi.header_bytes :]
         is_intra = fi.frame_type == 0
 
@@ -341,6 +354,7 @@ class Decoder:
                              lr_uv_shift=fi.lr_uv_shift, tx_mode=fi.tx_mode,
                              reduced_tx_set=fi.reduced_tx_set,
                              reference_select=fi.reference_select,
+                             gm_mvs=fi.gm_mvs,
                              enable_intra_edge_filter=seq.enable_intra_edge_filter)
         lr_out = None
         if params.lr_active:
@@ -432,7 +446,8 @@ class Decoder:
             from dataclasses import replace
 
             grain = replace(src["grain"], grain_seed=grain.grain_seed)
-        entry = {"planes": recon, "order_hint": fi.order_hint, "grain": grain}
+        entry = {"planes": recon, "order_hint": fi.order_hint, "grain": grain,
+                 "gm": fi.gm_mvs}
         for slot in range(8):
             if (fi.refresh_frame_flags >> slot) & 1:
                 self.dpb[slot] = entry

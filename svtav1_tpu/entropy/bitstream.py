@@ -183,6 +183,10 @@ class FrameConfig:
     primary_ref_frame: int = 7
     frame_end_update_cdf: bool = False
     interp_filter: int = 0  # REGULAR (non-switchable)
+    # global motion (TRANSLATION subset, codec/gm.py): per-ref-id (row8,
+    # col8); prev_gm_mvs = the primary ref's saved params (PrevGmParams)
+    gm_mvs: tuple | None = None
+    prev_gm_mvs: tuple | None = None
     lf_levels: tuple = (0, 0, 0, 0)
     lf_sharpness: int = 0
     # CDEF (coded only when seq enable_cdef): one strength set (cdef_bits=0)
@@ -354,8 +358,10 @@ def frame_header_bits(seq: SequenceConfig, fr: FrameConfig) -> BitWriter:
         # allow_warped_motion: absent (seq enable_warped_motion = 0)
     w.f(0, 1)  # reduced_tx_set
     if not is_intra:
-        for _ in range(7):
-            w.f(0, 1)  # is_global (global_motion_params: identity per ref)
+        from ..codec.gm import write_global_motion_params
+
+        # allow_high_precision_mv is coded 0 above -> low-precision params
+        write_global_motion_params(w, fr.gm_mvs, fr.prev_gm_mvs, allow_hp=False)
     if seq.film_grain_params_present:
         # show_frame or showable_frame always holds for our streams (hidden
         # frames are coded showable); spec 5.9.30 film_grain_params

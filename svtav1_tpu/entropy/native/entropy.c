@@ -436,6 +436,7 @@ typedef struct {
     int32_t frame_is_intra;
     int32_t reference_select; /* frame header flag: compound available */
     int32_t sign_bias[8]; /* RefFrameSignBias per ref id (0 unused) */
+    int32_t gm_mv[8][2];  /* TRANSLATION global MV (row8, col8) per ref id */
 } TileParams;
 
 /* partition_context_lookup (definitions.h:1574) indexed by sq size log2-3 (8..64) */
@@ -773,8 +774,9 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
                 comp_list[comp_idx][ci][1] = ref_diff[ci][li][1];
             }
             for (; comp_idx < MAX_MV_REF_CAND; comp_idx++) {
-                comp_list[comp_idx][ci][0] = 0;
-                comp_list[comp_idx][ci][1] = 0;
+                /* global-MV pad (spec GlobalMvs; identity -> zero) */
+                comp_list[comp_idx][ci][0] = tp->gm_mv[rfp[ci]][0];
+                comp_list[comp_idx][ci][1] = tp->gm_mv[rfp[ci]][1];
             }
         }
         if (s.count) {
@@ -833,8 +835,15 @@ static void find_mv_stack_c(TileParams *tp, TileState *st, int mi_row, int mi_co
                 i += st->bsize_grid[idx] < 1 ? 1 : st->bsize_grid[idx];
             }
         }
+        /* tail fill with the ref's global MV, clamped to the block's legal
+         * window (codec/mvp.py _clamp_stack_mv twin); count unchanged */
+        int32_t gb = n4 * 32 + MV_BORDER;
+        int32_t g0 = clamp32(tp->gm_mv[ref_frame][0], -(mi_row * 32) - gb,
+                             (tp->mi_rows - n4 - mi_row) * 32 + gb);
+        int32_t g1 = clamp32(tp->gm_mv[ref_frame][1], -(mi_col * 32) - gb,
+                             (tp->mi_cols - n4 - mi_col) * 32 + gb);
         for (int k = s.count; k < MAX_MV_REF_CAND; k++) {
-            out->mvs[k][0] = 0; out->mvs[k][1] = 0;
+            out->mvs[k][0] = g0; out->mvs[k][1] = g1;
         }
     }
 

@@ -741,7 +741,8 @@ def commit_regions(src_dev, params: FrameParams, leaves, dec, plans: list, regio
                     rf1 = int(ref_ids[ri2])
                     mv1 = (int(s["mv2"][i, 0]), int(s["mv2"][i, 1]))
                 else:
-                    mode = int(InterMode.GLOBALMV) if mv == (0, 0) else int(InterMode.NEWMV)
+                    gmv = tuple(p.gm_mvs[int(ref_ids[ri])])
+                    mode = int(InterMode.GLOBALMV) if mv == gmv else int(InterMode.NEWMV)
                     rf1, mv1 = int(RefFrame.NONE), (0, 0)
                 d = BlockDecision(
                     y_mode=mode, ref_frame=int(ref_ids[ri]), ref_frame1=rf1,

@@ -68,6 +68,11 @@ class EncoderConfig:
     # speed/quality preset (the enc_mode_config.c ladder at honest scale):
     # maps to candidate counts, subpel lattice, tx search and CDEF ladder
     preset: str = "medium"  # "fast" | "medium" | "slow"
+    # global motion (TRANSLATION): host pyramid estimation vs the LAST ref's
+    # source + a gm-MV GLOBALMV lane in the device decide + spec
+    # global_motion_params coding (codec/gm.py; global_me.c analog).
+    # Active on the jax single-tile inter path.
+    enable_gm: bool = True
     # HDR metadata attached to key-frame TUs (metadata_handle.c analog):
     # content_light = (max_cll, max_fall); mastering_display =
     # (((rx,ry),(gx,gy),(bx,by)), (wx,wy), max_lum, min_lum); t35 = bytes
@@ -195,6 +200,13 @@ class Encoder:
                           and not cfg.enable_restoration)
         self.dpb: dict = {}  # display idx -> {planes, order_hint, slot}
         self._cdf_slots: list = [None] * 8  # per-slot saved frame contexts
+        # global motion: per-slot saved gm params (PrevGmParams source) +
+        # source-luma cache for the translation estimation
+        self._gm_slots: list = [((0, 0),) * 8] * 8
+        self._gm_src: dict = {}
+        self._use_gm = bool(cfg.enable_gm and cfg.mode_decision == "jax"
+                            and not (cfg.tile_cols_log2 or cfg.tile_rows_log2)
+                            and cfg.keyint != 1)
         self._wrote_seq = False
         from . import rc
 
@@ -562,6 +574,27 @@ class Encoder:
         tu = temporal_delimiter_obu() + show_existing_frame_obu(slot)
         return Packet(tu=tu, shown_disp_idx=disp_idx)
 
+    def _gm_estimate(self, p, disp_idx: int, is_key: bool, past_idx, src):
+        """Translation global-motion estimation vs the LAST ref's source
+        luma (codec/gm.py; global_me.c:126 analog).  Also maintains the
+        source-luma cache used as the estimation reference."""
+        if not self._use_gm or src is None:
+            return
+        cur = np.asarray(src[0])
+        if not is_key and past_idx is not None:
+            from ..codec import gm as gm_mod
+
+            ref = self._gm_src.get(past_idx)
+            if ref is not None and ref.shape == cur.shape:
+                mv = gm_mod.estimate_translation(cur, ref)
+                if mv != (0, 0):
+                    g = [(0, 0)] * 8
+                    g[int(RefFrame.LAST_FRAME)] = mv
+                    p.gm_mvs = tuple(g)
+        self._gm_src[disp_idx] = cur
+        while len(self._gm_src) > 32:
+            del self._gm_src[min(self._gm_src)]
+
     def _frame_setup(self, disp_idx: int, is_key: bool, layer: int,
                      past_idx, future_idx, qindex_override) -> dict:
         """Per-frame header/reference setup shared by the synchronous and
@@ -620,7 +653,8 @@ class Encoder:
                         ref_hints=tuple(ref_hints), lf_levels=lf_levels,
                         reference_select=ref_select,
                         enable_filter_intra=cfg.enable_filter_intra,
-                        enable_rdoq=cfg.enable_rdoq, **self._sf)
+                        enable_rdoq=cfg.enable_rdoq,
+                        enable_gm=int(self._use_gm), **self._sf)
         return dict(p=p, refs=refs, ref_slot=ref_slot, order_hint=order_hint,
                     qindex=qindex)
 
@@ -695,6 +729,7 @@ class Encoder:
         setup = self._frame_setup(disp_idx, False, layer, past_idx, future_idx,
                                   qindex_override)
         p = setup["p"]
+        self._gm_estimate(p, disp_idx, False, past_idx, src)
         refs_dev, ref_ids = self._stack_refs(setup["refs"], p.bd)
         pend = inter_device.inter_start_decide(src, p, refs_dev,
                                                p.interp_filter, ref_ids)
@@ -742,6 +777,9 @@ class Encoder:
                          reference_select=p.reference_select,
                          skip_mode_allowed=bool(p.reference_select) and _sma(
                              p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])),
+                         gm_mvs=p.gm_mvs,
+                         prev_gm_mvs=(self._gm_slots[ref_slot[primary_ref]]
+                                      if primary_ref != 7 else None),
                          film_grain=self._grain_for(disp_idx))
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
@@ -753,6 +791,7 @@ class Encoder:
             saved_ctx.reset_counters()
         if refresh:
             self._cdf_slots[slot] = saved_ctx
+            self._gm_slots[slot] = tuple(p.gm_mvs)
         return Packet(tu=tu, disp_idx=disp_idx, recon=recon,
                       shown_disp_idx=disp_idx if show else None)
 
@@ -763,6 +802,7 @@ class Encoder:
         setup = self._frame_setup(disp_idx, is_key, layer, past_idx, future_idx,
                                   qindex_override)
         p, refs, ref_slot = setup["p"], setup["refs"], setup["ref_slot"]
+        self._gm_estimate(p, disp_idx, is_key, past_idx, src)
         order_hint = setup["order_hint"]
         if refs is not None:
             # the synchronous paths (numpy MD, restoration) need host planes;
@@ -923,6 +963,9 @@ class Encoder:
                          reference_select=p.reference_select,
                          skip_mode_allowed=bool(p.reference_select) and _sma(
                              p.order_hint, p.order_hint_bits, list(p.ref_hints[1:])),
+                         gm_mvs=p.gm_mvs,
+                         prev_gm_mvs=(self._gm_slots[ref_slot[primary_ref]]
+                                      if primary_ref != 7 else None),
                          film_grain=self._grain_for(disp_idx))
         tu = temporal_delimiter_obu()
         if not self._wrote_seq:
@@ -942,8 +985,10 @@ class Encoder:
             saved_ctx.reset_counters()
         if is_key:
             self._cdf_slots = [saved_ctx] * 8
+            self._gm_slots = [tuple(p.gm_mvs)] * 8
         elif refresh:
             self._cdf_slots[slot] = saved_ctx
+            self._gm_slots[slot] = tuple(p.gm_mvs)
         if self.rc is not None:
             self.rc.update(len(tu) * 8.0)
         return Packet(tu=tu, disp_idx=disp_idx, recon=recon,

@@ -138,7 +138,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
                        mv_by_ref, pred_by_ref, intra_out, consts,
                        n: int, qctx: int, dq, bd: int, R: int, C: int, lam,
                        which: int, mc_by_ref=None, comp_pair=None,
-                       tx_ntypes: int = 4, ref_off_x: int = 0):
+                       tx_ntypes: int = 4, ref_off_x: int = 0, gm8=None):
     """Inter candidate evaluation for the (R, C) grid at size n, merged with
     the intra decision `intra_out` = (cost, mode, tx) from device_decide.
 
@@ -163,8 +163,11 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     # GLOBALMV (zero MV) is a static block copy; the compound lane blends
     # the two single predictions ((a + b + 1) >> 1 — decide-side
     # approximation of the CONV_BUF average; commit redoes it exactly).
-    zero = jnp.zeros((B, 2), jnp.int32)
-    cand_mv = jnp.concatenate([*mv_by_ref, zero])  # (NC*B, 2)
+    # GLOBALMV lane MV: the frame's global MV for ref 0 (runtime operand;
+    # identity gm keeps the zero-MV static-copy fast path below)
+    glob_mv = (jnp.zeros((B, 2), jnp.int32) if gm8 is None
+               else jnp.broadcast_to(gm8[None, :], (B, 2)).astype(jnp.int32))
+    cand_mv = jnp.concatenate([*mv_by_ref, glob_mv])  # (NC*B, 2)
     cand_ref = jnp.concatenate(
         [jnp.full(B, ri, jnp.int32) for ri in range(len(mv_by_ref))] + [jnp.zeros(B, jnp.int32)])
     bits_list = [cand_bits["new"][ri] + _mv_rate(mv, pred_by_ref[ri], joint, comp)
@@ -188,8 +191,14 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
     cand_mv2 = jnp.concatenate(cand_mv2)
 
     if mc_by_ref is not None:
-        pred = jnp.concatenate([*mc_by_ref,
-                                _blocks_of(refs_y[0][None, :, ref_off_x:], n, R, C)])
+        if gm8 is None:
+            glob_pred = _blocks_of(refs_y[0][None, :, ref_off_x:], n, R, C)
+        else:
+            glob_pred = me_jax.mc_lanes(refs_y, ys, xs + ref_off_x,
+                                        glob_mv[:, 0] * 2, glob_mv[:, 1] * 2,
+                                        n, n, which, bd,
+                                        ref_idx=jnp.zeros(B, jnp.int32))
+        pred = jnp.concatenate([*mc_by_ref, glob_pred])
     else:
         pred = me_jax.mc_lanes(refs_y, jnp.tile(ys, NC), jnp.tile(xs, NC),
                                cand_mv[:, 0] * 2, cand_mv[:, 1] * 2, n, n,
@@ -258,7 +267,7 @@ def _decide_inter_size(src_y, src_u, src_v, refs_y, refs_u, refs_v,
 @functools.lru_cache(maxsize=32)
 def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
                       which: int, ref_ids: tuple = (1, 7), ref_select: bool = False,
-                      sf: tuple = (7, 4, 0)):
+                      sf: tuple = (7, 4, 0), use_gm: bool = False):
     """Whole-frame inter decide program: ME + subpel + per-size inter/intra
     RD. Per-frame CDF constants are baked in per qctx BUCKET; qindex enters
     as runtime operands (dqv, lam) so hierarchical layer offsets do not
@@ -294,7 +303,7 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
     layout = [(n, ah // n, aw // n) for n in sizes]
 
     @jax.jit
-    def run(sy8, su8, sv8, refs_y8, refs_u8, refs_v8, dqv, lam):
+    def run(sy8, su8, sv8, refs_y8, refs_u8, refs_v8, dqv, lam, gm8):
         dq = (dqv[0], dqv[1])
         sy = sy8.astype(jnp.int32)
         su = su8.astype(jnp.int32)
@@ -346,7 +355,7 @@ def _decide_inter_jit(width: int, height: int, qctx: int, bd: int, nref: int,
                     sy[0], su[0], sv[0], refs_y, refs_u, refs_v,
                     mv_by_ref[n], preds, intra_out, consts, n, qctx, dq, bd, R, C,
                     lam, which, mc_by_ref=mc_by_ref[n], comp_pair=comp_pair,
-                    tx_ntypes=sf[1])
+                    tx_ntypes=sf[1], gm8=gm8 if use_gm else None)
             packed += [cost, is_inter.astype(jnp.float32), mode.astype(jnp.float32),
                        tx.astype(jnp.float32), ref.astype(jnp.float32),
                        mvy.astype(jnp.float32), mvx.astype(jnp.float32),
@@ -503,14 +512,17 @@ def decide_inter_frame(src_dev, refs_dev, params: FrameParams, which: int,
     from ..constants.cdf import get_q_ctx
 
     p = params
+    gm8 = np.asarray(p.gm_mvs[int(ref_ids[0])], np.int32)
     run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
                                     refs_dev[0].shape[0], which,
                                     ref_ids=tuple(int(r) for r in ref_ids),
                                     ref_select=bool(p.reference_select),
                                     sf=(int(p.sf_nmodes_inter), int(p.sf_tx_ntypes),
-                                        int(p.sf_fast_subpel)))
+                                        int(p.sf_fast_subpel)),
+                                    use_gm=bool(p.enable_gm))
     dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
-    flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev, dqv, lam_op))
+    flat = np.asarray(run(src_dev[0], src_dev[1], src_dev[2], *refs_dev, dqv,
+                          lam_op, gm8))
     return _unpack_decide(flat, layout)
 
 
@@ -543,15 +555,17 @@ def inter_start_decide(src_planes, params: FrameParams, refs_dev, which: int,
     pend = PendingInter()
     with profiler.stage("h2d"):
         pend.src_dev = device_decide.put_frames([src_planes], p.bd)
+    gm8 = np.asarray(p.gm_mvs[int(ref_ids[0])], np.int32)
     run, layout = _decide_inter_jit(p.width, p.height, get_q_ctx(p.qindex), p.bd,
                                     int(refs_dev[0].shape[0]), which,
                                     ref_ids=tuple(int(r) for r in ref_ids),
                                     ref_select=bool(p.reference_select),
                                     sf=(int(p.sf_nmodes_inter), int(p.sf_tx_ntypes),
-                                        int(p.sf_fast_subpel)))
+                                        int(p.sf_fast_subpel)),
+                                    use_gm=bool(p.enable_gm))
     dqv, lam_op = device_decide.qparams_np(p.qindex, p.bd)
     pend.flat = run(pend.src_dev[0], pend.src_dev[1], pend.src_dev[2],
-                    *refs_dev, dqv, lam_op)
+                    *refs_dev, dqv, lam_op, gm8)
     pend.layout = layout
     pend.p = p
     pend.refs_dev = refs_dev
